@@ -1,0 +1,236 @@
+"""End-to-end crawl tests: distributed engine vs sequential oracle vs
+the reference's recorded sample crawl.
+
+Correctness gates from BASELINE.md: URL-seen-set equality, crawl-order
+equality ((generation, sorted URL)), per-page parse invariants
+(re-expressed as span-sequence equality per doc_id), and lossless
+resume from checkpoint.
+"""
+
+import glob
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from website_indexer_ray.config import CrawlConfig
+from website_indexer_ray.fixtures.gen import (
+    SAMPLE_START_URL,
+    START_URL,
+    generate_corpus,
+    sample_site_corpus,
+)
+from website_indexer_ray.fixtures.oracle import crawl_oracle
+from website_indexer_ray.functions.spans import build_spans, docs_table_from_records
+from website_indexer_ray.pipelines.engine import CrawlEngine, corpus_to_dict
+
+
+def run_engine(corpus, seeds, cfg, out_dir, resume=False):
+    engine = CrawlEngine(cfg, out_dir)
+    return engine.run(corpus, seeds, resume=resume)
+
+
+def engine_vs_oracle(result, oracle):
+    """Assert full equality between engine checkpoint and oracle."""
+    records = result.records_table().to_pylist()
+
+    # URL-seen set equality.
+    engine_seen = set(result.seen_table().column("url").to_pylist())
+    assert engine_seen == oracle.seen
+    assert {r["url"] for r in records} == oracle.seen
+
+    # Crawl-order equality: (generation, sorted url).
+    engine_order = sorted(
+        ((r["generation"], r["url"]) for r in records)
+    )
+    oracle_order = sorted(((g, u) for u, g in oracle.order))
+    assert engine_order == oracle_order
+
+    # Record-level equality per type.
+    by_url = {r["url"]: r for r in records}
+    assert len(by_url) == len(records)  # unique (crawl, url), models.py:77-79
+    for rtype in ("page", "error", "redirect", "skipped"):
+        gold = oracle.by_type(rtype)
+        mine = sorted(
+            (r for r in records if r["record_type"] == rtype),
+            key=lambda r: r["url"],
+        )
+        assert [r["url"] for r in mine] == [r["url"] for r in gold], rtype
+        for m, o in zip(mine, gold):
+            for col in (
+                "status_code", "referrer", "location", "title", "language",
+                "text", "components", "links", "media", "depth", "generation",
+            ):
+                assert m[col] == o[col], (rtype, m["url"], col)
+            assert m["timestamp"].timestamp() * 1e6 == pytest.approx(o["timestamp"]), m["url"]
+
+
+class TestSampleSiteConformance:
+    """The reference's recorded sample crawl
+    (crawler/fixtures/sample.json): 3 pages, 1 error, the o-sample
+    component, 9 distinct link hrefs."""
+
+    @pytest.fixture(scope="class")
+    def result(self, ray_session, tmp_path_factory):
+        corpus, seeds = sample_site_corpus()
+        cfg = CrawlConfig(start_url=SAMPLE_START_URL, n_seen_shards=2,
+                          fetch_concurrency=2)
+        out = str(tmp_path_factory.mktemp("sample_crawl"))
+        return run_engine(corpus, seeds, cfg, out)
+
+    def test_pages(self, result):
+        records = result.records_table().to_pylist()
+        pages = sorted(
+            (r for r in records if r["record_type"] == "page"),
+            key=lambda r: r["url"],
+        )
+        assert [p["url"] for p in pages] == [
+            "http://localhost:8000/",
+            "http://localhost:8000/child/",
+            "http://localhost:8000/child/?page=2",
+        ]
+        assert [p["title"] for p in pages] == [
+            "Sample homepage", "Sample child page", "Sample child page",
+        ]
+        home = pages[0]
+        assert home["components"] == ["o-sample"]
+        assert home["links"] == sorted(
+            [
+                "./file.xlsx", "/child/", "/child/?foo=bar", "/child/?page=2",
+                "/child/?page=2&foo=bar", "https://example.com/",
+                "https://example.com/file.xlsx", "https://example.org/",
+            ]
+        )
+        assert pages[1]["links"] == ["/"]
+
+    def test_distinct_links_match_fixture(self, result):
+        # 9 distinct hrefs across pages (fixture crawler.link rows).
+        records = result.records_table().to_pylist()
+        hrefs = set()
+        for r in records:
+            if r["record_type"] == "page":
+                hrefs.update(r["links"])
+        assert len(hrefs) == 9
+
+    def test_error(self, result):
+        records = result.records_table().to_pylist()
+        errors = [r for r in records if r["record_type"] == "error"]
+        assert len(errors) == 1
+        assert errors[0]["url"] == "https://example.com/file.xlsx"
+        assert errors[0]["status_code"] == 404
+        assert errors[0]["referrer"] == "http://localhost:8000/"
+
+    def test_seen_set(self, result):
+        assert set(result.seen_table().column("url").to_pylist()) == {
+            "http://localhost:8000/",
+            "http://localhost:8000/child/",
+            "http://localhost:8000/child/?page=2",
+            "https://example.com/",
+            "https://example.com/file.xlsx",
+            "https://example.org/",
+        }
+
+    def test_matches_oracle(self, result):
+        corpus, seeds = sample_site_corpus()
+        cfg = CrawlConfig(start_url=SAMPLE_START_URL)
+        oracle = crawl_oracle(
+            corpus_to_dict(corpus), [SAMPLE_START_URL], cfg
+        )
+        engine_vs_oracle(result, oracle)
+
+
+class TestSyntheticEquality:
+    @pytest.fixture(scope="class")
+    def corpus_seeds(self):
+        return generate_corpus(n_pages=60, seed=42)
+
+    def _cfg(self, **kw):
+        return CrawlConfig(start_url=START_URL, n_seen_shards=4,
+                           fetch_concurrency=2, fetch_batch_size=64, **kw)
+
+    def test_full_crawl_equality(self, ray_session, tmp_path, corpus_seeds):
+        corpus, seeds = corpus_seeds
+        cfg = self._cfg()
+        result = run_engine(corpus, seeds, cfg, str(tmp_path / "full"))
+        oracle = crawl_oracle(corpus_to_dict(corpus), [START_URL], cfg)
+        assert len(oracle.seen) > 50  # crawl actually covered the site
+        engine_vs_oracle(result, oracle)
+
+    def test_budget_equality(self, ray_session, tmp_path, corpus_seeds):
+        corpus, seeds = corpus_seeds
+        cfg = self._cfg(max_pages=17)
+        result = run_engine(corpus, seeds, cfg, str(tmp_path / "budget"))
+        oracle = crawl_oracle(corpus_to_dict(corpus), [START_URL], cfg)
+        assert len(oracle.seen) == 17
+        engine_vs_oracle(result, oracle)
+
+    def test_depth_equality(self, ray_session, tmp_path, corpus_seeds):
+        corpus, seeds = corpus_seeds
+        cfg = self._cfg(depth=2)
+        result = run_engine(corpus, seeds, cfg, str(tmp_path / "depth"))
+        oracle = crawl_oracle(corpus_to_dict(corpus), [START_URL], cfg)
+        engine_vs_oracle(result, oracle)
+
+    def test_docs_span_equality(self, ray_session, tmp_path, corpus_seeds):
+        """Span-sequence equality per doc_id (BASELINE.json input_hint)."""
+        corpus, seeds = corpus_seeds
+        cfg = self._cfg()
+        result = run_engine(corpus, seeds, cfg, str(tmp_path / "docs"))
+        docs = docs_table_from_records(result.records_table())
+        gold_oracle = crawl_oracle(corpus_to_dict(corpus), [START_URL], cfg)
+        gold = {
+            r["url"]: build_spans(
+                r["title"], r["language"], r["text"],
+                r["links"], r["components"], r["media"],
+            )
+            for r in gold_oracle.records
+            if r["record_type"] == "page"
+        }
+        mine = dict(zip(docs.column("doc_id").to_pylist(), docs.column("spans").to_pylist()))
+        assert set(mine) == set(gold)
+        for doc_id, spans in mine.items():
+            assert [
+                (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans
+            ] == [
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in gold[doc_id]
+            ], doc_id
+
+    def test_resume_lossless(self, ray_session, tmp_path, corpus_seeds):
+        """Kill after generation g, resume, identical final tables."""
+        corpus, seeds = corpus_seeds
+        cfg = self._cfg()
+        full_dir = str(tmp_path / "ref_run")
+        full = run_engine(corpus, seeds, cfg, full_dir)
+        full_records = full.records_table()
+        n_gens = len(glob.glob(os.path.join(full_dir, "records", "gen=*", "_SUCCESS")))
+        assert n_gens >= 3
+
+        # Simulate a crash after generation 1: drop everything later.
+        resume_dir = str(tmp_path / "resumed")
+        shutil.copytree(full_dir, resume_dir)
+        for kind in ("records", "frontier", "seen"):
+            for d in glob.glob(os.path.join(resume_dir, kind, "gen=*")):
+                g = int(os.path.basename(d).split("=")[1])
+                cut = 2 if kind == "frontier" else 1
+                if g > cut:
+                    shutil.rmtree(d)
+
+        resumed = CrawlEngine(cfg, resume_dir).run(corpus, seeds, resume=True)
+        resumed_records = resumed.records_table()
+
+        key = lambda t: sorted(t.to_pylist(), key=lambda r: r["url"])
+        assert key(resumed_records) == key(full_records)
+        assert resumed.seen_table().equals(full.seen_table())
+
+    def test_lineage(self, ray_session, tmp_path, corpus_seeds):
+        corpus, seeds = corpus_seeds
+        cfg = self._cfg()
+        result = run_engine(corpus, seeds, cfg, str(tmp_path / "lineage"))
+        lineage = result.lineage_table().to_pylist()
+        assert lineage[0]["generation"] == 0
+        assert lineage[0]["n_accepted"] == 1  # the seed
+        total = sum(r["n_accepted"] for r in lineage)
+        assert total == result.records_table().num_rows
+        assert result.status()["status"] == "Finished"

@@ -1,0 +1,153 @@
+"""Unit tests for stateful components: cuckoo filter, seen shards,
+politeness, robots cache."""
+
+import pytest
+
+from website_indexer_ray.functions.xxh import xxh64
+from website_indexer_ray.state.cuckoo import CuckooFilter
+from website_indexer_ray.state.politeness import HostRateLimiter
+from website_indexer_ray.state.robots import RobotsCache
+
+
+class TestCuckooFilter:
+    def test_insert_contains(self):
+        f = CuckooFilter(1000)
+        hashes = [xxh64(f"https://x.example/{i}") for i in range(500)]
+        for h in hashes:
+            assert f.insert(h)
+        for h in hashes:
+            assert f.contains(h)
+
+    def test_absent(self):
+        f = CuckooFilter(1000)
+        for i in range(200):
+            f.insert(xxh64(f"in-{i}"))
+        false_pos = sum(f.contains(xxh64(f"out-{i}")) for i in range(1000))
+        # 16-bit fingerprints ⇒ FP rate well under 1%.
+        assert false_pos < 10
+
+    def test_delete(self):
+        f = CuckooFilter(100)
+        h = xxh64("https://x.example/gone")
+        f.insert(h)
+        assert f.contains(h)
+        assert f.delete(h)
+        assert not f.contains(h)
+        assert not f.delete(h)
+
+    def test_fill_to_capacity(self):
+        f = CuckooFilter(5000)
+        ok = sum(f.insert(xxh64(f"u{i}")) for i in range(5000))
+        assert ok == 5000
+
+
+class TestSeenShards:
+    def test_claim_contains_remove(self, ray_session):
+        from website_indexer_ray.state import seen as seen_state
+
+        shards = seen_state.create_shards(4, 1 << 12)
+        urls = [f"https://t.example/p{i}/" for i in range(100)]
+        hashes = [xxh64(u) for u in urls]
+
+        mask = seen_state.claim_batch(shards, urls, hashes)
+        assert all(mask)
+        # second claim: everything already seen
+        mask2 = seen_state.claim_batch(shards, urls, hashes)
+        assert not any(mask2)
+        assert all(seen_state.contains_batch(shards, urls, hashes))
+
+        # duplicates within one batch: exactly one claim wins
+        dup = ["https://t.example/dup/"] * 5
+        dh = [xxh64(dup[0])] * 5
+        m = seen_state.claim_batch(shards, dup, dh)
+        assert sum(m) == 1
+
+        # delete (F8 mirror of URLTable.remove_many)
+        n = seen_state.remove_batch(shards, urls[:10], hashes[:10])
+        assert n == 10
+        m3 = seen_state.claim_batch(shards, urls[:10], hashes[:10])
+        assert all(m3)
+
+    def test_snapshot_restore(self, ray_session, tmp_path):
+        from website_indexer_ray.state import seen as seen_state
+
+        shards = seen_state.create_shards(2, 1 << 12)
+        urls = [f"https://t.example/s{i}/" for i in range(50)]
+        hashes = [xxh64(u) for u in urls]
+        seen_state.claim_batch(shards, urls, hashes)
+        n = seen_state.snapshot_all(shards, str(tmp_path / "seen"))
+        assert n == 50
+
+        fresh = seen_state.create_shards(2, 1 << 12)
+        seen_state.restore_all(fresh, str(tmp_path / "seen"))
+        assert all(seen_state.contains_batch(fresh, urls, hashes))
+
+
+class TestPoliteness:
+    def test_rate_limiter_spacing(self):
+        t = [0.0]
+        slept = []
+
+        def clock():
+            return t[0]
+
+        def sleep(s):
+            slept.append(s)
+            t[0] += s
+
+        lim = HostRateLimiter(wait=0.5, clock=clock, sleep=sleep)
+        assert lim.acquire("a.example") == 0.0
+        d = lim.acquire("a.example")
+        assert d == pytest.approx(0.5)
+        # different host: no wait
+        assert lim.acquire("b.example") == 0.0
+
+    def test_random_wait_range_and_determinism(self):
+        t = [0.0]
+
+        def clock():
+            return t[0]
+
+        def mk():
+            return HostRateLimiter(
+                wait=0.5, random_wait=True, seed=1, clock=clock,
+                sleep=lambda s: t.__setitem__(0, t[0] + s),
+            )
+
+        t[0] = 0.0
+        a = mk()
+        a.acquire("h")
+        d1 = a.acquire("h")
+        assert 0.25 <= d1 <= 0.75  # wget --random-wait: factor 0.5-1.5
+        t[0] = 0.0
+        b = mk()
+        b.acquire("h")
+        assert b.acquire("h") == d1  # seeded ⇒ deterministic
+
+    def test_zero_wait_no_op(self):
+        lim = HostRateLimiter(wait=0.0)
+        assert lim.acquire("x") == 0.0
+
+
+class TestRobots:
+    def test_disallow(self):
+        bodies = {
+            "https://a.example/robots.txt": "User-agent: *\nDisallow: /private/\n"
+        }
+        cache = RobotsCache(lambda u: bodies.get(u))
+        assert cache.allowed("https://a.example/public/")
+        assert not cache.allowed("https://a.example/private/x")
+        # missing robots.txt ⇒ allow all
+        assert cache.allowed("https://b.example/anything")
+
+    def test_cache_single_fetch(self):
+        calls = []
+
+        def fetch(u):
+            calls.append(u)
+            return "User-agent: *\nAllow: /\n"
+
+        cache = RobotsCache(fetch)
+        cache.allowed("https://a.example/1")
+        cache.allowed("https://a.example/2")
+        assert len(calls) == 1

@@ -1,0 +1,70 @@
+"""Crawl configuration — mirrors the reference's CrawlConfig
+(/root/reference/crawler/models.py:12-16) plus the engine-level knobs
+the distributed design needs. Serializable to a plain dict so it can
+ride into map_batches workers and lineage records (models.py:41-43
+serializes config to JSON the same way).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+
+# Reference skip list (plugin.py:22-32).
+DEFAULT_SKIP_URLS = (
+    r"^https://www.facebook.com/dialog/share\?.*",
+    r"^https://twitter.com/intent/tweet\?.*",
+    r"^https://x.com/intent/tweet\?.*",
+    r"^https://www.linkedin.com/shareArticle\?.*",
+)
+
+# Reference HEAD-request list (plugin.py:34) — ours is configurable;
+# tests use the synthetic files host.
+DEFAULT_HEAD_URLS = ()
+
+
+@dataclasses.dataclass
+class CrawlConfig:
+    # Reference-visible config (models.py:12-16).
+    start_url: str = ""
+    max_pages: int = 0
+    depth: int = 0
+
+    # Predicate chain configuration (plugin.py:22-34).
+    skip_url_patterns: tuple = DEFAULT_SKIP_URLS
+    head_url_patterns: tuple = DEFAULT_HEAD_URLS
+
+    # Politeness / robots (crawler.py:35-37; reference: wait=0.5,
+    # random wait, robots off).
+    politeness_wait: float = 0.0
+    random_wait: bool = False
+    respect_robots: bool = False
+
+    # Engine knobs.
+    canonical_profile: str = "reference"
+    n_seen_shards: int = 8
+    seen_shard_capacity: int = 1 << 16
+    fetch_concurrency: int = 4
+    fetch_batch_size: int = 256
+    simulate_latency: bool = False
+    salt_partitions: int = 1  # >1 ⇒ hot-host salting + shared HostBudget
+    max_generations: int = 64
+
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["skip_url_patterns"] = list(self.skip_url_patterns)
+        d["head_url_patterns"] = list(self.head_url_patterns)
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "CrawlConfig":
+        d = dict(d)
+        d["skip_url_patterns"] = tuple(d.get("skip_url_patterns", ()))
+        d["head_url_patterns"] = tuple(d.get("head_url_patterns", ()))
+        return cls(**d)
+
+    def compile_skip(self) -> list[re.Pattern]:
+        return [re.compile(p) for p in self.skip_url_patterns]
+
+    def compile_head(self) -> list[re.Pattern]:
+        return [re.compile(p) for p in self.head_url_patterns]

@@ -1,0 +1,178 @@
+"""Fetch + response-routing + parse stage — the engine's hot path.
+
+An actor-pool ``map_batches`` stage (callable class ⇒ one instance per
+actor; corpus broadcast, politeness state, robots cache and compiled
+regexes are built ONCE in ``__init__``). Per accepted frontier row it
+reproduces the reference's response handling
+(/root/reference/crawler/wpull/plugin.py:170-281):
+
+  status 0 / missing from corpus → Error(status_code=0)
+    (plugin.py:170-185: network-level failure)
+  3xx → Redirect record (plugin.py:219-245); the follow decision is
+    made by the expansion stage from the recorded location
+  ≥400 → Error record (plugin.py:246-254)
+  200 external host → skipped, unrecorded (plugin.py:258-262)
+  200 non-text/html → skipped (plugin.py:274-281)
+  200 internal text/html → parse (functions/htmlparse, the reference's
+    parser.py semantics); no title ⇒ skipped (parser.py:75-76) but
+    frontier links still expand
+  HEAD method → status only, never a body/parse (plugin.py:121-126)
+
+"Fetching" at test/bench scale is a lookup into the broadcast
+synthetic corpus (``ray.put`` once on the driver, ``ray.get`` once per
+actor — zero per-batch re-shipping); a real-network fetcher drops in
+behind the same ``_fetch`` seam.
+
+Timestamps are a pure per-row function —
+``epoch + generation s + (url_hash % 1e6) µs`` — so no global ordering
+state is needed at any scale and the sequential oracle reproduces them
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+import ray
+
+from website_indexer_ray.config import CrawlConfig
+from website_indexer_ray.functions.htmlparse import parse_page
+from website_indexer_ray.functions.urls import hostname, hostname_with_port
+from website_indexer_ray.schemas import RECORDS_SCHEMA
+from website_indexer_ray.state.politeness import HostRateLimiter
+from website_indexer_ray.state.robots import RobotsCache
+
+EPOCH_US = 1_700_000_000 * 1_000_000
+
+
+def record_timestamp_us(generation: int, url_hash: int) -> int:
+    return EPOCH_US + generation * 1_000_000 + (url_hash % 1_000_000)
+
+
+class FetchParseStage:
+    def __init__(
+        self,
+        corpus_ref,
+        cfg: dict,
+        budget_handle=None,
+    ):
+        self.cfg = CrawlConfig.from_dict(cfg) if isinstance(cfg, dict) else cfg
+        corpus = ray.get(corpus_ref) if not isinstance(corpus_ref, dict) else corpus_ref
+        self.corpus: dict[str, tuple] = corpus
+        self.start_host_port = hostname_with_port(self.cfg.start_url)
+        self.start_hostname = hostname(self.cfg.start_url)
+        self.limiter = HostRateLimiter(
+            wait=self.cfg.politeness_wait, random_wait=self.cfg.random_wait
+        )
+        self.budget = budget_handle  # shared HostBudget when salted
+        self.robots = (
+            RobotsCache(self._fetch_robots_text)
+            if self.cfg.respect_robots
+            else None
+        )
+
+    # --- fetch seam -------------------------------------------------
+    def _fetch(self, url: str, method: str) -> tuple[int, str, str | None, str | None, int]:
+        """(status, content_type, location, html, delay_ms); a miss is
+        a network-level failure (status 0, plugin.py:176-183)."""
+        row = self.corpus.get(url)
+        if row is None:
+            return 0, "", None, None, 0
+        status, ctype, location, html, delay = row
+        if method == "HEAD":
+            html = None
+        return status, ctype, location, html, delay
+
+    def _fetch_robots_text(self, robots_url: str) -> str | None:
+        row = self.corpus.get(robots_url)
+        if row is None or row[0] != 200:
+            return None
+        return row[3]
+
+    # --- per-batch --------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: list[dict] = []
+        for row in batch.to_pylist():
+            out.append(self._process(row))
+        if not out:
+            return RECORDS_SCHEMA.empty_table()
+        return pa.Table.from_pylist(out, schema=RECORDS_SCHEMA)
+
+    def _process(self, row: dict) -> dict:
+        url = row["url"]
+        host = row["host"]
+        method = row.get("method") or "GET"
+        referrer = row["parent_url"] or None
+
+        rec = {
+            "record_type": "skipped",
+            "url": url,
+            "url_hash": row["url_hash"],
+            "host": host,
+            "generation": row["generation"],
+            "depth": row["depth"],
+            "timestamp": record_timestamp_us(row["generation"], row["url_hash"]),
+            "status_code": 0,
+            "referrer": referrer,
+            "location": None,
+            "method": method,
+            "title": None,
+            "language": None,
+            "html": None,
+            "text": None,
+            "components": None,
+            "links": None,
+            "media": None,
+            "frontier_links": None,
+        }
+
+        if self.robots is not None and not self.robots.allowed(url):
+            rec["record_type"] = "robots_excluded"
+            return rec
+
+        if self.budget is not None:
+            delay = ray.get(self.budget.reserve.remote(host))
+            if delay > 0:
+                time.sleep(delay)
+        else:
+            self.limiter.acquire(host)
+
+        status, ctype, location, html, delay_ms = self._fetch(url, method)
+        if self.cfg.simulate_latency and delay_ms:
+            time.sleep(delay_ms / 1000.0)
+        rec["status_code"] = status
+
+        if status == 0:
+            rec["record_type"] = "error"
+            return rec
+
+        if status >= 300:
+            if status < 400:
+                rec["record_type"] = "redirect"
+                rec["location"] = location
+            else:
+                rec["record_type"] = "error"
+            return rec
+
+        # 200-class.
+        if hostname_with_port(url) != self.start_host_port:
+            return rec  # external success: unrecorded by the reference
+
+        if not (ctype or "").startswith("text/html") or html is None:
+            return rec
+
+        parsed = parse_page(html, self.start_hostname)
+        rec["frontier_links"] = parsed.frontier_links
+        if parsed.title is None:
+            return rec  # titleless: not indexed, still expands
+
+        rec["record_type"] = "page"
+        rec["title"] = parsed.title
+        rec["language"] = parsed.language
+        rec["html"] = html
+        rec["text"] = parsed.text
+        rec["components"] = parsed.components
+        rec["links"] = parsed.links
+        rec["media"] = parsed.media
+        return rec

@@ -1,0 +1,83 @@
+"""Per-host politeness: token buckets replacing the reference's global
+inter-request sleep (``--wait=0.5 --random-wait``,
+/root/reference/crawler/wpull/crawler.py:36-37).
+
+The reference crawls one URL at a time, so a single global wait
+suffices. Distributed, politeness must be *per host*: each fetcher
+actor owns the budget for the hosts routed to it (the frontier is
+host-partitioned), and when hot hosts are salted across several
+partitions (north_rule skew handling) the salted partitions share one
+``HostBudget`` actor so the per-host rate cap still holds globally.
+
+``random_wait`` reproduces wget's semantics: multiply the base wait by
+a uniform factor in [0.5, 1.5] — seeded per host for determinism.
+"""
+
+from __future__ import annotations
+
+import random
+import time
+
+import ray
+
+
+class HostRateLimiter:
+    """In-actor per-host limiter (hosts not salted across actors)."""
+
+    def __init__(
+        self,
+        wait: float = 0.0,
+        random_wait: bool = False,
+        seed: int = 42,
+        clock=time.monotonic,
+        sleep=time.sleep,
+    ):
+        self.wait = wait
+        self.random_wait = random_wait
+        self.seed = seed
+        self.clock = clock
+        self.sleep = sleep
+        self.next_ok: dict[str, float] = {}
+        self.rngs: dict[str, random.Random] = {}
+
+    def _factor(self, host: str) -> float:
+        if not self.random_wait:
+            return 1.0
+        rng = self.rngs.setdefault(host, random.Random(f"{self.seed}:{host}"))
+        return rng.uniform(0.5, 1.5)
+
+    def acquire(self, host: str) -> float:
+        """Block until the host's next slot; returns seconds slept."""
+        if self.wait <= 0:
+            return 0.0
+        now = self.clock()
+        t = self.next_ok.get(host, now)
+        delay = max(0.0, t - now)
+        if delay > 0:
+            self.sleep(delay)
+        self.next_ok[host] = max(now, t) + self.wait * self._factor(host)
+        return delay
+
+
+@ray.remote(num_cpus=0)
+class HostBudget:
+    """Shared budget for hosts salted across fetcher actors.
+
+    ``reserve(host)`` hands out monotonically increasing wall-clock
+    slots; callers sleep locally until their slot. This keeps the
+    per-host rate cap global while the fetch work itself stays
+    parallel across partitions.
+    """
+
+    def __init__(self, wait: float, random_wait: bool = False, seed: int = 42):
+        self.limiter = HostRateLimiter(wait, random_wait, seed, sleep=lambda _: None)
+
+    def reserve(self, host: str) -> float:
+        """Returns seconds the caller must wait before fetching."""
+        if self.limiter.wait <= 0:
+            return 0.0
+        now = self.limiter.clock()
+        t = self.limiter.next_ok.get(host, now)
+        delay = max(0.0, t - now)
+        self.limiter.next_ok[host] = max(now, t) + self.limiter.wait * self.limiter._factor(host)
+        return delay

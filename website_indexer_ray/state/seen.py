@@ -1,0 +1,166 @@
+"""Sharded URL-seen set: cuckoo-filter actors with exact arbitration.
+
+Replaces the reference's ``requested_urls`` Python-list membership
+scans (/root/reference/crawler/wpull/plugin.py:81-82,104-106,212-217)
+and wpull's SQLite URLTable with a pool of ``SeenShard`` actors.
+Routing key: ``url_hash % n_shards`` (url_hash = xxh64 of the
+canonical URL). Claims are atomic per shard (actor method calls are
+serialized), which gives exactly-once fetch semantics across
+concurrently-running ``map_batches`` workers without any shuffle —
+this is the distributed form of the reference's unique ``(crawl,url)``
+constraint (crawler/models.py:77-79).
+
+The cuckoo filter is the compact fast path; an exact Python set
+arbitrates false positives and feeds checkpoint snapshots
+(FIXTURES.md gold_seen equality requires the exact set).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from website_indexer_ray.schemas import SEEN_SCHEMA
+from website_indexer_ray.state.cuckoo import CuckooFilter
+
+
+@ray.remote(num_cpus=0.1)
+class SeenShard:
+    """One shard of the URL-seen set."""
+
+    def __init__(self, shard_id: int, capacity: int = 1 << 16):
+        self.shard_id = shard_id
+        self.filter = CuckooFilter(capacity)
+        self.exact: set[str] = set()
+        self.hashes: dict[str, int] = {}
+
+    def claim(self, urls: list[str], hashes: list[int]) -> list[bool]:
+        """For each URL: True if this call newly claimed it (it was
+        unseen), False if it was already seen. Atomic per shard."""
+        out = []
+        for u, h in zip(urls, hashes):
+            if self.filter.contains(h) and u in self.exact:
+                out.append(False)
+            else:
+                self.filter.insert(h)
+                self.exact.add(u)
+                self.hashes[u] = h
+                out.append(True)
+        return out
+
+    def contains(self, urls: list[str], hashes: list[int]) -> list[bool]:
+        return [
+            self.filter.contains(h) and u in self.exact
+            for u, h in zip(urls, hashes)
+        ]
+
+    def remove(self, urls: list[str], hashes: list[int]) -> int:
+        """Cuckoo + exact delete — mirrors URLTable.remove_many
+        (plugin.py:153-156)."""
+        n = 0
+        for u, h in zip(urls, hashes):
+            if u in self.exact:
+                self.exact.discard(u)
+                self.hashes.pop(u, None)
+                self.filter.delete(h)
+                n += 1
+        return n
+
+    def count(self) -> int:
+        return len(self.exact)
+
+    def snapshot(self, path: str) -> int:
+        """Write this shard's exact set as Parquet; returns row count."""
+        urls = sorted(self.exact)
+        table = pa.Table.from_pydict(
+            {"url": urls, "url_hash": [self.hashes[u] for u in urls]},
+            schema=SEEN_SCHEMA,
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(table, path)
+        return len(urls)
+
+    def restore(self, path: str) -> int:
+        table = pq.read_table(path)
+        for u, h in zip(
+            table.column("url").to_pylist(), table.column("url_hash").to_pylist()
+        ):
+            if u not in self.exact:
+                self.exact.add(u)
+                self.hashes[u] = h
+                self.filter.insert(h)
+        return len(self.exact)
+
+    def dump(self) -> list[str]:
+        return sorted(self.exact)
+
+
+def create_shards(n_shards: int, capacity_per_shard: int = 1 << 16) -> list:
+    return [
+        SeenShard.remote(i, capacity_per_shard) for i in range(n_shards)
+    ]
+
+
+def route(urls: list[str], hashes: list[int], n_shards: int) -> dict[int, tuple[list[str], list[int], list[int]]]:
+    """Group (urls, hashes, original positions) by shard."""
+    groups: dict[int, tuple[list[str], list[int], list[int]]] = {}
+    for pos, (u, h) in enumerate(zip(urls, hashes)):
+        s = h % n_shards
+        g = groups.setdefault(s, ([], [], []))
+        g[0].append(u)
+        g[1].append(h)
+        g[2].append(pos)
+    return groups
+
+
+def claim_batch(shards: list, urls: list[str], hashes: list[int]) -> list[bool]:
+    """Claim a batch of URLs across shards; returns per-position mask."""
+    groups = route(urls, hashes, len(shards))
+    futures = {
+        s: shards[s].claim.remote(us, hs) for s, (us, hs, _) in groups.items()
+    }
+    mask = [False] * len(urls)
+    for s, fut in futures.items():
+        for pos, claimed in zip(groups[s][2], ray.get(fut)):
+            mask[pos] = claimed
+    return mask
+
+
+def contains_batch(shards: list, urls: list[str], hashes: list[int]) -> list[bool]:
+    groups = route(urls, hashes, len(shards))
+    futures = {
+        s: shards[s].contains.remote(us, hs) for s, (us, hs, _) in groups.items()
+    }
+    mask = [False] * len(urls)
+    for s, fut in futures.items():
+        for pos, seen in zip(groups[s][2], ray.get(fut)):
+            mask[pos] = seen
+    return mask
+
+
+def remove_batch(shards: list, urls: list[str], hashes: list[int]) -> int:
+    groups = route(urls, hashes, len(shards))
+    futures = [
+        shards[s].remove.remote(us, hs) for s, (us, hs, _) in groups.items()
+    ]
+    return sum(ray.get(futures))
+
+
+def snapshot_all(shards: list, directory: str) -> int:
+    futures = [
+        shard.snapshot.remote(os.path.join(directory, f"shard-{i:04d}.parquet"))
+        for i, shard in enumerate(shards)
+    ]
+    return sum(ray.get(futures))
+
+
+def restore_all(shards: list, directory: str) -> int:
+    futures = []
+    for i, shard in enumerate(shards):
+        path = os.path.join(directory, f"shard-{i:04d}.parquet")
+        if os.path.exists(path):
+            futures.append(shard.restore.remote(path))
+    return sum(ray.get(futures))
