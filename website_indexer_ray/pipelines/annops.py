@@ -1,0 +1,215 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``knn_bruteforce``: exact cosine top-k — per-batch numpy matmul
+  against a broadcast query matrix (``ray.put`` once), partial top-k
+  per batch, tiny driver-side merge. This is the baseline and the
+  correctness oracle target (DuckDB list_cosine_similarity).
+- ``knn_lsh``: random-hyperplane LSH (Charikar 2002) bucketed
+  variant — the scale path: hash every vector into sign-pattern
+  buckets with multiple hash tables, search only colliding buckets.
+  Approximate ⇒ rows-only check; recall vs brute force is asserted in
+  pytest instead.
+
+Arithmetic is float64 end-to-end so results match the SQL oracle's
+double precision.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, list[int]]:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = tbl.column("vec_id").to_pylist()
+    order = np.argsort(ids)
+    mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    q_idx = order[:n_queries]
+    return mat[q_idx], [ids[i] for i in q_idx]
+
+
+class TopKStage:
+    """Partial top-k per batch against the broadcast query matrix."""
+
+    def __init__(self, q_ref, k: int):
+        q = ray.get(q_ref) if not isinstance(q_ref, tuple) else q_ref
+        self.qmat, self.qids = q
+        self.qnorm = self.qmat / np.linalg.norm(self.qmat, axis=1, keepdims=True)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = self.qnorm @ (mat / norms).T  # (n_queries, batch)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(self.qids):
+            row = sims[qi]
+            mask = ids != qid  # exclude self-match
+            cand_ids = ids[mask]
+            cand_sims = row[mask]
+            take = min(self.k, len(cand_ids))
+            if take == 0:
+                continue
+            part = np.argpartition(-cand_sims, take - 1)[:take]
+            out_q.extend([qid] * take)
+            out_n.extend(cand_ids[part].tolist())
+            out_s.extend(cand_sims[part].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5) -> pa.Table:
+    """Exact cosine top-k; returns (query_id, neighbor_id, rank) with
+    rank 1..k ordered by (sim desc, neighbor_id asc) — integer output
+    so the oracle hash is float-drift-free."""
+    queries = _load_queries(sf_dir, n_queries)
+    q_ref = ray.put(queries)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    partials = ds.map_batches(
+        TopKStage,
+        fn_constructor_args=(q_ref, k),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=2,
+    )
+    tables = [t for t in (ray.get(r) for r in partials.to_arrow_refs()) if t.num_rows]
+    merged: dict[int, list] = {}
+    for t in tables:
+        for q, n, s in zip(
+            t.column("query_id").to_pylist(),
+            t.column("neighbor_id").to_pylist(),
+            t.column("sim").to_pylist(),
+        ):
+            merged.setdefault(q, []).append((-s, n))
+    out_q, out_n, out_r = [], [], []
+    for q in sorted(merged):
+        top = heapq.nsmallest(k, merged[q])
+        for rank, (_negs, n) in enumerate(top, start=1):
+            out_q.append(q)
+            out_n.append(n)
+            out_r.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_n, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int64()),
+        }
+    )
+
+
+# --- LSH-bucketed approximate variant -------------------------------
+
+class LshIndexStage:
+    """Random-hyperplane signatures; emits (table, bucket, vec_id)."""
+
+    def __init__(self, planes_ref):
+        self.planes = ray.get(planes_ref) if not isinstance(planes_ref, np.ndarray) else planes_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_pylist()
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        n_tables, n_bits, dim = self.planes.shape
+        out_t, out_b, out_v = [], [], []
+        for ti in range(n_tables):
+            proj = mat @ self.planes[ti].T > 0  # (n, n_bits)
+            buckets = proj @ (1 << np.arange(n_bits))
+            out_t.extend([ti] * len(ids))
+            out_b.extend(buckets.tolist())
+            out_v.extend(ids)
+        return pa.table(
+            {
+                "table_id": pa.array(out_t, type=pa.int32()),
+                "bucket": pa.array(out_b, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+            }
+        )
+
+
+def knn_lsh(
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 5,
+    n_tables: int = 8,
+    n_bits: int = 8,
+    seed: int = 11,
+) -> pa.Table:
+    """Approximate cosine top-k: search only vectors sharing an LSH
+    bucket with the query in any hash table."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = tbl.column("vec_id").to_pylist()
+    mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    dim = mat.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    planes_ref = ray.put(planes)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    index = ds.map_batches(
+        LshIndexStage,
+        fn_constructor_args=(planes_ref,),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=2,
+    )
+    idx_tbl = pa.concat_tables(
+        [t for t in (ray.get(r) for r in index.to_arrow_refs()) if t.num_rows]
+    )
+
+    # bucket → members
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for t_id, b, v in zip(
+        idx_tbl.column("table_id").to_pylist(),
+        idx_tbl.column("bucket").to_pylist(),
+        idx_tbl.column("vec_id").to_pylist(),
+    ):
+        buckets.setdefault((t_id, b), []).append(v)
+
+    id_to_row = {v: i for i, v in enumerate(ids)}
+    norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    qids = sorted(ids)[:n_queries]
+
+    out_q, out_n, out_r = [], [], []
+    for qid in qids:
+        qrow = norm[id_to_row[qid]]
+        cands: set[int] = set()
+        for ti in range(n_tables):
+            proj = qrow @ planes[ti].T > 0
+            b = int(proj @ (1 << np.arange(n_bits)))
+            cands.update(buckets.get((ti, b), []))
+        cands.discard(qid)
+        cand_list = sorted(cands)
+        if not cand_list:
+            continue
+        sims = norm[[id_to_row[c] for c in cand_list]] @ qrow
+        order = sorted(zip([-s for s in sims], cand_list))[:k]
+        for rank, (_negs, n) in enumerate(order, start=1):
+            out_q.append(qid)
+            out_n.append(n)
+            out_r.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_n, type=pa.int64()),
+            "rank": pa.array(out_r, type=pa.int64()),
+        }
+    )

@@ -1,0 +1,476 @@
+"""Training-data text operators over a ``documents`` table
+(doc_id:int64, text:string, lang:string, source:string, n_chars:int64).
+
+Beyond the reference's own operator inventory (SURVEY.md §2), these are
+the large-scale-pipeline operators the engine needs as first-class
+components: exact + near deduplication (MinHash-LSH, SimHash, n-gram
+Jaccard), language-ID, quality scoring, token counting, and document
+fingerprinting. All hot paths are ``map_batches`` over Arrow batches;
+signatures/partials are computed per batch and only slim derived
+columns are shuffled (never the full text, except the one exact-dedup
+variant whose oracle requires grouping by the normalized text itself).
+
+Scale notes are given per operator; broadcast lookups use one
+``ray.put`` on the driver, read once per actor.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from website_indexer_ray.functions.xxh import xxh64
+
+_WS_RE = re.compile(r"\s+")
+_TOKEN_RE = re.compile(r"\w+|[^\w\s]")  # BPE-ish: words + punct singles
+_WORD_RE = re.compile(r"\S+")
+_PUNCT_RE = re.compile(r"[^\w\s]")
+_UPPER_RE = re.compile(r"[A-Z]")
+_STOP_RE = re.compile(r"\b(the|a|and|of|to|in|is)\b")
+
+_MERSENNE = (1 << 61) - 1
+
+
+def read_documents(sf_dir: str, columns=None):
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=columns or ["doc_id", "text"]
+    )
+
+
+# --- exact dedup -----------------------------------------------------
+
+def normalize_text(s: str) -> str:
+    return _WS_RE.sub(" ", s).strip().lower()
+
+
+def exact_dedup(sf_dir: str) -> pa.Table:
+    """Keep min(doc_id) per normalized-text group.
+
+    Scale path: hash-partition on a 64-bit content hash and reduce to
+    min(doc_id) per hash — only (hash, doc_id) pairs shuffle, never the
+    text. Oracle: GROUP BY the normalized text itself.
+    """
+    ds = read_documents(sf_dir)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        # 63-bit mask keeps the hash in int64 (plays well with every
+        # downstream engine's signed-int group keys).
+        hashes = [
+            xxh64(normalize_text(t)) & 0x7FFFFFFFFFFFFFFF
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text_hash": pa.array(hashes, type=pa.int64()),
+            }
+        )
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    # Pre-aggregate min per (hash) inside each batch, then tiny groupby.
+    from ray.data.aggregate import Min
+
+    out = hashed.groupby("text_hash").aggregate(Min("doc_id", alias_name="doc_id"))
+    tbl = _to_table(out).select(["doc_id"])
+    return tbl.take(pc.sort_indices(tbl, sort_keys=[("doc_id", "ascending")]))
+
+
+# --- token counting / quality scoring -------------------------------
+
+def token_count(sf_dir: str) -> pa.Table:
+    ds = read_documents(sf_dir)
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = [len(_TOKEN_RE.findall(t)) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_tokens": pa.array(n, type=pa.int64())}
+        )
+
+    return _collect_sorted(ds.map_batches(count, batch_format="pyarrow"), "doc_id")
+
+
+def quality_score(sf_dir: str) -> pa.Table:
+    """Integer-valued quality signals (length, punctuation, stopword
+    density) — integers on purpose so the SQL oracle hashes
+    identically (no float-association drift)."""
+    ds = read_documents(sf_dir)
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_chars = [len(t) for t in texts]
+        n_words = [len(_WORD_RE.findall(t)) for t in texts]
+        n_punct = [len(_PUNCT_RE.findall(t)) for t in texts]
+        n_stop = [len(_STOP_RE.findall(t)) for t in texts]
+        stop_permille = [
+            (1000 * s) // w if w else 0 for s, w in zip(n_stop, n_words)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pa.array(n_chars, type=pa.int64()),
+                "n_words": pa.array(n_words, type=pa.int64()),
+                "n_punct": pa.array(n_punct, type=pa.int64()),
+                "n_stop": pa.array(n_stop, type=pa.int64()),
+                "stop_permille": pa.array(stop_permille, type=pa.int64()),
+            }
+        )
+
+    return _collect_sorted(ds.map_batches(score, batch_format="pyarrow"), "doc_id")
+
+
+# --- language ID (heuristic; no SQL oracle) -------------------------
+
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "is", "in", "a", "that", "it", "for"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "los", "se", "no"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"},
+    "fr": {"le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"},
+}
+
+
+class LangIdStage:
+    """Stopword-profile n-gram heuristic as an actor-pool stage
+    (profiles built once per actor in __init__)."""
+
+    def __init__(self):
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+        self.word_re = re.compile(r"[a-zA-Z']+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs, confs = [], []
+        for t in batch.column("text").to_pylist():
+            words = self.word_re.findall(t.lower())
+            if not words:
+                langs.append("und")
+                confs.append(0)
+                continue
+            scores = {
+                lang: sum(w in prof for w in words)
+                for lang, prof in self.profiles.items()
+            }
+            best = max(sorted(scores), key=lambda k: scores[k])
+            langs.append(best if scores[best] else "und")
+            confs.append((1000 * scores[best]) // len(words))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_pred": pa.array(langs, type=pa.string()),
+                "conf_permille": pa.array(confs, type=pa.int64()),
+            }
+        )
+
+
+def lang_id(sf_dir: str) -> pa.Table:
+    ds = read_documents(sf_dir)
+    out = ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=2)
+    return _collect_sorted(out, "doc_id")
+
+
+# --- document fingerprinting (winnowing; no SQL oracle) -------------
+
+def _rolling_hashes(tokens: list[str], k: int = 5) -> list[int]:
+    return [
+        xxh64(" ".join(tokens[i : i + k])) & _MERSENNE
+        for i in range(max(0, len(tokens) - k + 1))
+    ]
+
+
+def fingerprint(sf_dir: str, k: int = 5, window: int = 4) -> pa.Table:
+    """Winnowing fingerprints (Schleimer, Wilkerson, Aiken — MOSS,
+    SIGMOD 2003): min rolling k-gram hash per window."""
+    ds = read_documents(sf_dir)
+
+    def fp(batch: pa.Table) -> pa.Table:
+        out_n, out_min = [], []
+        for t in batch.column("text").to_pylist():
+            hashes = _rolling_hashes(t.split(), k)
+            if not hashes:
+                out_n.append(0)
+                out_min.append(0)
+                continue
+            picks = {
+                min(range(i, min(i + window, len(hashes))), key=lambda j: hashes[j])
+                for i in range(0, len(hashes), window)
+            }
+            fps = sorted(hashes[j] for j in picks)
+            out_n.append(len(fps))
+            out_min.append(fps[0])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_fingerprints": pa.array(out_n, type=pa.int64()),
+                "min_fingerprint": pa.array(out_min, type=pa.int64()),
+            }
+        )
+
+    return _collect_sorted(ds.map_batches(fp, batch_format="pyarrow"), "doc_id")
+
+
+# --- MinHash + LSH near-dup -----------------------------------------
+
+N_PERM = 128
+N_BANDS = 32  # rows-per-band 4 ⇒ LSH threshold ≈ 0.42 Jaccard
+_MH_PRIME = (1 << 61) - 1
+
+
+def _perm_params(seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MH_PRIME, size=N_PERM, dtype=np.uint64)
+    b = rng.integers(0, _MH_PRIME, size=N_PERM, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, w: int = 3) -> np.ndarray:
+    toks = normalize_text(text).split()
+    if len(toks) < w:
+        shingles = [" ".join(toks)] if toks else []
+    else:
+        shingles = [" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)]
+    return np.unique(
+        np.array([xxh64(s) & _MH_PRIME for s in shingles], dtype=np.uint64)
+    )
+
+
+def _minhash_sig(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if len(sh) == 0:
+        return np.full(N_PERM, _MH_PRIME, dtype=np.uint64)
+    # (a*x + b) mod p, vectorized over shingles × perms (object->u64 ok
+    # because p < 2^61 keeps products in range via Python ints when
+    # needed; use modular multiply in float-free numpy u128 emulation).
+    x = sh.astype(object)[:, None]
+    vals = (a.astype(object)[None, :] * x + b.astype(object)[None, :]) % _MH_PRIME
+    return np.min(np.array(vals, dtype=np.uint64), axis=0)
+
+
+class MinHashStage:
+    """Per-batch signature computation (perm params built once)."""
+
+    def __init__(self, seed: int = 7):
+        self.a, self.b = _perm_params(seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows_band, rows_hash, rows_doc = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            sig = _minhash_sig(_shingle_hashes(text), self.a, self.b)
+            r = N_PERM // N_BANDS
+            for band in range(N_BANDS):
+                band_hash = xxh64(sig[band * r : (band + 1) * r].tobytes())
+                rows_band.append(band)
+                rows_hash.append(band_hash)
+                rows_doc.append(doc_id)
+        return pa.table(
+            {
+                "band": pa.array(rows_band, type=pa.int32()),
+                "band_hash": pa.array(rows_hash, type=pa.uint64()),
+                "doc_id": pa.array(rows_doc, type=pa.int64()),
+            }
+        )
+
+
+def _bucket_pairs(group: pa.Table, cap: int = 50) -> pa.Table:
+    ids = sorted(group.column("doc_id").to_pylist())[:cap]
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pa.table(
+        {"doc_a": pa.array(a, type=pa.int64()), "doc_b": pa.array(b, type=pa.int64())}
+    )
+
+
+def minhash_lsh_pairs(
+    sf_dir: str, jaccard_threshold: float = 0.5, documents: pa.Table | None = None
+) -> pa.Table:
+    """shingle→minhash→band→bucket-groupby→candidate pairs→exact
+    Jaccard verify (ray_guide near-dup pattern; Broder 1997).
+
+    The verify step broadcasts the shingle-set table via ``ray.put``
+    (fine while the candidate set ≪ corpus; the 100 TB path replaces
+    it with a hash-partitioned join of shingle sets onto pairs).
+    Returns (doc_a, doc_b, jaccard_permille), doc_a < doc_b.
+    """
+    if documents is not None:
+        ds = ray.data.from_arrow(documents.select(["doc_id", "text"]))
+    else:
+        ds = read_documents(sf_dir)
+
+    sigs = ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=2)
+    candidates = (
+        sigs.groupby(["band", "band_hash"])
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+    cand_tbl = _to_table(candidates)
+    if cand_tbl.num_rows == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "jaccard_permille": pa.array([], type=pa.int64()),
+            }
+        )
+
+    if documents is not None:
+        docs_tbl = documents.select(["doc_id", "text"])
+    else:
+        import pyarrow.parquet as pq
+
+        docs_tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    needed = set(cand_tbl.column("doc_a").to_pylist()) | set(
+        cand_tbl.column("doc_b").to_pylist()
+    )
+    shingles = {
+        d: set(_shingle_hashes(t).tolist())
+        for d, t in zip(
+            docs_tbl.column("doc_id").to_pylist(), docs_tbl.column("text").to_pylist()
+        )
+        if d in needed
+    }
+    shingles_ref = ray.put(shingles)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sh = ray.get(shingles_ref)
+        a_ids = batch.column("doc_a").to_pylist()
+        b_ids = batch.column("doc_b").to_pylist()
+        keep_a, keep_b, jac = [], [], []
+        for da, db in zip(a_ids, b_ids):
+            sa, sb = sh.get(da, set()), sh.get(db, set())
+            union = len(sa | sb)
+            j = len(sa & sb) / union if union else 0.0
+            if j >= jaccard_threshold:
+                keep_a.append(da)
+                keep_b.append(db)
+                jac.append(int(j * 1000))
+        return pa.table(
+            {
+                "doc_a": pa.array(keep_a, type=pa.int64()),
+                "doc_b": pa.array(keep_b, type=pa.int64()),
+                "jaccard_permille": pa.array(jac, type=pa.int64()),
+            }
+        )
+
+    out = _to_table(
+        ray.data.from_arrow(cand_tbl).map_batches(verify, batch_format="pyarrow")
+    )
+    return out.take(
+        pc.sort_indices(out, sort_keys=[("doc_a", "ascending"), ("doc_b", "ascending")])
+    )
+
+
+# --- SimHash near-dup -----------------------------------------------
+
+def simhash64(text: str) -> int:
+    """Charikar 2002 similarity hash over unigram token hashes."""
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in normalize_text(text).split():
+        h = xxh64(tok)
+        bits = np.frombuffer(
+            np.uint64(h).tobytes(), dtype=np.uint8
+        )
+        bitarr = np.unpackbits(bits)
+        acc += np.where(bitarr == 1, 1, -1)
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= 1 << i
+    return out
+
+
+class SimHashStage:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [simhash64(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "simhash": pa.array(sigs, type=pa.uint64()),
+            }
+        )
+
+
+def simhash_pairs(
+    sf_dir: str, max_hamming: int = 3, documents: pa.Table | None = None
+) -> pa.Table:
+    """Near-dup pairs by simhash: 4×16-bit band blocking (two sigs
+    within hamming ≤3 of 64 bits share at least one exact 16-bit band)
+    then exact hamming verify. Returns (doc_a, doc_b, hamming)."""
+    if documents is not None:
+        ds = ray.data.from_arrow(documents.select(["doc_id", "text"]))
+    else:
+        ds = read_documents(sf_dir)
+    sig_tbl = _to_table(
+        ds.map_batches(SimHashStage, batch_format="pyarrow", concurrency=2)
+    )
+    ids = sig_tbl.column("doc_id").to_pylist()
+    sigs = sig_tbl.column("simhash").to_pylist()
+    sig_of = dict(zip(ids, sigs))
+
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for d, s in zip(ids, sigs):
+        for band in range(4):
+            key = (band, (s >> (band * 16)) & 0xFFFF)
+            buckets.setdefault(key, []).append(d)
+
+    seen_pairs: set[tuple[int, int]] = set()
+    a_out, b_out, h_out = [], [], []
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        members = sorted(members)[:50]
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pair = (members[i], members[j])
+                if pair in seen_pairs:
+                    continue
+                seen_pairs.add(pair)
+                ham = bin(sig_of[pair[0]] ^ sig_of[pair[1]]).count("1")
+                if ham <= max_hamming:
+                    a_out.append(pair[0])
+                    b_out.append(pair[1])
+                    h_out.append(ham)
+    out = pa.table(
+        {
+            "doc_a": pa.array(a_out, type=pa.int64()),
+            "doc_b": pa.array(b_out, type=pa.int64()),
+            "hamming": pa.array(h_out, type=pa.int64()),
+        }
+    )
+    return out.take(
+        pc.sort_indices(out, sort_keys=[("doc_a", "ascending"), ("doc_b", "ascending")])
+    )
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str, threshold: float = 0.3, documents: pa.Table | None = None
+) -> pa.Table:
+    """Exact n-gram Jaccard near-dup — the lower-threshold exact
+    variant (MinHash bands recall; this verifies everything LSH
+    surfaces at a looser threshold)."""
+    return minhash_lsh_pairs(sf_dir, jaccard_threshold=threshold, documents=documents)
+
+
+# --- helpers ---------------------------------------------------------
+
+def _to_table(ds) -> pa.Table:
+    tables = [t for t in (ray.get(r) for r in ds.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        schema = ds.schema()
+        return pa.schema(
+            [(n, t) for n, t in zip(schema.names, schema.types)]
+        ).empty_table()
+    return pa.concat_tables([t.combine_chunks() for t in tables]).combine_chunks()
+
+
+def _collect_sorted(ds, key: str) -> pa.Table:
+    tbl = _to_table(ds)
+    return tbl.take(pc.sort_indices(tbl, sort_keys=[(key, "ascending")]))
