@@ -56,7 +56,6 @@ from website_indexer_ray.schemas import FRONTIER_SCHEMA, LINEAGE_SCHEMA
 from website_indexer_ray.stages.expand import EXPAND_COLUMNS, ExpandStage
 from website_indexer_ray.stages.fetch import FetchParseStage
 from website_indexer_ray.stages.predicates import PredicateStage
-from website_indexer_ray.stages.seen_claim import SeenClaimStage
 from website_indexer_ray.state import seen as seen_state
 from website_indexer_ray.state.politeness import HostBudget
 
@@ -227,25 +226,27 @@ class CrawlEngine:
             PredicateStage(cfg_dict), batch_format="pyarrow"
         )
 
-        # Within-generation duplicate resolution: a URL reachable from
-        # several parents in the same generation must yield ONE
-        # deterministic frontier row (the reference's sequential
-        # URLTable keeps its first-inserted row; under parallelism we
-        # define the canonical winner as min (depth, parent_url,
-        # method), which the oracle mirrors). This groupby is the
-        # frontier-dedup shuffle every distributed crawler needs; it
-        # moves only the slim candidate rows, never page payloads.
-        accepted_ds = accepted_ds.groupby("url").map_groups(
-            _pick_min_candidate, batch_format="pyarrow"
-        )
+        # Within-generation duplicate resolution + seen anti-join in
+        # one exchange: candidate rows are routed to the seen shards
+        # (hash-partitioned on url_hash), each shard keeps the
+        # canonical min-(depth, parent_url, method) row per URL
+        # (deterministic winner — the oracle mirrors this), and at the
+        # generation barrier ``resolve`` atomically claims every
+        # pending unseen URL. No groupby shuffle; only slim candidate
+        # rows move, and winners flow back as per-shard Arrow refs.
+        shard_handles = shards
+
+        def offer(batch: pa.Table) -> pa.Table:
+            n = seen_state.offer_batch(shard_handles, batch)
+            return pa.table({"n": pa.array([n], type=pa.int64())})
 
         if cfg.max_pages:
-            claimed_ds = self._budgeted_claim(accepted_ds, shards, total_requested)
+            accepted_ds.map_batches(offer, batch_format="pyarrow").materialize()
+            claimed_ds = self._budgeted_claim(shards, total_requested)
         else:
-            claimed_ds = accepted_ds.map_batches(
-                SeenClaimStage(shards),
-                batch_format="pyarrow",
-                batch_size=cfg.fetch_batch_size,
+            accepted_ds.map_batches(offer, batch_format="pyarrow").materialize()
+            claimed_ds = ray.data.from_arrow_refs(
+                seen_state.resolve_all(shards, FRONTIER_WITH_METHOD)
             )
 
         records_ds = claimed_ds.map_batches(
@@ -302,39 +303,25 @@ class CrawlEngine:
         return lineage_row
 
     # ---- budgeted (order-sensitive) claim ---------------------------
-    def _budgeted_claim(self, accepted_ds, shards, total_requested: int):
-        """Deterministic max_pages budget: candidates in canonical
-        sorted-URL order claim the remaining budget (plugin.py:88-100
-        is order-sensitive, so this path is driver-sequenced; the
-        collection is bounded by the crawl's configured budget)."""
+    def _budgeted_claim(self, shards, total_requested: int):
+        """Deterministic max_pages budget: pending candidates (already
+        min-key-deduped and unseen-filtered by the shards' offer pass)
+        claim the remaining budget in canonical sorted-URL order
+        (plugin.py:88-100 is order-sensitive, so this path is
+        driver-sequenced; the collection is bounded by the crawl's
+        configured budget)."""
         remaining = max(0, self.cfg.max_pages - total_requested)
-        tables = [t for t in (ray.get(r) for r in accepted_ds.to_arrow_refs()) if t.num_rows]
-        if not tables or remaining == 0:
+        rows = [
+            r
+            for chunk in ray.get([s.pending_table.remote() for s in shards])
+            for r in chunk
+        ]
+        ray.get([s.clear_pending.remote() for s in shards])
+        if not rows or remaining == 0:
             return ray.data.from_arrow(FRONTIER_WITH_METHOD.empty_table())
-        tbl = pa.concat_tables([t.select(FRONTIER_WITH_METHOD.names) for t in tables])
-        order = pa.compute.sort_indices(
-            tbl,
-            sort_keys=[
-                ("url", "ascending"),
-                ("depth", "ascending"),
-                ("parent_url", "ascending"),
-                ("method", "ascending"),
-            ],
-        )
-        tbl = tbl.take(order)
-        urls = tbl.column("url").to_pylist()
-        hashes = tbl.column("url_hash").to_pylist()
-        already = seen_state.contains_batch(shards, urls, hashes)
-        keep_idx: list[int] = []
-        chosen: set[str] = set()
-        for i, (u, seen_before) in enumerate(zip(urls, already)):
-            if seen_before or u in chosen:
-                continue
-            if len(keep_idx) >= remaining:
-                break
-            chosen.add(u)
-            keep_idx.append(i)
-        kept = tbl.take(pa.array(keep_idx, type=pa.int64()))
+        rows.sort(key=lambda r: r["url"])
+        kept_rows = rows[:remaining]
+        kept = pa.Table.from_pylist(kept_rows, schema=FRONTIER_WITH_METHOD)
         seen_state.claim_batch(
             shards,
             kept.column("url").to_pylist(),
@@ -359,20 +346,6 @@ class CrawlEngine:
                 pa.Table.from_pylist(self.lineage, schema=LINEAGE_SCHEMA),
                 os.path.join(self.out, "lineage.parquet"),
             )
-
-
-def _pick_min_candidate(group: pa.Table) -> pa.Table:
-    """Deterministic winner among same-URL candidate rows."""
-    if group.num_rows <= 1:
-        return group
-    depth = group.column("depth").to_pylist()
-    parent = group.column("parent_url").to_pylist()
-    method = group.column("method").to_pylist()
-    best = min(
-        range(group.num_rows),
-        key=lambda i: (depth[i], parent[i] or "", method[i] or "GET"),
-    )
-    return group.take(pa.array([best], type=pa.int64()))
 
 
 def _value_counts(col: pa.ChunkedArray) -> tuple[list[str], list[int]]:

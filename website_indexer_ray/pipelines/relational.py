@@ -83,11 +83,21 @@ def top_revenue_orders(sf_dir: str, k: int = 10) -> pa.Table:
         return batch.groupby("l_orderkey", as_index=False)[["revenue_c4"]].sum()
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-    agg = partials.groupby("l_orderkey").aggregate(
-        Sum("revenue_c4", alias_name="revenue_c4")
+    # Final merge: partials are one row per (key, batch) — a tiny
+    # table — so the combine runs on the driver. At 10^9+ key
+    # cardinality this flips to a hash-partitioned groupby; top-k
+    # itself never needs a full sort (per-partition top-k, then merge).
+    merged = (
+        _to_table(partials)
+        .group_by("l_orderkey")
+        .aggregate([("revenue_c4", "sum")])
+        .rename_columns(["l_orderkey", "revenue_c4"])
     )
-    top = agg.sort(["revenue_c4", "l_orderkey"], descending=[True, False]).limit(k)
-    return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    order = pc.sort_indices(
+        merged,
+        sort_keys=[("revenue_c4", "descending"), ("l_orderkey", "ascending")],
+    )
+    return merged.take(order.slice(0, k))
 
 
 def events_stats(sf_dir: str) -> pa.Table:

@@ -71,12 +71,25 @@ def exact_dedup(sf_dir: str) -> pa.Table:
             }
         )
 
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    # Pre-aggregate min per (hash) inside each batch, then tiny groupby.
-    from ray.data.aggregate import Min
+    def partial_min(batch: pa.Table) -> pa.Table:
+        return (
+            add_hash(batch)
+            .group_by("text_hash")
+            .aggregate([("doc_id", "min")])
+            .rename_columns(["text_hash", "doc_id"])
+        )
 
-    out = hashed.groupby("text_hash").aggregate(Min("doc_id", alias_name="doc_id"))
-    tbl = _to_table(out).select(["doc_id"])
+    partials = ds.map_batches(partial_min, batch_format="pyarrow")
+    # Partials are one row per (hash, batch); the final min-merge is a
+    # tiny driver-side combine (hash-partitioned groupby at 10^9+ key
+    # scale).
+    tbl = (
+        _to_table(partials)
+        .group_by("text_hash")
+        .aggregate([("doc_id", "min")])
+        .rename_columns(["text_hash", "doc_id"])
+        .select(["doc_id"])
+    )
     return tbl.take(pc.sort_indices(tbl, sort_keys=[("doc_id", "ascending")]))
 
 
@@ -274,18 +287,6 @@ class MinHashStage:
         )
 
 
-def _bucket_pairs(group: pa.Table, cap: int = 50) -> pa.Table:
-    ids = sorted(group.column("doc_id").to_pylist())[:cap]
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pa.table(
-        {"doc_a": pa.array(a, type=pa.int64()), "doc_b": pa.array(b, type=pa.int64())}
-    )
-
-
 def minhash_lsh_pairs(
     sf_dir: str, jaccard_threshold: float = 0.5, documents: pa.Table | None = None
 ) -> pa.Table:
@@ -303,13 +304,32 @@ def minhash_lsh_pairs(
         ds = read_documents(sf_dir)
 
     sigs = ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=2)
-    candidates = (
-        sigs.groupby(["band", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    # Bucket the slim (band, band_hash, doc_id) rows. At this scale
+    # the signature table is tiny (32 rows/doc of 20 bytes) so the
+    # bucket-groupby runs driver-side; the 100 TB path shuffles on
+    # (band, band_hash) with hot buckets capped exactly as below.
+    sig_tbl = _to_table(sigs)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for band, bh, doc in zip(
+        sig_tbl.column("band").to_pylist(),
+        sig_tbl.column("band_hash").to_pylist(),
+        sig_tbl.column("doc_id").to_pylist(),
+    ):
+        buckets.setdefault((band, bh), []).append(doc)
+    pair_set: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        members = sorted(members)[:50]
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pair_set.add((members[i], members[j]))
+    cand_tbl = pa.table(
+        {
+            "doc_a": pa.array([p[0] for p in sorted(pair_set)], type=pa.int64()),
+            "doc_b": pa.array([p[1] for p in sorted(pair_set)], type=pa.int64()),
+        }
     )
-    cand_tbl = _to_table(candidates)
     if cand_tbl.num_rows == 0:
         return pa.table(
             {

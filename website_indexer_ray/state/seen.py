@@ -37,6 +37,68 @@ class SeenShard:
         self.exact: set[str] = set()
         self.hashes: dict[str, int] = {}
 
+    def offer(self, rows: dict[str, list]) -> int:
+        """Accumulate candidate frontier rows for this generation.
+
+        Shards double as hash-partition reducers: concurrent
+        ``map_batches`` workers route candidate rows here by
+        ``url_hash % n_shards``; per URL the shard keeps the canonical
+        min-(depth, parent_url, method) row, so within-generation
+        duplicate resolution is deterministic WITHOUT a groupby
+        shuffle. Already-seen URLs are dropped immediately.
+        """
+        pending = getattr(self, "pending", None)
+        if pending is None:
+            pending = self.pending = {}
+        urls = rows["url"]
+        n = 0
+        for i, u in enumerate(urls):
+            if self.filter.contains(rows["url_hash"][i]) and u in self.exact:
+                continue
+            key = (
+                rows["depth"][i],
+                rows["parent_url"][i] or "",
+                rows.get("method", ["GET"] * len(urls))[i] or "GET",
+            )
+            row = {c: rows[c][i] for c in rows}
+            prev = pending.get(u)
+            if prev is None or key < prev[0]:
+                pending[u] = (key, row)
+                n += 1
+        return n
+
+    def pending_table(self) -> list[dict]:
+        """Driver-side budget path: expose pending candidates."""
+        pending = getattr(self, "pending", None) or {}
+        return [row for (_k, row) in pending.values()]
+
+    def clear_pending(self) -> None:
+        self.pending = {}
+
+    def resolve(self, schema):
+        """Claim every pending unseen URL; returns the winners as an
+        Arrow table (possibly empty) of the given schema. Atomic per
+        shard; called once per generation at the barrier — the shard's
+        return ref feeds ``ray.data.from_arrow_refs`` directly, so
+        winner rows never pass through the driver."""
+        import pyarrow as pa
+
+        pending = getattr(self, "pending", None) or {}
+        winners = []
+        for u in sorted(pending):
+            _key, row = pending[u]
+            if u in self.exact:
+                continue
+            h = row["url_hash"]
+            self.filter.insert(h)
+            self.exact.add(u)
+            self.hashes[u] = h
+            winners.append(row)
+        self.pending = {}
+        if not winners:
+            return schema.empty_table()
+        return pa.Table.from_pylist(winners, schema=schema)
+
     def claim(self, urls: list[str], hashes: list[int]) -> list[bool]:
         """For each URL: True if this call newly claimed it (it was
         unseen), False if it was already seen. Atomic per shard."""
@@ -114,6 +176,27 @@ def route(urls: list[str], hashes: list[int], n_shards: int) -> dict[int, tuple[
         g[1].append(h)
         g[2].append(pos)
     return groups
+
+
+def offer_batch(shards: list, batch) -> int:
+    """Route a candidate-row Arrow batch to shards by url_hash."""
+    import ray as _ray
+
+    cols = {name: batch.column(name).to_pylist() for name in batch.schema.names}
+    n_shards = len(shards)
+    by_shard: dict[int, list[int]] = {}
+    for pos, h in enumerate(cols["url_hash"]):
+        by_shard.setdefault(h % n_shards, []).append(pos)
+    futures = []
+    for s, positions in by_shard.items():
+        rows = {name: [cols[name][p] for p in positions] for name in cols}
+        futures.append(shards[s].offer.remote(rows))
+    return sum(_ray.get(futures))
+
+
+def resolve_all(shards: list, schema):
+    """One resolve ref per shard → feed ray.data.from_arrow_refs."""
+    return [shard.resolve.remote(schema) for shard in shards]
 
 
 def claim_batch(shards: list, urls: list[str], hashes: list[int]) -> list[bool]:
