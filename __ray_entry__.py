@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": textops.ngram_jaccard_pairs,
         "knn_bruteforce": annops.knn_bruteforce,
         "knn_lsh": annops.knn_lsh,
+        "embedding_dedup": annops.embedding_dedup_pairs,
         "media_features": multimodal.media_features,
     }
 
@@ -212,10 +213,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "agg_lineitem": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
-                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_price_c,
-                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-                       * CAST(ROUND((1-l_discount)*100) AS BIGINT)) AS sum_revenue_c4,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                       * CAST(ROUND((1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_revenue_c4,
                    COUNT(*) AS n_rows
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
@@ -223,8 +224,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_revenue_orders": """
             SELECT l_orderkey,
-                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-                       * CAST(ROUND((1-l_discount)*100) AS BIGINT)) AS revenue_c4
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                       * CAST(ROUND((1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c4
             FROM lineitem
             GROUP BY l_orderkey
             ORDER BY revenue_c4 DESC, l_orderkey
@@ -295,6 +296,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM sims
             ) WHERE rank <= 10
             ORDER BY query_id, rank
+        """,
+        "embedding_dedup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+            ORDER BY vec_a, vec_b
         """,
         "media_features": """
             SELECT doc_id,

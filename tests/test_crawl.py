@@ -165,6 +165,17 @@ class TestSyntheticEquality:
         assert len(oracle.seen) == 17
         engine_vs_oracle(result, oracle)
 
+    def test_distributed_path_equality(self, ray_session, tmp_path, corpus_seeds):
+        """Force the Ray Data pipelines (driver_threshold=0,
+        fetch_driver_threshold=0) — the adaptive driver-side shortcut
+        for tiny generations must be behavior-identical to the
+        distributed path, both equal to the oracle."""
+        corpus, seeds = corpus_seeds
+        cfg = self._cfg(driver_threshold=0, fetch_driver_threshold=0)
+        result = run_engine(corpus, seeds, cfg, str(tmp_path / "dist"))
+        oracle = crawl_oracle(corpus_to_dict(corpus), [START_URL], cfg)
+        engine_vs_oracle(result, oracle)
+
     def test_depth_equality(self, ray_session, tmp_path, corpus_seeds):
         corpus, seeds = corpus_seeds
         cfg = self._cfg(depth=2)

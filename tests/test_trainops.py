@@ -1,0 +1,266 @@
+"""Training-data operators (textops / annops / multimodal /
+relational) against DuckDB oracles and recall/structural invariants,
+at sf0.001 so the whole module stays fast.
+
+Mirrors the driver's correctness protocol: row count + column names +
+values vs the equivalent SQL where one exists; approximate operators
+(LSH variants) are checked for recall against their exact baselines.
+"""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def assert_matches_sql(table: pa.Table, con, sql: str):
+    gold = con.execute(sql).fetch_arrow_table()
+    assert table.num_rows == gold.num_rows
+    assert sorted(table.schema.names) == sorted(gold.schema.names)
+    for name in table.schema.names:
+        mine = table.column(name).to_pylist()
+        theirs = gold.column(name).to_pylist()
+        assert mine == theirs, name
+
+
+class TestTextOps:
+    def test_exact_dedup(self, ray_session, con):
+        from website_indexer_ray.pipelines import textops
+
+        out = textops.exact_dedup(SF_DIR)
+        assert_matches_sql(
+            out,
+            con,
+            """SELECT MIN(doc_id) AS doc_id FROM documents
+               GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+               ORDER BY doc_id""",
+        )
+
+    def test_token_count(self, ray_session, con):
+        from website_indexer_ray.pipelines import textops
+
+        out = textops.token_count(SF_DIR)
+        assert_matches_sql(
+            out,
+            con,
+            """SELECT doc_id,
+                      length(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens
+               FROM documents ORDER BY doc_id""",
+        )
+
+    def test_quality_score_monotonic(self, ray_session):
+        from website_indexer_ray.pipelines import textops
+
+        out = textops.quality_score(SF_DIR)
+        assert out.num_rows > 0
+        n_chars = out.column("n_chars").to_pylist()
+        n_words = out.column("n_words").to_pylist()
+        assert all(c >= w for c, w in zip(n_chars, n_words))
+        assert all(0 <= p <= 1000 for p in out.column("stop_permille").to_pylist())
+
+    def test_lang_id_shape(self, ray_session):
+        from website_indexer_ray.pipelines import textops
+
+        out = textops.lang_id(SF_DIR)
+        langs = set(out.column("lang_pred").to_pylist())
+        assert langs <= {"en", "es", "de", "fr", "und"}
+        assert out.num_rows == 500
+
+    def test_fingerprint_deterministic(self, ray_session):
+        from website_indexer_ray.pipelines import textops
+
+        a = textops.fingerprint(SF_DIR)
+        b = textops.fingerprint(SF_DIR)
+        assert a.equals(b)
+        assert all(n >= 0 for n in a.column("n_fingerprints").to_pylist())
+
+    def test_minhash_recall_vs_exact(self, ray_session):
+        """Planted near-dups must surface through the LSH bands."""
+        from website_indexer_ray.pipelines import textops
+
+        base = [
+            f"the quick brown fox jumps over the lazy dog variant {i} "
+            "with some shared trailing content that is identical across docs"
+            for i in range(10)
+        ]
+        texts = base + [t + " tiny suffix change" for t in base[:5]]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+        pairs = textops.minhash_lsh_pairs("", jaccard_threshold=0.5, documents=docs)
+        found = set(
+            zip(pairs.column("doc_a").to_pylist(), pairs.column("doc_b").to_pylist())
+        )
+        for i in range(5):
+            assert (i, 10 + i) in found, f"planted near-dup {i} missed"
+
+    def test_simhash_pairs_hamming(self, ray_session):
+        from website_indexer_ray.pipelines import textops
+
+        texts = ["alpha beta gamma delta epsilon zeta"] * 3 + [
+            "totally different content words here now"
+        ]
+        docs = pa.table(
+            {"doc_id": pa.array([0, 1, 2, 3], type=pa.int64()), "text": pa.array(texts)}
+        )
+        pairs = textops.simhash_pairs("", max_hamming=3, documents=docs)
+        found = set(
+            zip(pairs.column("doc_a").to_pylist(), pairs.column("doc_b").to_pylist())
+        )
+        assert {(0, 1), (0, 2), (1, 2)} <= found
+        assert all(b != 3 for _a, b in found)
+
+
+class TestAnnOps:
+    def test_knn_bruteforce_matches_sql(self, ray_session, con):
+        from website_indexer_ray.pipelines import annops
+
+        out = annops.knn_bruteforce(SF_DIR, k=5, n_queries=3)
+        assert_matches_sql(
+            out,
+            con,
+            """WITH q AS (
+                 SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                 ORDER BY vec_id LIMIT 3
+               ), sims AS (
+                 SELECT q.query_id, e.vec_id AS neighbor_id,
+                        list_cosine_similarity(q.qe, e.embedding) AS sim
+                 FROM q, embeddings e WHERE e.vec_id != q.query_id
+               )
+               SELECT query_id, neighbor_id, rank FROM (
+                 SELECT query_id, neighbor_id,
+                        ROW_NUMBER() OVER (
+                            PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+                        ) AS rank FROM sims
+               ) WHERE rank <= 5 ORDER BY query_id, rank""",
+        )
+
+    def test_knn_lsh_recall(self, ray_session, tmp_path):
+        """On clustered vectors (true neighbors at cosine ~0.95+, the
+        regime LSH is built for) the bucketed search must recover most
+        of the exact top-k; sf embeddings are near-orthogonal noise
+        where any sublinear method legitimately degrades."""
+        import pyarrow.parquet as pq
+
+        from website_indexer_ray.pipelines import annops
+
+        rng = np.random.default_rng(3)
+        centers = rng.standard_normal((10, 64))
+        vecs = np.concatenate(
+            [c + 0.08 * rng.standard_normal((20, 64)) for c in centers]
+        )
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+                "embedding": pa.array(
+                    [v.astype(np.float32).tolist() for v in vecs],
+                    type=pa.list_(pa.float32()),
+                ),
+                "label": pa.array([i // 20 for i in range(len(vecs))], type=pa.int32()),
+            }
+        )
+        d = tmp_path / "planted"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "embeddings.parquet"))
+
+        exact = annops.knn_bruteforce(str(d), k=10, n_queries=5)
+        approx = annops.knn_lsh(str(d), k=10, n_queries=5)
+
+        def topk(t):
+            out = {}
+            for q, n in zip(
+                t.column("query_id").to_pylist(), t.column("neighbor_id").to_pylist()
+            ):
+                out.setdefault(q, set()).add(n)
+            return out
+
+        e, a = topk(exact), topk(approx)
+        recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e]
+        assert np.mean(recalls) >= 0.8, recalls
+
+    def test_embedding_dedup_matches_sql(self, ray_session, con):
+        from website_indexer_ray.pipelines import annops
+
+        out = annops.embedding_dedup_pairs(SF_DIR, threshold=0.4)
+        assert_matches_sql(
+            out,
+            con,
+            """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+               FROM embeddings a, embeddings b
+               WHERE a.vec_id < b.vec_id
+                 AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+               ORDER BY vec_a, vec_b""",
+        )
+
+
+class TestMultimodal:
+    def test_media_features_deterministic(self, ray_session, con):
+        from website_indexer_ray.pipelines import multimodal
+
+        out = multimodal.media_features(SF_DIR)
+        assert_matches_sql(
+            out,
+            con,
+            """SELECT doc_id,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                      1 + CAST(octet_length(encode(text)) AS BIGINT) // 512 AS n_frames
+               FROM documents ORDER BY doc_id""",
+        )
+
+    def test_real_codecs_stubbed(self):
+        from website_indexer_ray.pipelines.multimodal import MediaFeatureStage
+
+        with pytest.raises(NotImplementedError):
+            MediaFeatureStage(use_real_codecs=True)
+
+
+class TestRelational:
+    def test_agg_lineitem(self, ray_session, con):
+        from website_indexer_ray.pipelines import relational
+
+        out = relational.agg_lineitem(SF_DIR)
+        assert_matches_sql(
+            out,
+            con,
+            """SELECT l_returnflag, l_linestatus,
+                      CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                      CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+                      CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                          * CAST(ROUND((1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_revenue_c4,
+                      COUNT(*) AS n_rows
+               FROM lineitem GROUP BY l_returnflag, l_linestatus
+               ORDER BY l_returnflag, l_linestatus""",
+        )
+
+    def test_filter_chain(self, ray_session, con):
+        from website_indexer_ray.pipelines import relational
+
+        out = relational.filter_chain_events(SF_DIR)
+        assert_matches_sql(
+            out,
+            con,
+            """SELECT event_id, user_id FROM events
+               WHERE event_type IN ('click', 'purchase') AND value > 50.0
+                 AND regexp_matches(props, '"k": [0-9]*[02468]}')
+               ORDER BY event_id""",
+        )

@@ -46,9 +46,18 @@ class CrawlConfig:
     seen_shard_capacity: int = 1 << 16
     fetch_concurrency: int = 4
     fetch_batch_size: int = 256
+    fetch_num_cpus: float = 1.0
     simulate_latency: bool = False
     salt_partitions: int = 1  # >1 ⇒ hot-host salting + shared HostBudget
     max_generations: int = 64
+    # Adaptive execution: generations whose input is below these row
+    # thresholds run driver-side (pure-Python over the same stage
+    # classes + the same seen-shard actors) instead of paying a Ray
+    # Data job launch + actor-pool spin-up that dwarfs the work. At
+    # scale only the first/last generations of a crawl are this small;
+    # the mass generations always take the distributed path.
+    driver_threshold: int = 2048  # source rows for expand+predicate+offer
+    fetch_driver_threshold: int = 256  # claimed rows fetched driver-side
 
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)

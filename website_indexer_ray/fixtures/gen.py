@@ -99,14 +99,25 @@ def generate_corpus(
     n_ext_hosts: int = 4,
     avg_links: int = 6,
     start_url: str = START_URL,
+    wide: bool = False,
+    latency_ms: tuple[int, int] = (0, 0),
 ) -> tuple[pa.Table, pa.Table]:
     """Build (corpus, seeds) Arrow tables for a synthetic site of
     ``n_pages`` regular internal pages plus edge-case URLs.
 
     The link graph is preferential (Zipf-ish: early pages get more
     in-links) so host/frontier skew is represented.
+
+    ``wide=True`` makes every section page link ALL of its child pages
+    (BFS diameter ~3 — the shape of a real site with listing pages),
+    used by the bench so generation count stays small at any scale.
+    ``latency_ms=(lo, hi)`` assigns every corpus row a deterministic
+    per-URL fetch delay in that range (the bench's stand-in for
+    network latency; the engine honors it when
+    ``CrawlConfig.simulate_latency`` is set).
     """
     rng = random.Random(seed)
+    delay_rng = random.Random(seed ^ 0x5EED)
     host = START_HOST
 
     n_sections = max(2, n_pages // 25)
@@ -177,6 +188,8 @@ def generate_corpus(
     rows: list[dict] = []
 
     def add(url, status=200, ctype="text/html", location=None, html=None, delay=0):
+        if latency_ms[1] > 0:
+            delay = delay_rng.randint(latency_ms[0], latency_ms[1])
         rows.append(
             {
                 "url": url,
@@ -201,7 +214,8 @@ def generate_corpus(
 
     for i, sec in enumerate(sections):
         sec_pages = [p for p in pages if p.startswith(sec)]
-        links = sec_pages[:20] + make_links(random.Random(seed * 31 + i), sec)
+        listed = sec_pages if wide else sec_pages[:20]
+        links = listed + make_links(random.Random(seed * 31 + i), sec)
         add(
             sec,
             html=_page_html(

@@ -23,6 +23,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from website_indexer_ray.util import pool, read_parquet_parallel
+
 
 def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, list[int]]:
     import pyarrow.parquet as pq
@@ -78,7 +80,7 @@ def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5) -> pa.Table:
     so the oracle hash is float-drift-free."""
     queries = _load_queries(sf_dir, n_queries)
     q_ref = ray.put(queries)
-    ds = ray.data.read_parquet(
+    ds = read_parquet_parallel(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     partials = ds.map_batches(
@@ -86,7 +88,7 @@ def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5) -> pa.Table:
         fn_constructor_args=(q_ref, k),
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=2,
+        concurrency=pool(),
     )
     tables = [t for t in (ray.get(r) for r in partials.to_arrow_refs()) if t.num_rows]
     merged: dict[int, list] = {}
@@ -110,6 +112,81 @@ def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5) -> pa.Table:
             "neighbor_id": pa.array(out_n, type=pa.int64()),
             "rank": pa.array(out_r, type=pa.int64()),
         }
+    )
+
+
+# --- embedding-cosine near-dup pairs --------------------------------
+
+class CosinePairStage:
+    """Exact cosine near-dup: each batch of vectors is compared against
+    the broadcast normalized corpus matrix (``ray.put`` once, read once
+    per actor) — a blocked n x n matmul where only the slim batch rows
+    travel. Exact so the SQL oracle (all-pairs list_cosine_similarity)
+    matches; the 10^9-vector path swaps the broadcast matrix for the
+    LSH-bucketed candidate generation below with identical verify
+    semantics."""
+
+    def __init__(self, mat_ref, threshold: float):
+        ids, norm = ray.get(mat_ref) if not isinstance(mat_ref, tuple) else mat_ref
+        self.ids = ids
+        self.norm = norm
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+        sims = (mat / norms) @ self.norm.T  # (batch, corpus)
+        rows_i, cols_j = np.nonzero(sims >= self.threshold)
+        a = bids[rows_i]
+        b = self.ids[cols_j]
+        keep = a < b  # canonical orientation; also drops self-pairs
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep], type=pa.int64()),
+                "vec_b": pa.array(b[keep], type=pa.int64()),
+            }
+        )
+
+
+def embedding_dedup_pairs(sf_dir: str, threshold: float = 0.4) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >=
+    threshold), sorted. The dedup-family member over the embedding
+    column (exact dedup / MinHash / SimHash live in textops)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+    mat_ref = ray.put((ids, norm))
+
+    ds = read_parquet_parallel(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    pairs = ds.map_batches(
+        CosinePairStage,
+        fn_constructor_args=(mat_ref, threshold),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=pool(),
+    )
+    tables = [t for t in (ray.get(r) for r in pairs.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {
+                "vec_a": pa.array([], type=pa.int64()),
+                "vec_b": pa.array([], type=pa.int64()),
+            }
+        )
+    out = pa.concat_tables(tables).combine_chunks()
+    return out.take(
+        pc.sort_indices(
+            out, sort_keys=[("vec_a", "ascending"), ("vec_b", "ascending")]
+        )
     )
 
 
@@ -161,7 +238,7 @@ def knn_lsh(
     planes = rng.standard_normal((n_tables, n_bits, dim))
     planes_ref = ray.put(planes)
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_parallel(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     index = ds.map_batches(
@@ -169,7 +246,7 @@ def knn_lsh(
         fn_constructor_args=(planes_ref,),
         batch_format="pyarrow",
         batch_size=2048,
-        concurrency=2,
+        concurrency=pool(),
     )
     idx_tbl = pa.concat_tables(
         [t for t in (ray.get(r) for r in index.to_arrow_refs()) if t.num_rows]

@@ -4,14 +4,21 @@ Replaces the reference's single-process wpull event loop
 (/root/reference/crawler/wpull/crawler.py:27-62) with per-generation
 Ray Data pipelines:
 
-  frontier(g) ──map_batches(PredicateStage)──►  accepted candidates
-     ──map_batches(SeenClaimStage: sharded cuckoo actors)──► claimed
+  records(g-1) ──pruned read──map_batches(ExpandStage)──►
+     ──map_batches(PredicateStage + offer to sharded cuckoo actors)──►
+     (generation barrier: shards resolve claims atomically)
      ──map_batches(FetchParseStage actor pool)──► records(g)
      ──write_parquet──► records/gen=g/            (checkpoint)
-  records(g) ──pruned read──map_batches(ExpandStage)──►
-     ──write_parquet──► frontier/gen=g+1/         (checkpoint)
   seen shards ──snapshot──► seen/gen=g/           (checkpoint)
   lineage row ──► _SUCCESS manifest               (completes gen g)
+
+Expansion, predicates and the seen-offer are ONE fused pipeline (two
+Ray Data jobs per generation total); no frontier table is materialized
+beyond the gen-0 seeds — generation g's candidates derive from the
+records(g-1) checkpoint. Tiny generations (seeds, BFS tails) run both
+phases driver-side through the same stage classes and shard actors
+(adaptive thresholds in CrawlConfig) so fixed job overhead never
+dominates; mass generations always take the distributed path.
 
 BFS ordering (wpull processes URLs level by level, crawler.py:47 +
 plugin.py:145-151) is reproduced by the generation barrier; crawl
@@ -54,7 +61,7 @@ from website_indexer_ray.config import CrawlConfig
 from website_indexer_ray.functions.urls import canonicalize, hostname_with_port, url_hash
 from website_indexer_ray.schemas import FRONTIER_SCHEMA, LINEAGE_SCHEMA
 from website_indexer_ray.stages.expand import EXPAND_COLUMNS, ExpandStage
-from website_indexer_ray.stages.fetch import FetchParseStage
+from website_indexer_ray.stages.fetch import FetchParseStage, fetch_parse_task
 from website_indexer_ray.stages.predicates import PredicateStage
 from website_indexer_ray.state import seen as seen_state
 from website_indexer_ray.state.politeness import HostBudget
@@ -115,6 +122,8 @@ class CrawlEngine:
         self.out = out_dir
         self.crawl_id = crawl_id
         self.lineage: list[dict] = []
+        self._driver_fetch = None  # persistent driver-side fetch stage
+        self._corpus_dict: dict | None = None
 
     # ---- checkpoint manifest helpers --------------------------------
     def _manifest_path(self, g: int) -> str:
@@ -149,6 +158,7 @@ class CrawlEngine:
             )
 
         corpus_dict = corpus if isinstance(corpus, dict) else corpus_to_dict(corpus)
+        self._corpus_dict = corpus_dict
         corpus_ref = ray.put(corpus_dict)
 
         shards = seen_state.create_shards(cfg.n_seen_shards, cfg.seen_shard_capacity)
@@ -181,8 +191,7 @@ class CrawlEngine:
         try:
             g = start_gen
             while g < cfg.max_generations:
-                n_frontier = _dir_num_rows(_gen_dir(self.out, "frontier", g))
-                if n_frontier == 0:
+                if g == 0 and _dir_num_rows(_gen_dir(self.out, "frontier", 0)) == 0:
                     break
                 lineage_row = self._run_generation(
                     g, corpus_ref, cfg_dict, shards, budget_handle, total_requested
@@ -214,72 +223,143 @@ class CrawlEngine:
     ) -> dict:
         cfg = self.cfg
         t0 = time.monotonic()
-        frontier_dir = _gen_dir(self.out, "frontier", g)
         records_dir = _gen_dir(self.out, "records", g)
+        prev_records_dir = _gen_dir(self.out, "records", g - 1)
         if os.path.exists(records_dir):
             shutil.rmtree(records_dir)
 
-        n_candidates = _dir_num_rows(frontier_dir)
-
-        frontier_ds = ray.data.read_parquet(frontier_dir)
-        accepted_ds = frontier_ds.map_batches(
-            PredicateStage(cfg_dict), batch_format="pyarrow"
+        # ---- phase A: expand(prev records) → predicates → offer -----
+        #
+        # Generation g's candidates are derived directly from
+        # generation g-1's records checkpoint (pruned read — never the
+        # HTML column); there is no materialized frontier table beyond
+        # the gen-0 seeds. Within-generation duplicate resolution and
+        # the seen anti-join happen in one exchange: candidate rows are
+        # routed to the seen shards (hash-partitioned on url_hash),
+        # each shard keeps the canonical min-(depth, parent_url,
+        # method) row per URL (deterministic winner — the oracle
+        # mirrors this), and at the generation barrier ``resolve``
+        # atomically claims every pending unseen URL. No groupby
+        # shuffle; only slim candidate rows move, and winners flow back
+        # as per-shard Arrow refs.
+        #
+        # Adaptive execution: a generation whose source is tiny (the
+        # seed generation, BFS tails) runs phase A driver-side through
+        # the SAME stage classes and shard actors — a Ray Data job
+        # launch would be pure overhead. Mass generations take the
+        # distributed pipeline.
+        n_input = (
+            _dir_num_rows(_gen_dir(self.out, "frontier", 0))
+            if g == 0
+            else _dir_num_rows(prev_records_dir)
         )
-
-        # Within-generation duplicate resolution + seen anti-join in
-        # one exchange: candidate rows are routed to the seen shards
-        # (hash-partitioned on url_hash), each shard keeps the
-        # canonical min-(depth, parent_url, method) row per URL
-        # (deterministic winner — the oracle mirrors this), and at the
-        # generation barrier ``resolve`` atomically claims every
-        # pending unseen URL. No groupby shuffle; only slim candidate
-        # rows move, and winners flow back as per-shard Arrow refs.
+        pred = PredicateStage(cfg_dict)
         shard_handles = shards
 
-        def offer(batch: pa.Table) -> pa.Table:
-            n = seen_state.offer_batch(shard_handles, batch)
-            return pa.table({"n": pa.array([n], type=pa.int64())})
-
-        if cfg.max_pages:
-            accepted_ds.map_batches(offer, batch_format="pyarrow").materialize()
-            claimed_ds = self._budgeted_claim(shards, total_requested)
+        if n_input <= cfg.driver_threshold:
+            if g == 0:
+                src = pads.dataset(
+                    glob.glob(os.path.join(_gen_dir(self.out, "frontier", 0), "*.parquet"))
+                ).to_table()
+                candidates = src.to_pylist()
+            else:
+                files = glob.glob(os.path.join(prev_records_dir, "*.parquet"))
+                src = (
+                    pads.dataset(files).to_table(columns=EXPAND_COLUMNS)
+                    if files
+                    else None
+                )
+                candidates = (
+                    ExpandStage(cfg_dict).expand_rows(src.to_pylist()) if src is not None else []
+                )
+            n_candidates = len(candidates)
+            accepted = pred.process_rows(candidates)
+            if accepted:
+                seen_state.offer_batch(
+                    shards,
+                    pa.Table.from_pylist(accepted, schema=FRONTIER_WITH_METHOD),
+                )
         else:
-            accepted_ds.map_batches(offer, batch_format="pyarrow").materialize()
+            if g == 0:
+                cand_ds = ray.data.read_parquet(_gen_dir(self.out, "frontier", 0))
+            else:
+                cand_ds = ray.data.read_parquet(
+                    prev_records_dir, columns=EXPAND_COLUMNS
+                ).map_batches(ExpandStage(cfg_dict), batch_format="pyarrow")
+
+            def pred_offer(batch: pa.Table) -> pa.Table:
+                acc = pred(batch)
+                n_off = (
+                    seen_state.offer_batch(shard_handles, acc)
+                    if acc.num_rows
+                    else 0
+                )
+                return pa.table(
+                    {
+                        "n_in": pa.array([batch.num_rows], type=pa.int64()),
+                        "n_off": pa.array([n_off], type=pa.int64()),
+                    }
+                )
+
+            n_candidates = 0
+            for t in ray.get(
+                cand_ds.map_batches(pred_offer, batch_format="pyarrow")
+                .materialize()
+                .to_arrow_refs()
+            ):
+                if t.num_rows and "n_in" in t.schema.names:
+                    n_candidates += sum(t.column("n_in").to_pylist())
+
+        # ---- phase B: claim barrier + fetch + records checkpoint ----
+        fetch_thr = cfg.fetch_driver_threshold
+        if cfg.simulate_latency or cfg.politeness_wait > 0:
+            # latency-bound fetches must not serialize on the driver
+            fetch_thr = min(fetch_thr, 8)
+
+        n_pending = sum(
+            ray.get([s.pending_count.remote() for s in shards])
+        )
+
+        counts: dict[str, int] = {}
+        if cfg.max_pages:
+            claimed_tbl = self._budgeted_claim_table(shards, total_requested)
+            self._fetch_table_or_ds(
+                claimed_tbl, None, records_dir, corpus_ref, cfg_dict,
+                budget_handle, counts, claimed_tbl.num_rows,
+            )
+        elif n_pending <= fetch_thr:
+            rows = [
+                r
+                for chunk in ray.get([s.pending_table.remote() for s in shards])
+                for r in chunk
+            ]
+            ray.get([s.clear_pending.remote() for s in shards])
+            rows.sort(key=lambda r: r["url"])
+            if rows:
+                mask = seen_state.claim_batch(
+                    shards,
+                    [r["url"] for r in rows],
+                    [r["url_hash"] for r in rows],
+                )
+                rows = [r for r, m in zip(rows, mask) if m]
+            claimed_tbl = (
+                pa.Table.from_pylist(rows, schema=FRONTIER_WITH_METHOD)
+                if rows
+                else FRONTIER_WITH_METHOD.empty_table()
+            )
+            self._fetch_table_or_ds(
+                claimed_tbl, None, records_dir, corpus_ref, cfg_dict,
+                budget_handle, counts, claimed_tbl.num_rows,
+            )
+        else:
             claimed_ds = ray.data.from_arrow_refs(
                 seen_state.resolve_all(shards, FRONTIER_WITH_METHOD)
             )
-
-        records_ds = claimed_ds.map_batches(
-            FetchParseStage,
-            fn_constructor_args=(corpus_ref, cfg_dict, budget_handle),
-            batch_format="pyarrow",
-            batch_size=cfg.fetch_batch_size,
-            concurrency=cfg.fetch_concurrency,
-            num_cpus=1,
-        )
-        records_ds.write_parquet(records_dir)
-
-        # Outcome counts from the written checkpoint (prunes to one
-        # dictionary-encoded column; no driver materialization of rows).
-        counts: dict[str, int] = {}
-        rt_files = glob.glob(os.path.join(records_dir, "*.parquet"))
-        for f in rt_files:
-            col = pq.read_table(f, columns=["record_type"]).column("record_type")
-            for chunk_val, chunk_n in zip(*_value_counts(col)):
-                counts[chunk_val] = counts.get(chunk_val, 0) + chunk_n
-        n_accepted = sum(counts.values())
-
-        # Expansion (pruned read; never touches the HTML column).
-        next_dir = _gen_dir(self.out, "frontier", g + 1)
-        if os.path.exists(next_dir):
-            shutil.rmtree(next_dir)
-        os.makedirs(next_dir, exist_ok=True)
-        if rt_files:
-            expand_ds = ray.data.read_parquet(records_dir, columns=EXPAND_COLUMNS)
-            expanded = expand_ds.map_batches(
-                ExpandStage(cfg_dict), batch_format="pyarrow"
+            self._fetch_table_or_ds(
+                None, claimed_ds, records_dir, corpus_ref, cfg_dict,
+                budget_handle, counts, n_pending,
             )
-            expanded.write_parquet(next_dir)
+        n_accepted = sum(counts.values())
 
         seen_dir = _gen_dir(self.out, "seen", g)
         seen_state.snapshot_all(shards, seen_dir)
@@ -302,8 +382,109 @@ class CrawlEngine:
             json.dump({"lineage": lineage_row}, f)
         return lineage_row
 
+    # ---- fetch dispatch ---------------------------------------------
+    def _fetch_table_or_ds(
+        self,
+        claimed_tbl,
+        claimed_ds,
+        records_dir: str,
+        corpus_ref,
+        cfg_dict: dict,
+        budget_handle,
+        counts: dict[str, int],
+        n_claimed: int,
+    ) -> None:
+        """Run the fetch+parse stage over the claimed URLs and write
+        the records checkpoint, accumulating outcome counts.
+
+        Driver path (``claimed_tbl``): the persistent driver-side
+        ``FetchParseStage`` instance — politeness/robots state survives
+        across generations, and no actor pool is spun up for a handful
+        of URLs. Distributed path (``claimed_ds``): ``map_batches``
+        actor pool with concurrency/batch size adapted to the claim
+        count (latency-bound crawls get fine-grained batches so every
+        actor stays busy; CPU-bound ones get large zero-copy batches).
+        """
+        cfg = self.cfg
+        if claimed_tbl is not None:
+            if claimed_tbl.num_rows == 0:
+                os.makedirs(records_dir, exist_ok=True)
+                return
+            if self._driver_fetch is None:
+                self._driver_fetch = FetchParseStage(
+                    self._corpus_dict, cfg_dict, budget_handle
+                )
+            records_tbl = self._driver_fetch(claimed_tbl)
+            os.makedirs(records_dir, exist_ok=True)
+            pq.write_table(
+                records_tbl, os.path.join(records_dir, "part-driver.parquet")
+            )
+            for v, n in zip(*_value_counts(records_tbl.column("record_type"))):
+                counts[v] = counts.get(v, 0) + n
+            return
+
+        stateless = (
+            not cfg.respect_robots
+            and cfg.politeness_wait == 0
+            and budget_handle is None
+        )
+        conc = max(
+            1,
+            min(cfg.fetch_concurrency, -(-n_claimed // max(1, cfg.fetch_batch_size))),
+        )
+        bs = cfg.fetch_batch_size
+        if cfg.simulate_latency or cfg.politeness_wait > 0:
+            # latency-bound: one wave of exactly fetch_concurrency
+            # long-running tasks — the configured aggregate connection
+            # budget (which scales with cluster size). Fewer, longer
+            # tasks also keep per-task dispatch overhead negligible
+            # relative to the fetch time they hide.
+            slots = cfg.fetch_concurrency
+            bs = max(8, min(cfg.fetch_batch_size, -(-n_claimed // slots)))
+            n_blocks = min(1024, -(-n_claimed // bs))
+            if n_blocks > cfg.n_seen_shards:
+                claimed_ds = claimed_ds.repartition(n_blocks)
+        if stateless:
+            # Task path: Ray reuses warm worker processes across jobs,
+            # so there is no per-generation pool spin-up; the corpus
+            # broadcast is cached per worker (stages/fetch.py).
+            import functools
+            import json as _json
+
+            fn = functools.partial(
+                fetch_parse_task,
+                corpus_ref=corpus_ref,
+                cfg_json=_json.dumps(cfg_dict, sort_keys=True),
+            )
+            records_ds = claimed_ds.map_batches(
+                fn,
+                batch_format="pyarrow",
+                batch_size=bs,
+                num_cpus=cfg.fetch_num_cpus,
+            )
+        else:
+            records_ds = claimed_ds.map_batches(
+                FetchParseStage,
+                fn_constructor_args=(corpus_ref, cfg_dict, budget_handle),
+                batch_format="pyarrow",
+                batch_size=bs,
+                # Autoscaling pool: start fetching with whatever
+                # actors schedule immediately; a fixed-size pool would
+                # block the generation on full pool placement when
+                # other stages hold CPU reservations.
+                concurrency=(1, conc) if conc > 1 else 1,
+                num_cpus=cfg.fetch_num_cpus,
+            )
+        records_ds.write_parquet(records_dir)
+        # Outcome counts from the written checkpoint (prunes to one
+        # dictionary-encoded column; no driver materialization of rows).
+        for f in glob.glob(os.path.join(records_dir, "*.parquet")):
+            col = pq.read_table(f, columns=["record_type"]).column("record_type")
+            for v, n in zip(*_value_counts(col)):
+                counts[v] = counts.get(v, 0) + n
+
     # ---- budgeted (order-sensitive) claim ---------------------------
-    def _budgeted_claim(self, shards, total_requested: int):
+    def _budgeted_claim_table(self, shards, total_requested: int) -> pa.Table:
         """Deterministic max_pages budget: pending candidates (already
         min-key-deduped and unseen-filtered by the shards' offer pass)
         claim the remaining budget in canonical sorted-URL order
@@ -318,7 +499,7 @@ class CrawlEngine:
         ]
         ray.get([s.clear_pending.remote() for s in shards])
         if not rows or remaining == 0:
-            return ray.data.from_arrow(FRONTIER_WITH_METHOD.empty_table())
+            return FRONTIER_WITH_METHOD.empty_table()
         rows.sort(key=lambda r: r["url"])
         kept_rows = rows[:remaining]
         kept = pa.Table.from_pylist(kept_rows, schema=FRONTIER_WITH_METHOD)
@@ -327,7 +508,7 @@ class CrawlEngine:
             kept.column("url").to_pylist(),
             kept.column("url_hash").to_pylist(),
         )
-        return ray.data.from_arrow(kept)
+        return kept
 
     def _finalize(self, status, failure_message, status_path, cfg_dict, t_start):
         with open(status_path, "w") as f:

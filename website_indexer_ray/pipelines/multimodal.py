@@ -23,6 +23,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from website_indexer_ray.util import pool, read_parquet_parallel
+
 from website_indexer_ray.functions.xxh import xxh64
 
 MEDIA_SCHEMA = pa.schema(
@@ -100,7 +102,7 @@ def media_features(sf_dir: str) -> pa.Table:
     SQL-checkable (octet_length arithmetic); the feature column is the
     stub embedding used by downstream similarity stages.
     """
-    ds = ray.data.read_parquet(
+    ds = read_parquet_parallel(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     media = ds.map_batches(pack_binary, batch_format="pyarrow")
@@ -108,7 +110,7 @@ def media_features(sf_dir: str) -> pa.Table:
         MediaFeatureStage,
         batch_format="pyarrow",
         batch_size=256,  # small: payload-bearing batches
-        concurrency=2,
+        concurrency=pool(),
     )
     import pyarrow.compute as pc
 

@@ -25,6 +25,7 @@ import ray
 import ray.data
 
 from website_indexer_ray.functions.xxh import xxh64
+from website_indexer_ray.util import pool, read_parquet_parallel
 
 _WS_RE = re.compile(r"\s+")
 _TOKEN_RE = re.compile(r"\w+|[^\w\s]")  # BPE-ish: words + punct singles
@@ -37,7 +38,7 @@ _MERSENNE = (1 << 61) - 1
 
 
 def read_documents(sf_dir: str, columns=None):
-    return ray.data.read_parquet(
+    return read_parquet_parallel(
         f"{sf_dir}/documents.parquet", columns=columns or ["doc_id", "text"]
     )
 
@@ -180,7 +181,7 @@ class LangIdStage:
 
 def lang_id(sf_dir: str) -> pa.Table:
     ds = read_documents(sf_dir)
-    out = ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=2)
+    out = ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=pool())
     return _collect_sorted(out, "doc_id")
 
 
@@ -303,7 +304,7 @@ def minhash_lsh_pairs(
     else:
         ds = read_documents(sf_dir)
 
-    sigs = ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=2)
+    sigs = ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=pool())
     # Bucket the slim (band, band_hash, doc_id) rows. At this scale
     # the signature table is tiny (32 rows/doc of 20 bytes) so the
     # bucket-groupby runs driver-side; the 100 TB path shuffles on
@@ -429,7 +430,7 @@ def simhash_pairs(
     else:
         ds = read_documents(sf_dir)
     sig_tbl = _to_table(
-        ds.map_batches(SimHashStage, batch_format="pyarrow", concurrency=2)
+        ds.map_batches(SimHashStage, batch_format="pyarrow", concurrency=pool())
     )
     ids = sig_tbl.column("doc_id").to_pylist()
     sigs = sig_tbl.column("simhash").to_pylist()

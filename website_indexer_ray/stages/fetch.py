@@ -45,6 +45,32 @@ from website_indexer_ray.state.robots import RobotsCache
 
 EPOCH_US = 1_700_000_000 * 1_000_000
 
+# Per-worker-process cache for the stateless task path: Ray reuses
+# worker processes across tasks and jobs within a session, so the
+# broadcast corpus is fetched+deserialized once per worker (actor-like
+# amortization) while tasks keep the scheduler's instant, pool-free
+# dispatch. Keyed by (object ref, config) so concurrent crawls don't
+# cross-contaminate.
+_TASK_STAGE_CACHE: dict = {}
+
+
+def fetch_parse_task(batch: pa.Table, corpus_ref=None, cfg_json: str = "") -> pa.Table:
+    """Stateless map_batches task form of FetchParseStage — used when
+    the stage holds no cross-batch state (no politeness wait, no
+    robots cache, no shared host budget), where an actor pool's only
+    contribution would be its multi-second per-generation spin-up."""
+    import json
+
+    key = (
+        corpus_ref.hex() if hasattr(corpus_ref, "hex") else id(corpus_ref),
+        cfg_json,
+    )
+    stage = _TASK_STAGE_CACHE.get(key)
+    if stage is None:
+        stage = FetchParseStage(corpus_ref, json.loads(cfg_json), None)
+        _TASK_STAGE_CACHE[key] = stage
+    return stage(batch)
+
 
 def record_timestamp_us(generation: int, url_hash: int) -> int:
     return EPOCH_US + generation * 1_000_000 + (url_hash % 1_000_000)

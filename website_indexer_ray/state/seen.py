@@ -72,6 +72,9 @@ class SeenShard:
         pending = getattr(self, "pending", None) or {}
         return [row for (_k, row) in pending.values()]
 
+    def pending_count(self) -> int:
+        return len(getattr(self, "pending", None) or {})
+
     def clear_pending(self) -> None:
         self.pending = {}
 

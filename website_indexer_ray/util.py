@@ -1,0 +1,45 @@
+"""Small shared helpers for sizing Ray Data stages to the cluster.
+
+``pool`` returns an autoscaling actor-pool concurrency tuple sized to
+the cluster CPU count — a fixed ``concurrency=2`` underuses a 32-CPU
+node and would starve a 256-node cluster. ``read_parquet_parallel``
+fixes the small-file degenerate case: one small parquet file yields
+ONE block, which serializes every downstream map_batches no matter the
+concurrency; at test/bench scale we override the block count so the
+actor pool actually fans out. Big inputs (the 100 TB path) keep Ray's
+native block planning — many files/row-groups already give ample
+blocks, and overriding would fight the streaming executor.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import ray
+import ray.data
+
+_SMALL_INPUT_BYTES = 256 << 20  # only override blocks below 256 MB
+
+
+def cluster_cpus(default: int = 4) -> int:
+    try:
+        return int(ray.cluster_resources().get("CPU", default))
+    except Exception:
+        return default
+
+
+def pool(frac: float = 0.5, lo: int = 2, hi: int = 32) -> tuple[int, int]:
+    """Autoscaling (min, max) actor-pool size ~ frac of cluster CPUs."""
+    return (1, max(lo, min(hi, int(cluster_cpus() * frac))))
+
+
+def read_parquet_parallel(path: str, columns=None, **kw):
+    files = glob.glob(path) if "*" in path else [path]
+    try:
+        total = sum(os.path.getsize(f) for f in files if os.path.isfile(f))
+    except OSError:
+        total = _SMALL_INPUT_BYTES
+    if total < _SMALL_INPUT_BYTES:
+        kw.setdefault("override_num_blocks", min(32, max(8, cluster_cpus())))
+    return ray.data.read_parquet(path, columns=columns, **kw)
