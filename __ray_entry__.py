@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_sources": relational.distinct_sources,
         "pagination_orders": relational.pagination_orders,
         "filter_chain_events": relational.filter_chain_events,
+        "window_counts": relational.window_counts,
+        "asof_last_order": relational.asof_last_order,
         "search_docs_text": relational.search_docs_text,
         # training-data ops
         "exact_dedup": textops.exact_dedup,
@@ -251,6 +253,25 @@ def oracle_sql() -> dict[str, str]:
               AND value > 50.0
               AND regexp_matches(props, '"k": [0-9]*[02468]}')
             ORDER BY event_id
+        """,
+        "window_counts": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+                   COUNT(*) AS n
+            FROM events
+            GROUP BY window_start, event_type
+            ORDER BY window_start, event_type
+        """,
+        "asof_last_order": """
+            SELECT e.event_id,
+                   COALESCE((
+                     SELECT max(o_orderkey) FROM orders o
+                     WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+                       AND o.o_orderdate = (
+                         SELECT max(o_orderdate) FROM orders o2
+                         WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts)
+                   ), -1) AS last_orderkey
+            FROM events e ORDER BY event_id
         """,
         "search_docs_text": """
             SELECT doc_id, lang, source FROM documents

@@ -252,6 +252,41 @@ class TestSyntheticEquality:
         assert key(resumed_records) == key(full_records)
         assert resumed.seen_table().equals(full.seen_table())
 
+    def test_robots_exclusion(self, ray_session, tmp_path):
+        """respect_robots=True (north_rule component; reference runs
+        --no-robots so default-off reproduces its semantics): a
+        disallowed path is recorded robots_excluded, never fetched or
+        parsed, and contributes no frontier links."""
+        import pyarrow as pa
+
+        from website_indexer_ray.schemas import CORPUS_SCHEMA
+
+        corpus, seeds = sample_site_corpus()
+        robots_row = pa.Table.from_pylist(
+            [
+                dict(
+                    url="http://localhost:8000/robots.txt",
+                    host="localhost:8000",
+                    status_code=200,
+                    content_type="text/plain",
+                    location=None,
+                    html="User-agent: *\nDisallow: /child/\n",
+                    fetch_delay_ms=0,
+                )
+            ],
+            schema=CORPUS_SCHEMA,
+        )
+        corpus = pa.concat_tables([corpus, robots_row])
+        cfg = CrawlConfig(
+            start_url=SAMPLE_START_URL, n_seen_shards=2, respect_robots=True
+        )
+        result = run_engine(corpus, seeds, cfg, str(tmp_path / "robots"))
+        records = {r["url"]: r for r in result.records_table().to_pylist()}
+        assert records["http://localhost:8000/"]["record_type"] == "page"
+        assert records["http://localhost:8000/child/"]["record_type"] == "robots_excluded"
+        assert records["http://localhost:8000/child/?page=2"]["record_type"] == "robots_excluded"
+        assert records["http://localhost:8000/child/"]["title"] is None
+
     def test_lineage(self, ray_session, tmp_path, corpus_seeds):
         corpus, seeds = corpus_seeds
         cfg = self._cfg()

@@ -252,6 +252,38 @@ class TestRelational:
                ORDER BY l_returnflag, l_linestatus""",
         )
 
+    def test_window_counts(self, ray_session, con):
+        from website_indexer_ray.pipelines import relational
+
+        out = relational.window_counts(SF_DIR)
+        assert_matches_sql(
+            out,
+            con,
+            """SELECT date_trunc('hour', ts) AS window_start, event_type,
+                      CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+                      COUNT(*) AS n
+               FROM events GROUP BY window_start, event_type
+               ORDER BY window_start, event_type""",
+        )
+
+    def test_asof_last_order(self, ray_session, con):
+        from website_indexer_ray.pipelines import relational
+
+        out = relational.asof_last_order(SF_DIR)
+        assert_matches_sql(
+            out,
+            con,
+            """SELECT e.event_id,
+                      COALESCE((
+                        SELECT max(o_orderkey) FROM orders o
+                        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+                          AND o.o_orderdate = (
+                            SELECT max(o_orderdate) FROM orders o2
+                            WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts)
+                      ), -1) AS last_orderkey
+               FROM events e ORDER BY event_id""",
+        )
+
     def test_filter_chain(self, ray_session, con):
         from website_indexer_ray.pipelines import relational
 

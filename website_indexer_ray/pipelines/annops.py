@@ -26,13 +26,26 @@ import ray.data
 from website_indexer_ray.util import pool, read_parquet_parallel
 
 
+def _embed_matrix(source, col: str = "embedding") -> np.ndarray:
+    """Zero-copy-ish (n, dim) float64 matrix from a list<float> column:
+    flatten the Arrow list values and reshape — no per-row Python lists."""
+    c = source.column(col)
+    if hasattr(c, "combine_chunks"):
+        c = c.combine_chunks()
+    n = len(c)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = c.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64).reshape(n, len(flat) // n)
+
+
 def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, list[int]]:
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
     ids = tbl.column("vec_id").to_pylist()
     order = np.argsort(ids)
-    mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    mat = _embed_matrix(tbl)
     q_idx = order[:n_queries]
     return mat[q_idx], [ids[i] for i in q_idx]
 
@@ -48,7 +61,7 @@ class TopKStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = _embed_matrix(batch)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         sims = self.qnorm @ (mat / norms).T  # (n_queries, batch)
@@ -134,7 +147,7 @@ class CosinePairStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         bids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = _embed_matrix(batch)
         norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
         sims = (mat / norms) @ self.norm.T  # (batch, corpus)
         rows_i, cols_j = np.nonzero(sims >= self.threshold)
@@ -160,7 +173,7 @@ def embedding_dedup_pairs(sf_dir: str, threshold: float = 0.4) -> pa.Table:
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    mat = _embed_matrix(tbl)
     norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
     mat_ref = ray.put((ids, norm))
 
@@ -200,7 +213,7 @@ class LshIndexStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_pylist()
-        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = _embed_matrix(batch)
         n_tables, n_bits, dim = self.planes.shape
         out_t, out_b, out_v = [], [], []
         for ti in range(n_tables):
@@ -232,7 +245,7 @@ def knn_lsh(
 
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
     ids = tbl.column("vec_id").to_pylist()
-    mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    mat = _embed_matrix(tbl)
     dim = mat.shape[1]
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_bits, dim))

@@ -175,6 +175,104 @@ def filter_chain_events(sf_dir: str) -> pa.Table:
     return out.take(pc.sort_indices(out, sort_keys=[("event_id", "ascending")]))
 
 
+def window_counts(sf_dir: str) -> pa.Table:
+    """Tumbling-window aggregate (1-hour windows) over the events
+    stream — the windowed-aggregate operator class the reference
+    lacks, built per the guide's composition rule: assign the window
+    key inside ``map_batches`` (pure per-row arithmetic, no state),
+    pre-aggregate per batch, then a small keyed merge. At 100 TB the
+    partial tables are one row per (window, type, batch) — the only
+    shuffle input. Value sums are in scaled integer cents so Ray's and
+    DuckDB's float summation orders can't drift."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["window_start"] = batch["ts"].dt.floor("h")
+        batch["value_c"] = (batch["value"] * 100).round().astype("int64")
+        batch["n"] = 1
+        return batch.groupby(["window_start", "event_type"], as_index=False)[
+            ["value_c", "n"]
+        ].sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    out = partials.groupby(["window_start", "event_type"]).aggregate(
+        Sum("value_c", alias_name="sum_value_c"),
+        Sum("n", alias_name="n"),
+    )
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return tbl.take(
+        pc.sort_indices(
+            tbl,
+            sort_keys=[("window_start", "ascending"), ("event_type", "ascending")],
+        )
+    )
+
+
+def asof_last_order(sf_dir: str) -> pa.Table:
+    """As-of join: for every event, the latest order of the same
+    customer at or before the event time (ties on order date broken by
+    max o_orderkey; -1 when the customer has no prior order).
+
+    A custom wide operator Ray Data lacks, composed per the guide:
+    tag both sides into one slim (key, time, kind, payload) relation,
+    hash-co-partition with ``groupby(key)``, and resolve each
+    partition with a vectorized sort + forward-fill inside
+    ``map_groups`` — the single shuffle moves only the four join
+    columns, never the wide source rows. Partitioning assumption:
+    one customer's history fits a group (salt the key with a time
+    bucket if a key ever doesn't)."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": b["o_custkey"],
+                "t": b["o_orderdate"],
+                "kind": 0,
+                "event_id": -1,
+                "orderkey": b["o_orderkey"],
+            }
+        )
+
+    def tag_events(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": b["user_id"],
+                "t": b["ts"],
+                "kind": 1,
+                "event_id": b["event_id"],
+                "orderkey": -1,
+            }
+        )
+
+    unioned = orders.map_batches(tag_orders, batch_format="pandas").union(
+        events.map_batches(tag_events, batch_format="pandas")
+    )
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["t", "kind", "orderkey"], kind="mergesort")
+        last = g["orderkey"].where(g["kind"] == 0).ffill()
+        ev = g["kind"] == 1
+        return pd.DataFrame(
+            {
+                "event_id": g.loc[ev, "event_id"].astype("int64"),
+                "last_orderkey": last[ev].fillna(-1).astype("int64"),
+            }
+        )
+
+    out = unioned.groupby("key").map_groups(fill, batch_format="pandas")
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return tbl.take(pc.sort_indices(tbl, sort_keys=[("event_id", "ascending")]))
+
+
 def search_docs_text(sf_dir: str, q: str = "spark merge") -> pa.Table:
     """C1 analog over documents: case-insensitive substring search
     (the reference's icontains, crawler/search.py:57-58) vectorized

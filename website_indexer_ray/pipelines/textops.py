@@ -229,7 +229,10 @@ def fingerprint(sf_dir: str, k: int = 5, window: int = 4) -> pa.Table:
 
 N_PERM = 128
 N_BANDS = 32  # rows-per-band 4 ⇒ LSH threshold ≈ 0.42 Jaccard
-_MH_PRIME = (1 << 61) - 1
+# Mersenne prime 2^31-1: shingle hashes and permutation params stay
+# below 2^31, so (a*x + b) fits native uint64 — the whole signature
+# computation is vectorized numpy integer math, no object arrays.
+_MH_PRIME = (1 << 31) - 1
 
 
 def _perm_params(seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -246,19 +249,17 @@ def _shingle_hashes(text: str, w: int = 3) -> np.ndarray:
     else:
         shingles = [" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)]
     return np.unique(
-        np.array([xxh64(s) & _MH_PRIME for s in shingles], dtype=np.uint64)
+        np.array([xxh64(s) % _MH_PRIME for s in shingles], dtype=np.uint64)
     )
 
 
 def _minhash_sig(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     if len(sh) == 0:
         return np.full(N_PERM, _MH_PRIME, dtype=np.uint64)
-    # (a*x + b) mod p, vectorized over shingles × perms (object->u64 ok
-    # because p < 2^61 keeps products in range via Python ints when
-    # needed; use modular multiply in float-free numpy u128 emulation).
-    x = sh.astype(object)[:, None]
-    vals = (a.astype(object)[None, :] * x + b.astype(object)[None, :]) % _MH_PRIME
-    return np.min(np.array(vals, dtype=np.uint64), axis=0)
+    # (a*x + b) mod p over shingles x perms; all operands < 2^31 so the
+    # products stay inside uint64.
+    vals = (a[None, :] * sh[:, None] + b[None, :]) % np.uint64(_MH_PRIME)
+    return np.min(vals, axis=0)
 
 
 class MinHashStage:
