@@ -1,0 +1,48 @@
+"""CLI entrypoint (python -m website_indexer_ray) — the reference's
+manage.py command surface (crawl.py:7-15, manage_crawls.py:14-69)
+driven in-process against the synthetic corpus."""
+
+import json
+
+import pyarrow.parquet as pq
+
+from website_indexer_ray.__main__ import main
+from website_indexer_ray.fixtures.gen import generate_corpus
+
+
+def test_cli_crawl_query_manage(ray_session, tmp_path, capsys):
+    corpus, seeds = generate_corpus(n_pages=30, seed=42)
+    pq.write_table(corpus, str(tmp_path / "corpus.parquet"))
+    pq.write_table(seeds, str(tmp_path / "seeds.parquet"))
+    out = tmp_path / "root" / "run1"
+
+    rc = main(
+        [
+            "crawl",
+            "--start-url", "https://test.example/",
+            "--corpus", str(tmp_path / "corpus.parquet"),
+            "--seeds", str(tmp_path / "seeds.parquet"),
+            "--out", str(out),
+            "--crawl-id", "t1",
+            "--seen-shards", "2",
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["status"] == "Finished"
+    assert summary["pages"] > 0
+    assert summary["urls_fetched"] >= summary["pages"]
+
+    rc = main(
+        ["query", "--out", str(out), "--search-type", "title", "--q", "Section"]
+    )
+    assert rc == 0
+    page = json.loads(capsys.readouterr().out)
+    assert page["count"] >= 1
+    assert all("Section" in r["title"] for r in page["results"])
+
+    rc = main(["manage", "list", "--root", str(tmp_path / "root")])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows[0]["name"] == "run1"
+    assert rows[0]["status"] == "Finished"

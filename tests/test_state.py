@@ -68,6 +68,28 @@ class TestSeenShards:
         m3 = seen_state.claim_batch(shards, urls[:10], hashes[:10])
         assert all(m3)
 
+    def test_seen_claim_stage(self, ray_session):
+        """SeenClaimStage — the streaming per-batch claim form of the
+        anti-join (J5): first batch claims, second batch with the same
+        URLs is fully filtered."""
+        import pyarrow as pa
+
+        from website_indexer_ray.stages.seen_claim import SeenClaimStage
+        from website_indexer_ray.state import seen as seen_state
+
+        shards = seen_state.create_shards(2)
+        stage = SeenClaimStage(shards)
+        batch = pa.table(
+            {
+                "url": ["https://a/1", "https://a/2"],
+                "url_hash": pa.array([11, 22], type=pa.uint64()),
+            }
+        )
+        first = stage(batch)
+        assert first.num_rows == 2
+        second = stage(batch)
+        assert second.num_rows == 0
+
     def test_snapshot_restore(self, ray_session, tmp_path):
         from website_indexer_ray.state import seen as seen_state
 

@@ -1,0 +1,158 @@
+"""CLI entrypoint — the `manage.py crawl` / viewer / `manage_crawls`
+surface of the reference (U2, /root/reference/crawler/management/
+commands/crawl.py:7-15) as a `ray job submit`-able module:
+
+  python -m website_indexer_ray crawl --start-url URL --corpus C.parquet \
+      [--seeds S.parquet] [--out DIR] [--max-pages N] [--depth D] \
+      [--politeness-wait 0.5] [--random-wait] [--respect-robots]
+  python -m website_indexer_ray query --out DIR --search-type title --q foo \
+      [--format json|csv] [--page N]
+  python -m website_indexer_ray manage {list,delete,clean} --root DIR [...]
+
+This module owns the Ray session (guarded init — under `ray job
+submit` the cluster is already up); the library never calls ray.init.
+The corpus parquet is the fetch seam: at test/bench scale fetching is
+a lookup into it, and a network fetcher drops in behind the same
+interface (stages/fetch.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_ready():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+
+
+def cmd_crawl(args) -> int:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from website_indexer_ray.config import CrawlConfig
+    from website_indexer_ray.pipelines.engine import CrawlEngine
+    from website_indexer_ray.schemas import SEEDS_SCHEMA
+
+    _ray_ready()
+    corpus = pq.read_table(args.corpus)
+    if args.seeds:
+        seeds = pq.read_table(args.seeds)
+    else:
+        seeds = pa.Table.from_pylist(
+            [{"url": args.start_url, "seed_batch": 0}], schema=SEEDS_SCHEMA
+        )
+    cfg = CrawlConfig(
+        start_url=args.start_url,
+        max_pages=args.max_pages,
+        depth=args.depth,
+        politeness_wait=args.politeness_wait,
+        random_wait=args.random_wait,
+        respect_robots=args.respect_robots,
+        n_seen_shards=args.seen_shards,
+        fetch_concurrency=args.fetch_concurrency,
+    )
+    result = CrawlEngine(cfg, args.out, crawl_id=args.crawl_id).run(
+        corpus, seeds, resume=args.resume
+    )
+    lineage = result.lineage_table()
+    print(
+        json.dumps(
+            {
+                "crawl_id": args.crawl_id,
+                "out": args.out,
+                "status": result.status()["status"],
+                "generations": lineage.num_rows,
+                "urls_fetched": sum(lineage.column("n_accepted").to_pylist()),
+                "pages": sum(lineage.column("n_pages").to_pylist()),
+                "errors": sum(lineage.column("n_errors").to_pylist()),
+                "redirects": sum(lineage.column("n_redirects").to_pylist()),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_query(args) -> int:
+    from website_indexer_ray.pipelines import query
+    from website_indexer_ray.pipelines.engine import CrawlResult
+
+    records = CrawlResult(args.out).records_table()
+    out = query.search_pages(
+        records, args.search_type, args.q, include_related=args.format == "csv"
+    )
+    if args.format == "csv":
+        kind = (
+            "pages_components"
+            if args.search_type == "components"
+            else "pages_links" if args.search_type == "links" else "pages"
+        )
+        _name, data = query.to_csv_bytes(out, kind)
+        sys.stdout.buffer.write(data)
+    else:
+        page = query.paginate(query.strip_title_suffix(out), args.page)
+        print(json.dumps(page, default=str))
+    return 0
+
+
+def cmd_manage(args) -> int:
+    from website_indexer_ray.pipelines import manage
+
+    if args.action == "list":
+        for c in manage.list_crawls(args.root):
+            print(json.dumps({k: v for k, v in c.items() if not k.startswith("_")} | {"name": c["_name"]}))
+    elif args.action == "delete":
+        manage.delete_crawl(args.root, args.name, dry_run=args.dry_run)
+        print(json.dumps({"deleted": args.name, "dry_run": args.dry_run}))
+    else:  # clean
+        dropped = manage.clean_crawls(args.root, keep=args.keep, dry_run=args.dry_run)
+        print(json.dumps({"dropped": dropped, "dry_run": args.dry_run}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="website_indexer_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl")
+    c.add_argument("--start-url", required=True)
+    c.add_argument("--corpus", required=True)
+    c.add_argument("--seeds")
+    c.add_argument("--out", default="/tmp/wir_crawl")
+    c.add_argument("--crawl-id", default="crawl-0")
+    c.add_argument("--max-pages", type=int, default=0)
+    c.add_argument("--depth", type=int, default=0)
+    c.add_argument("--politeness-wait", type=float, default=0.0)
+    c.add_argument("--random-wait", action="store_true")
+    c.add_argument("--respect-robots", action="store_true")
+    c.add_argument("--seen-shards", type=int, default=8)
+    c.add_argument("--fetch-concurrency", type=int, default=8)
+    c.add_argument("--resume", action="store_true")
+    c.set_defaults(fn=cmd_crawl)
+
+    q = sub.add_parser("query")
+    q.add_argument("--out", required=True)
+    q.add_argument("--search-type", default="")
+    q.add_argument("--q", default="")
+    q.add_argument("--format", choices=["json", "csv"], default="json")
+    q.add_argument("--page", type=int, default=1)
+    q.set_defaults(fn=cmd_query)
+
+    m = sub.add_parser("manage")
+    m.add_argument("action", choices=["list", "delete", "clean"])
+    m.add_argument("--root", required=True)
+    m.add_argument("--name")
+    m.add_argument("--keep", type=int, default=1)
+    m.add_argument("--dry-run", action="store_true")
+    m.set_defaults(fn=cmd_manage)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
