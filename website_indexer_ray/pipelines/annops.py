@@ -23,7 +23,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from website_indexer_ray.util import pool, read_parquet_parallel
+from website_indexer_ray.util import cached_get, read_parquet_parallel
 
 
 def _embed_matrix(source, col: str = "embedding") -> np.ndarray:
@@ -51,15 +51,27 @@ def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, list[int]]:
 
 
 class TopKStage:
-    """Partial top-k per batch against the broadcast query matrix."""
+    """Partial top-k per batch against the broadcast query matrix
+    (instance-callable task: only the object ref pickles per task;
+    the matrix itself resolves once per worker via cached_get)."""
 
     def __init__(self, q_ref, k: int):
-        q = ray.get(q_ref) if not isinstance(q_ref, tuple) else q_ref
-        self.qmat, self.qids = q
-        self.qnorm = self.qmat / np.linalg.norm(self.qmat, axis=1, keepdims=True)
+        self.q_ref = q_ref
         self.k = k
+        self.qnorm = None
+        self.qids = None
+
+    def _resolve(self):
+        if self.qnorm is None:
+            qmat, self.qids = (
+                cached_get(self.q_ref)
+                if not isinstance(self.q_ref, tuple)
+                else self.q_ref
+            )
+            self.qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        self._resolve()
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         mat = _embed_matrix(batch)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -97,11 +109,7 @@ def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5) -> pa.Table:
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     partials = ds.map_batches(
-        TopKStage,
-        fn_constructor_args=(q_ref, k),
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=pool(),
+        TopKStage(q_ref, k), batch_format="pyarrow", batch_size=1024
     )
     tables = [t for t in (ray.get(r) for r in partials.to_arrow_refs()) if t.num_rows]
     merged: dict[int, list] = {}
@@ -140,12 +148,18 @@ class CosinePairStage:
     semantics."""
 
     def __init__(self, mat_ref, threshold: float):
-        ids, norm = ray.get(mat_ref) if not isinstance(mat_ref, tuple) else mat_ref
-        self.ids = ids
-        self.norm = norm
+        self.mat_ref = mat_ref
         self.threshold = threshold
+        self.ids = None
+        self.norm = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.norm is None:
+            self.ids, self.norm = (
+                cached_get(self.mat_ref)
+                if not isinstance(self.mat_ref, tuple)
+                else self.mat_ref
+            )
         bids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         mat = _embed_matrix(batch)
         norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
@@ -181,11 +195,7 @@ def embedding_dedup_pairs(sf_dir: str, threshold: float = 0.4) -> pa.Table:
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     pairs = ds.map_batches(
-        CosinePairStage,
-        fn_constructor_args=(mat_ref, threshold),
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=pool(),
+        CosinePairStage(mat_ref, threshold), batch_format="pyarrow", batch_size=1024
     )
     tables = [t for t in (ray.get(r) for r in pairs.to_arrow_refs()) if t.num_rows]
     if not tables:
@@ -209,9 +219,16 @@ class LshIndexStage:
     """Random-hyperplane signatures; emits (table, bucket, vec_id)."""
 
     def __init__(self, planes_ref):
-        self.planes = ray.get(planes_ref) if not isinstance(planes_ref, np.ndarray) else planes_ref
+        self.planes_ref = planes_ref
+        self.planes = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.planes is None:
+            self.planes = (
+                cached_get(self.planes_ref)
+                if not isinstance(self.planes_ref, np.ndarray)
+                else self.planes_ref
+            )
         ids = batch.column("vec_id").to_pylist()
         mat = _embed_matrix(batch)
         n_tables, n_bits, dim = self.planes.shape
@@ -255,11 +272,7 @@ def knn_lsh(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     index = ds.map_batches(
-        LshIndexStage,
-        fn_constructor_args=(planes_ref,),
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=pool(),
+        LshIndexStage(planes_ref), batch_format="pyarrow", batch_size=2048
     )
     idx_tbl = pa.concat_tables(
         [t for t in (ray.get(r) for r in index.to_arrow_refs()) if t.num_rows]

@@ -23,9 +23,9 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from website_indexer_ray.util import pool, read_parquet_parallel
+from website_indexer_ray.util import read_parquet_parallel
 
-from website_indexer_ray.functions.xxh import xxh64
+import hashlib
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -72,9 +72,16 @@ class MediaFeatureStage:
 
     def _fake_decode(self, payload: bytes) -> np.ndarray:
         """Deterministic stand-in for decode+embed: FEATURE_DIM floats
-        derived from xxh64 over payload chunks."""
+        derived from salted blake2b over the payload."""
         vals = [
-            xxh64(payload, seed=i) % 1_000_003 / 1_000_003.0
+            int.from_bytes(
+                hashlib.blake2b(
+                    payload, digest_size=8, salt=i.to_bytes(8, "little")
+                ).digest(),
+                "big",
+            )
+            % 1_000_003
+            / 1_000_003.0
             for i in range(FEATURE_DIM)
         ]
         return np.asarray(vals, dtype=np.float32)
@@ -107,10 +114,9 @@ def media_features(sf_dir: str) -> pa.Table:
     )
     media = ds.map_batches(pack_binary, batch_format="pyarrow")
     feats = media.map_batches(
-        MediaFeatureStage,
+        MediaFeatureStage(),
         batch_format="pyarrow",
         batch_size=256,  # small: payload-bearing batches
-        concurrency=pool(),
     )
     import pyarrow.compute as pc
 

@@ -24,8 +24,22 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from website_indexer_ray.functions.xxh import xxh64
-from website_indexer_ray.util import pool, read_parquet_parallel
+import hashlib
+from zlib import crc32
+
+from website_indexer_ray.util import read_parquet_parallel
+
+# Hash choices: xxh64 (functions/xxh.py, pure-python reference impl)
+# is mandated for URL identity and stays there. Content hashing in the
+# dedup family runs millions of times per batch, so it uses C-speed
+# primitives: crc32 for shingle/token hashes (only uniformity matters
+# — minhash/simhash tolerate 32-bit space) and blake2b-64 for
+# whole-document content keys (64-bit, collision-safe at 10^9+ docs
+# where crc32 would collide).
+
+
+def _content_hash64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
 
 _WS_RE = re.compile(r"\s+")
 _TOKEN_RE = re.compile(r"\w+|[^\w\s]")  # BPE-ish: words + punct singles
@@ -34,7 +48,6 @@ _PUNCT_RE = re.compile(r"[^\w\s]")
 _UPPER_RE = re.compile(r"[A-Z]")
 _STOP_RE = re.compile(r"\b(the|a|and|of|to|in|is)\b")
 
-_MERSENNE = (1 << 61) - 1
 
 
 def read_documents(sf_dir: str, columns=None):
@@ -62,7 +75,7 @@ def exact_dedup(sf_dir: str) -> pa.Table:
         # 63-bit mask keeps the hash in int64 (plays well with every
         # downstream engine's signed-int group keys).
         hashes = [
-            xxh64(normalize_text(t)) & 0x7FFFFFFFFFFFFFFF
+            _content_hash64(normalize_text(t)) & 0x7FFFFFFFFFFFFFFF
             for t in batch.column("text").to_pylist()
         ]
         return pa.table(
@@ -181,7 +194,7 @@ class LangIdStage:
 
 def lang_id(sf_dir: str) -> pa.Table:
     ds = read_documents(sf_dir)
-    out = ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=pool())
+    out = ds.map_batches(LangIdStage(), batch_format="pyarrow")
     return _collect_sorted(out, "doc_id")
 
 
@@ -189,7 +202,7 @@ def lang_id(sf_dir: str) -> pa.Table:
 
 def _rolling_hashes(tokens: list[str], k: int = 5) -> list[int]:
     return [
-        xxh64(" ".join(tokens[i : i + k])) & _MERSENNE
+        crc32(" ".join(tokens[i : i + k]).encode())
         for i in range(max(0, len(tokens) - k + 1))
     ]
 
@@ -249,7 +262,9 @@ def _shingle_hashes(text: str, w: int = 3) -> np.ndarray:
     else:
         shingles = [" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)]
     return np.unique(
-        np.array([xxh64(s) % _MH_PRIME for s in shingles], dtype=np.uint64)
+        np.array(
+            [crc32(s.encode()) % _MH_PRIME for s in shingles], dtype=np.uint64
+        )
     )
 
 
@@ -276,7 +291,7 @@ class MinHashStage:
             sig = _minhash_sig(_shingle_hashes(text), self.a, self.b)
             r = N_PERM // N_BANDS
             for band in range(N_BANDS):
-                band_hash = xxh64(sig[band * r : (band + 1) * r].tobytes())
+                band_hash = crc32(sig[band * r : (band + 1) * r].tobytes())
                 rows_band.append(band)
                 rows_hash.append(band_hash)
                 rows_doc.append(doc_id)
@@ -305,24 +320,31 @@ def minhash_lsh_pairs(
     else:
         ds = read_documents(sf_dir)
 
-    sigs = ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=pool())
+    # Stage state (permutation params) is 2 KB — run as plain tasks on
+    # warm workers (instance-callable), not an actor pool whose
+    # spin-up would dominate this short job.
+    sigs = ds.map_batches(MinHashStage(), batch_format="pyarrow")
     # Bucket the slim (band, band_hash, doc_id) rows. At this scale
     # the signature table is tiny (32 rows/doc of 20 bytes) so the
-    # bucket-groupby runs driver-side; the 100 TB path shuffles on
+    # bucket-groupby runs driver-side — vectorized: one composite u64
+    # key per row, argsort, run-length detection; only collided
+    # buckets ever touch Python. The 100 TB path shuffles on
     # (band, band_hash) with hot buckets capped exactly as below.
     sig_tbl = _to_table(sigs)
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for band, bh, doc in zip(
-        sig_tbl.column("band").to_pylist(),
-        sig_tbl.column("band_hash").to_pylist(),
-        sig_tbl.column("doc_id").to_pylist(),
-    ):
-        buckets.setdefault((band, bh), []).append(doc)
+    bands = sig_tbl.column("band").to_numpy()
+    hashes = sig_tbl.column("band_hash").to_numpy()
+    docs_np = sig_tbl.column("doc_id").to_numpy()
+    keys = (hashes.astype(np.uint64) << np.uint64(5)) | bands.astype(np.uint64)
+    order = np.argsort(keys, kind="stable")
+    sorted_keys = keys[order]
+    boundaries = np.flatnonzero(np.diff(sorted_keys)) + 1
+    starts = np.concatenate(([0], boundaries))
+    ends = np.concatenate((boundaries, [len(sorted_keys)]))
     pair_set: set[tuple[int, int]] = set()
-    for members in buckets.values():
-        if len(members) < 2:
+    for s, e in zip(starts, ends):
+        if e - s < 2:
             continue
-        members = sorted(members)[:50]
+        members = sorted(set(docs_np[order[s:e]].tolist()))[:50]
         for i in range(len(members)):
             for j in range(i + 1, len(members)):
                 pair_set.add((members[i], members[j]))
@@ -359,10 +381,45 @@ def minhash_lsh_pairs(
         )
         if d in needed
     }
+    def verify_local(sh, a_ids, b_ids):
+        keep_a, keep_b, jac = [], [], []
+        for da, db in zip(a_ids, b_ids):
+            sa, sb = sh.get(da, set()), sh.get(db, set())
+            union = len(sa | sb)
+            j = len(sa & sb) / union if union else 0.0
+            if j >= jaccard_threshold:
+                keep_a.append(da)
+                keep_b.append(db)
+                jac.append(int(j * 1000))
+        return pa.table(
+            {
+                "doc_a": pa.array(keep_a, type=pa.int64()),
+                "doc_b": pa.array(keep_b, type=pa.int64()),
+                "jaccard_permille": pa.array(jac, type=pa.int64()),
+            }
+        )
+
+    # Small candidate sets verify on the driver (the shingle dict is
+    # already local); past the threshold the verify fans out with the
+    # broadcast dict read once per worker.
+    if cand_tbl.num_rows < 100_000:
+        out = verify_local(
+            shingles,
+            cand_tbl.column("doc_a").to_pylist(),
+            cand_tbl.column("doc_b").to_pylist(),
+        )
+        return out.take(
+            pc.sort_indices(
+                out, sort_keys=[("doc_a", "ascending"), ("doc_b", "ascending")]
+            )
+        )
+
     shingles_ref = ray.put(shingles)
 
     def verify(batch: pa.Table) -> pa.Table:
-        sh = ray.get(shingles_ref)
+        from website_indexer_ray.util import cached_get
+
+        sh = cached_get(shingles_ref)
         a_ids = batch.column("doc_a").to_pylist()
         b_ids = batch.column("doc_b").to_pylist()
         keep_a, keep_b, jac = [], [], []
@@ -393,19 +450,24 @@ def minhash_lsh_pairs(
 # --- SimHash near-dup -----------------------------------------------
 
 def simhash64(text: str) -> int:
-    """Charikar 2002 similarity hash over unigram token hashes."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in normalize_text(text).split():
-        h = xxh64(tok)
-        bits = np.frombuffer(
-            np.uint64(h).tobytes(), dtype=np.uint8
-        )
-        bitarr = np.unpackbits(bits)
-        acc += np.where(bitarr == 1, 1, -1)
+    """Charikar 2002 similarity hash over unigram token hashes
+    (vectorized: one unpackbits matrix per document)."""
+    toks = normalize_text(text).split()
+    if not toks:
+        return 0
+    hs = np.fromiter(
+        (
+            crc32(b) | (crc32(b + b"\x01") << 32)
+            for b in (t.encode() for t in toks)
+        ),
+        dtype=np.uint64,
+        count=len(toks),
+    )
+    bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    acc = 2 * bits.sum(axis=0, dtype=np.int64) - len(toks)
     out = 0
-    for i, v in enumerate(acc):
-        if v > 0:
-            out |= 1 << i
+    for i in np.nonzero(acc > 0)[0]:
+        out |= 1 << int(i)
     return out
 
 
@@ -431,7 +493,7 @@ def simhash_pairs(
     else:
         ds = read_documents(sf_dir)
     sig_tbl = _to_table(
-        ds.map_batches(SimHashStage, batch_format="pyarrow", concurrency=pool())
+        ds.map_batches(SimHashStage(), batch_format="pyarrow")
     )
     ids = sig_tbl.column("doc_id").to_pylist()
     sigs = sig_tbl.column("simhash").to_pylist()

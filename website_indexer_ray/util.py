@@ -22,6 +22,20 @@ import ray.data
 _SMALL_INPUT_BYTES = 256 << 20  # only override blocks below 256 MB
 
 
+_BROADCAST_CACHE: dict = {}
+
+
+def cached_get(ref):
+    """ray.get with a per-worker-process cache: Ray reuses worker
+    processes across tasks/jobs, so a broadcast object (query matrix,
+    lookup dict) is deserialized once per worker even when the stage
+    runs as plain tasks instead of an actor pool."""
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
+
 def cluster_cpus(default: int = 4) -> int:
     try:
         return int(ray.cluster_resources().get("CPU", default))
