@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": textops.ngram_jaccard_pairs,
         "knn_bruteforce": annops.knn_bruteforce,
         "knn_lsh": annops.knn_lsh,
+        "knn_ivf": annops.knn_ivf,
         "embedding_dedup": annops.embedding_dedup_pairs,
         "media_features": multimodal.media_features,
     }

@@ -198,6 +198,27 @@ class TestAnnOps:
         recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e]
         assert np.mean(recalls) >= 0.8, recalls
 
+    def test_knn_ivf_recall(self, ray_session):
+        """IVF with n_probe clusters must recover most of the exact
+        top-k on the sf embeddings (clusters exist via the label
+        structure)."""
+        from website_indexer_ray.pipelines import annops
+
+        exact = annops.knn_bruteforce(SF_DIR, k=10, n_queries=5)
+        approx = annops.knn_ivf(SF_DIR, k=10, n_queries=5, n_probe=6)
+
+        def topk(t):
+            out = {}
+            for q, n in zip(
+                t.column("query_id").to_pylist(), t.column("neighbor_id").to_pylist()
+            ):
+                out.setdefault(q, set()).add(n)
+            return out
+
+        e, a = topk(exact), topk(approx)
+        recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e]
+        assert np.mean(recalls) >= 0.5, recalls
+
     def test_embedding_dedup_matches_sql(self, ray_session, con):
         from website_indexer_ray.pipelines import annops
 
