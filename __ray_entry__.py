@@ -194,6 +194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_chain_events": relational.filter_chain_events,
         "window_counts": relational.window_counts,
         "asof_last_order": relational.asof_last_order,
+        "sessionize": relational.sessionize,
+        "approx_distinct_users": relational.approx_distinct_users,
         "search_docs_text": relational.search_docs_text,
         # training-data ops
         "exact_dedup": textops.exact_dedup,
@@ -273,6 +275,20 @@ def oracle_sql() -> dict[str, str]:
                          WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts)
                    ), -1) AS last_orderkey
             FROM events e ORDER BY event_id
+        """,
+        "sessionize": """
+            WITH d AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id,
+                   CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM d GROUP BY user_id ORDER BY user_id
         """,
         "search_docs_text": """
             SELECT doc_id, lang, source FROM documents

@@ -305,6 +305,45 @@ class TestRelational:
                FROM events e ORDER BY event_id""",
         )
 
+    def test_sessionize(self, ray_session, con):
+        from website_indexer_ray.pipelines import relational
+
+        out = relational.sessionize(SF_DIR)
+        assert_matches_sql(
+            out,
+            con,
+            """WITH d AS (
+                 SELECT user_id,
+                        CASE WHEN lag(ts) OVER w IS NULL
+                                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                             THEN 1 ELSE 0 END AS new_s
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+               )
+               SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+                      COUNT(*) AS n_events
+               FROM d GROUP BY user_id ORDER BY user_id""",
+        )
+
+    def test_hll_within_error_bound(self, ray_session, con):
+        """HyperLogLog at p=12 has ~1.6% std error; assert every
+        per-type estimate lands within 5% of the exact count."""
+        from website_indexer_ray.pipelines import relational
+
+        approx = relational.approx_distinct_users(SF_DIR)
+        exact = dict(
+            con.execute(
+                "SELECT event_type, COUNT(DISTINCT user_id) FROM events "
+                "GROUP BY event_type"
+            ).fetchall()
+        )
+        for etype, est in zip(
+            approx.column("event_type").to_pylist(),
+            approx.column("approx_distinct").to_pylist(),
+        ):
+            true = exact[etype]
+            assert abs(est - true) <= max(3, 0.05 * true), (etype, est, true)
+
     def test_filter_chain(self, ray_session, con):
         from website_indexer_ray.pipelines import relational
 

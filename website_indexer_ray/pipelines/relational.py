@@ -273,6 +273,143 @@ def asof_last_order(sf_dir: str) -> pa.Table:
     return tbl.take(pc.sort_indices(tbl, sort_keys=[("event_id", "ascending")]))
 
 
+def sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """Session windows over the event stream: a user's events belong
+    to one session until a gap > ``gap_minutes`` (the classic
+    streaming sessionization, expressed per the engine's rule for
+    keyed stateful windows: hash-co-partition on the key with
+    ``groupby(user_id)``, then a vectorized sort + gap-diff inside
+    ``map_groups``). Returns per-user (n_sessions, n_events)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        new_session = g["ts"].diff().isna() | (g["ts"].diff() > gap)
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_sessions": [int(new_session.sum())],
+                "n_events": [len(g)],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return tbl.take(pc.sort_indices(tbl, sort_keys=[("user_id", "ascending")]))
+
+
+class _HLL:
+    """HyperLogLog sketch (Flajolet et al. 2007), 2^p registers —
+    partial-mergeable, so per-batch sketches combine with a per-key
+    max instead of shuffling raw values."""
+
+    __slots__ = ("p", "m", "regs")
+
+    def __init__(self, p: int = 12):
+        import numpy as np
+
+        self.p = p
+        self.m = 1 << p
+        self.regs = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, hashes) -> None:
+        import numpy as np
+
+        h = np.asarray(hashes, dtype=np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
+        # rank = leading zeros of the remaining bits + 1
+        ranks = np.zeros(len(h), dtype=np.uint8)
+        mask = np.uint64(1) << np.uint64(63)
+        cur = rest.copy()
+        rank = np.ones(len(h), dtype=np.uint8)
+        for _ in range(64 - self.p + 1):
+            top = (cur & mask) != 0
+            ranks = np.where((ranks == 0) & top, rank, ranks)
+            cur = cur << np.uint64(1)
+            rank = rank + 1
+        np.maximum.at(self.regs, idx, ranks)
+
+    def merge(self, other: "_HLL") -> None:
+        import numpy as np
+
+        np.maximum(self.regs, other.regs, out=self.regs)
+
+    def estimate(self) -> int:
+        import numpy as np
+
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.regs.astype(np.float64))
+        zeros = int(np.sum(self.regs == 0))
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        return int(round(est))
+
+
+def approx_distinct_users(sf_dir: str, p: int = 12) -> pa.Table:
+    """Approximate distinct user_id per event_type via HyperLogLog:
+    each batch emits one serialized sketch per key (the partial), the
+    driver merges registers with a per-key max — at 100 TB the merge
+    is a tiny groupby over 4 KB sketches, never a shuffle of user ids.
+    Approximate ⇒ rows-only driver check; error bound asserted in
+    pytest against the exact counts."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out_t, out_s = [], []
+        for etype, g in df.groupby("event_type"):
+            sk = _HLL(p)
+            hashes = [
+                int.from_bytes(
+                    hashlib.blake2b(
+                        int(u).to_bytes(8, "little"), digest_size=8
+                    ).digest(),
+                    "big",
+                )
+                for u in g["user_id"].unique()
+            ]
+            sk.add_hashes(hashes)
+            out_t.append(etype)
+            out_s.append(sk.regs.tobytes())
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, type=pa.string()),
+                "sketch": pa.array(out_s, type=pa.binary()),
+            }
+        )
+
+    partials = _to_table(ds.map_batches(partial, batch_format="pyarrow"))
+    import numpy as np
+
+    merged: dict[str, _HLL] = {}
+    for etype, raw in zip(
+        partials.column("event_type").to_pylist(),
+        partials.column("sketch").to_pylist(),
+    ):
+        sk = merged.setdefault(etype, _HLL(p))
+        other = _HLL(p)
+        other.regs = np.frombuffer(raw, dtype=np.uint8).copy()
+        sk.merge(other)
+    keys = sorted(merged)
+    return pa.table(
+        {
+            "event_type": pa.array(keys, type=pa.string()),
+            "approx_distinct": pa.array(
+                [merged[k].estimate() for k in keys], type=pa.int64()
+            ),
+        }
+    )
+
+
 def search_docs_text(sf_dir: str, q: str = "spark merge") -> pa.Table:
     """C1 analog over documents: case-insensitive substring search
     (the reference's icontains, crawler/search.py:57-58) vectorized
