@@ -59,11 +59,12 @@ def _list_any_match(table: pa.Table, list_col: str, qs: list[str]) -> pa.Array:
     match = pc.match_substring(flat, qs[0], ignore_case=True)
     for q in qs[1:]:
         match = pc.or_(match, pc.match_substring(flat, q, ignore_case=True))
-    mask = [False] * table.num_rows
-    for p, m in zip(parents.to_pylist(), match.to_pylist()):
-        if m:
-            mask[p] = True
-    return pa.array(mask, type=pa.bool_())
+    import numpy as np
+
+    mask = np.zeros(table.num_rows, dtype=bool)
+    hit_parents = pc.filter(parents, match).to_numpy(zero_copy_only=False)
+    mask[np.unique(hit_parents)] = True
+    return pa.array(mask)
 
 
 def _explode_matches(
