@@ -359,6 +359,9 @@ class CrawlEngine:
                 if t.num_rows and "n_in" in t.schema.names:
                     n_candidates += sum(t.column("n_in").to_pylist())
 
+        if os.environ.get("WIR_TIMING"):
+            print(f"[timing] gen={g} phaseA={time.monotonic()-t0:.2f}", flush=True)
+        t_b = time.monotonic()
         # ---- phase B: claim barrier + fetch + records checkpoint ----
         fetch_thr = cfg.fetch_driver_threshold
         if cfg.simulate_latency or cfg.politeness_wait > 0:
@@ -401,17 +404,30 @@ class CrawlEngine:
                 budget_handle, counts, claimed_tbl.num_rows,
             )
         else:
+            # Shards return their winners pre-chunked so the fetch
+            # fan-out gets its block count directly from the barrier —
+            # no repartition pass.
+            chunks = 1
+            if cfg.simulate_latency or cfg.politeness_wait > 0:
+                bs_est = max(8, min(8192, -(-n_pending // cfg.fetch_concurrency)))
+                n_blocks = min(1024, -(-n_pending // bs_est))
+                chunks = max(1, -(-n_blocks // cfg.n_seen_shards))
             claimed_ds = ray.data.from_arrow_refs(
-                seen_state.resolve_all(shards, FRONTIER_WITH_METHOD)
+                seen_state.resolve_all(shards, FRONTIER_WITH_METHOD, chunks)
             )
             self._fetch_table_or_ds(
                 None, claimed_ds, records_dir, corpus_ref, cfg_dict,
                 budget_handle, counts, n_pending,
             )
         n_accepted = sum(counts.values())
+        if os.environ.get("WIR_TIMING"):
+            print(f"[timing] gen={g} phaseB={time.monotonic()-t_b:.2f}", flush=True)
 
+        t_s = time.monotonic()
         seen_dir = _gen_dir(self.out, "seen", g)
         seen_state.snapshot_all(shards, seen_dir)
+        if os.environ.get("WIR_TIMING"):
+            print(f"[timing] gen={g} snapshot={time.monotonic()-t_s:.2f}", flush=True)
 
         lineage_row = {
             "crawl_id": self.crawl_id,
@@ -506,9 +522,8 @@ class CrawlEngine:
             # relative to the fetch time they hide.
             slots = cfg.fetch_concurrency
             bs = max(8, min(8192, -(-n_claimed // slots)))
-            n_blocks = min(1024, -(-n_claimed // bs))
-            if n_blocks > cfg.n_seen_shards:
-                claimed_ds = claimed_ds.repartition(n_blocks)
+            # Block fan-out comes from the shards' chunked resolve
+            # (resolve_all chunks_per_shard) — no repartition here.
         if stateless:
             # Task path: Ray reuses warm worker processes across jobs,
             # so there is no per-generation pool spin-up; the corpus
@@ -540,13 +555,19 @@ class CrawlEngine:
                 concurrency=(1, conc) if conc > 1 else 1,
                 num_cpus=cfg.fetch_num_cpus,
             )
+        t_w = time.monotonic()
         records_ds.write_parquet(records_dir)
+        if os.environ.get("WIR_TIMING"):
+            print(f"[timing]   fetch+write={time.monotonic()-t_w:.2f}", flush=True)
+        t_c = time.monotonic()
         # Outcome counts from the written checkpoint (prunes to one
         # dictionary-encoded column; no driver materialization of rows).
         for f in glob.glob(os.path.join(records_dir, "*.parquet")):
             col = pq.read_table(f, columns=["record_type"]).column("record_type")
             for v, n in zip(*_value_counts(col)):
                 counts[v] = counts.get(v, 0) + n
+        if os.environ.get("WIR_TIMING"):
+            print(f"[timing]   counts={time.monotonic()-t_c:.2f}", flush=True)
 
     def _fetch_salted(
         self, claimed_ds, records_dir: str, corpus_ref, cfg_dict, budget_handle

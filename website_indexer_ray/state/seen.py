@@ -102,6 +102,18 @@ class SeenShard:
             return schema.empty_table()
         return pa.Table.from_pylist(winners, schema=schema)
 
+    def resolve_chunks(self, schema, n_chunks: int):
+        """``resolve`` with the winners pre-split into ``n_chunks``
+        tables — called with ``.options(num_returns=n_chunks)`` so each
+        chunk is its own object ref. ``from_arrow_refs`` then starts
+        with n_shards x n_chunks blocks and the fetch stage needs no
+        repartition pass to fan out."""
+        tbl = self.resolve(schema)
+        if n_chunks <= 1:
+            return tbl
+        per = max(1, -(-tbl.num_rows // n_chunks))
+        return tuple(tbl.slice(i * per, per) for i in range(n_chunks))
+
     def claim(self, urls: list[str], hashes: list[int]) -> list[bool]:
         """For each URL: True if this call newly claimed it (it was
         unseen), False if it was already seen. Atomic per shard."""
@@ -197,9 +209,19 @@ def offer_batch(shards: list, batch) -> int:
     return sum(_ray.get(futures))
 
 
-def resolve_all(shards: list, schema):
-    """One resolve ref per shard → feed ray.data.from_arrow_refs."""
-    return [shard.resolve.remote(schema) for shard in shards]
+def resolve_all(shards: list, schema, chunks_per_shard: int = 1):
+    """Winner-table refs (``chunks_per_shard`` per shard) → feed
+    ray.data.from_arrow_refs directly."""
+    if chunks_per_shard <= 1:
+        return [shard.resolve.remote(schema) for shard in shards]
+    refs: list = []
+    for shard in shards:
+        refs.extend(
+            shard.resolve_chunks.options(num_returns=chunks_per_shard).remote(
+                schema, chunks_per_shard
+            )
+        )
+    return refs
 
 
 def claim_batch(shards: list, urls: list[str], hashes: list[int]) -> list[bool]:
