@@ -252,6 +252,22 @@ class TestSyntheticEquality:
         assert key(resumed_records) == key(full_records)
         assert resumed.seen_table().equals(full.seen_table())
 
+    def test_head_domain_equality(self, ray_session, tmp_path, corpus_seeds):
+        """F6/S2: URLs matching head_url_patterns fetch with HEAD —
+        no body, no parse — and the records still match the oracle."""
+        corpus, seeds = corpus_seeds
+        cfg = self._cfg(
+            head_url_patterns=(r"^https://ext0\.example/.*",),
+        )
+        result = run_engine(corpus, seeds, cfg, str(tmp_path / "head"))
+        oracle = crawl_oracle(corpus_to_dict(corpus), [START_URL], cfg)
+        engine_vs_oracle(result, oracle)
+        records = result.records_table().to_pylist()
+        head_rows = [r for r in records if r["url"].startswith("https://ext0.example/")]
+        assert head_rows, "corpus should contain ext0.example URLs"
+        assert all(r["method"] == "HEAD" for r in head_rows)
+        assert all(r["html"] is None for r in head_rows)
+
     def test_robots_exclusion(self, ray_session, tmp_path):
         """respect_robots=True (north_rule component; reference runs
         --no-robots so default-off reproduces its semantics): a
