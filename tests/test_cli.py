@@ -25,6 +25,7 @@ def test_cli_crawl_query_manage(ray_session, tmp_path, capsys):
             "--out", str(out),
             "--crawl-id", "t1",
             "--seen-shards", "2",
+            "--politeness-wait", "0",
         ]
     )
     assert rc == 0

@@ -126,8 +126,15 @@ def main(argv=None) -> int:
     c.add_argument("--crawl-id", default="crawl-0")
     c.add_argument("--max-pages", type=int, default=0)
     c.add_argument("--depth", type=int, default=0)
-    c.add_argument("--politeness-wait", type=float, default=0.0)
-    c.add_argument("--random-wait", action="store_true")
+    # Reference defaults: wpull runs --wait=0.5 --random-wait
+    # (crawler/wpull/crawler.py:36-37); pass --politeness-wait 0 to
+    # disable for synthetic-corpus runs.
+    c.add_argument("--politeness-wait", type=float, default=0.5)
+    c.add_argument(
+        "--random-wait",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+    )
     c.add_argument("--respect-robots", action="store_true")
     c.add_argument("--seen-shards", type=int, default=8)
     c.add_argument("--fetch-concurrency", type=int, default=8)
