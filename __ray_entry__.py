@@ -45,14 +45,16 @@ def _crawl_result(n_pages: int = 120, tag: str = "q"):
 
 
 def entry() -> Any:
-    """Flagship: synthetic-web crawl → interleaved-span docs table."""
-    import ray.data
-
-    from website_indexer_ray.functions.spans import docs_table_from_records
+    """Flagship: synthetic-web crawl → interleaved-span docs table,
+    as a streaming Dataset pipeline over the crawl checkpoint (pruned
+    read, per-batch span construction — never materializes records on
+    the driver)."""
+    from website_indexer_ray.functions.spans import DOC_SOURCE_COLUMNS, docs_table_from_records
 
     result = _crawl_result(n_pages=40, tag="entry")
-    docs = docs_table_from_records(result.records_table())
-    return ray.data.from_arrow(docs)
+    return result.ray_records(columns=DOC_SOURCE_COLUMNS).map_batches(
+        docs_table_from_records, batch_format="pyarrow"
+    )
 
 
 # --- crawl-engine queries (iterative; no SQL equivalent) ------------

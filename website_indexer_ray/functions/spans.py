@@ -59,11 +59,20 @@ def build_spans(
     return spans
 
 
+DOC_SOURCE_COLUMNS = [
+    "record_type", "url", "title", "language", "text",
+    "links", "components", "media",
+]
+
+
 def docs_table_from_records(batch: pa.Table) -> pa.Table:
     """Project page records (RECORDS_SCHEMA) to the docs shape.
 
     Only rows with record_type == "page" produce documents (titleless /
-    skipped rows have no index entry, parser.py:75-76).
+    skipped rows have no index entry, parser.py:75-76). Shaped for
+    direct use as a ``map_batches`` callable over a pruned
+    (``DOC_SOURCE_COLUMNS``) records dataset — the streaming form used
+    by ``entry()``.
     """
     cols = batch.select(
         ["record_type", "url", "title", "language", "text",
