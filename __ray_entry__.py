@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textops.lang_id,
         "fingerprint": textops.fingerprint,
         "minhash_lsh_pairs": textops.minhash_lsh_pairs,
+        "near_dedup_keep": textops.near_dedup_keep,
         "simhash_pairs": textops.simhash_pairs,
         "ngram_jaccard_pairs": textops.ngram_jaccard_pairs,
         "knn_bruteforce": annops.knn_bruteforce,

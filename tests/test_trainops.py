@@ -114,6 +114,33 @@ class TestTextOps:
         for i in range(5):
             assert (i, 10 + i) in found, f"planted near-dup {i} missed"
 
+    def test_near_dedup_keep(self, ray_session):
+        """Planted duplicate chains collapse to one kept doc per
+        component (the min doc_id), uniques survive."""
+        import pyarrow as pa
+
+        from website_indexer_ray.pipelines import textops
+
+        base = (
+            "the quick brown fox jumps over the lazy dog with lots of "
+            "shared content that makes these documents near duplicates"
+        )
+        texts = [
+            base,                      # 0: kept (component root)
+            base + " tiny suffix",     # 1: dup of 0
+            base + " other suffix",    # 2: dup of 0/1 (chain)
+            "completely different words about finance reports and data "
+            "pipelines nothing shared here at all with the fox story",  # 3
+        ]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(4), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+        kept = textops.near_dedup_keep("", jaccard_threshold=0.5, documents=docs)
+        assert kept.column("doc_id").to_pylist() == [0, 3]
+
     def test_simhash_pairs_hamming(self, ray_session):
         from website_indexer_ray.pipelines import textops
 

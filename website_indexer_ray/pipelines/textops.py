@@ -447,6 +447,50 @@ def minhash_lsh_pairs(
     )
 
 
+def near_dedup_keep(
+    sf_dir: str, jaccard_threshold: float = 0.5, documents: pa.Table | None = None
+) -> pa.Table:
+    """The applied form of near-duplicate detection: MinHash-LSH pairs
+    → connected components (union-find) → keep min(doc_id) per
+    component. This is what a training-data pipeline actually runs —
+    the kept-document list. The union-find runs on the pair list
+    (orders of magnitude smaller than the corpus); at 10^10 docs the
+    components step becomes iterative label propagation over the pair
+    table, same contract."""
+    if documents is not None:
+        doc_ids = documents.column("doc_id").to_pylist()
+    else:
+        import pyarrow.parquet as pq
+
+        doc_ids = (
+            pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+            .column("doc_id")
+            .to_pylist()
+        )
+    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold, documents=documents)
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs.column("doc_a").to_pylist(), pairs.column("doc_b").to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # canonical root = smaller id, so kept doc is min per component
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    dropped = {d for d in parent if find(d) != d}
+    kept = sorted(d for d in doc_ids if d not in dropped)
+    return pa.table({"doc_id": pa.array(kept, type=pa.int64())})
+
+
 # --- SimHash near-dup -----------------------------------------------
 
 def simhash64(text: str) -> int:
