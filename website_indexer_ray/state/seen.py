@@ -37,46 +37,57 @@ class SeenShard:
         self.exact: set[str] = set()
         self.hashes: dict[str, int] = {}
 
-    def offer(self, rows: dict[str, list]) -> int:
-        """Accumulate candidate frontier rows for this generation.
+    def offer(self, tbl) -> int:
+        """Accumulate a candidate-row Arrow table for this generation.
 
         Shards double as hash-partition reducers: concurrent
         ``map_batches`` workers route candidate rows here by
-        ``url_hash % n_shards``; per URL the shard keeps the canonical
-        min-(depth, parent_url, method) row, so within-generation
-        duplicate resolution is deterministic WITHOUT a groupby
-        shuffle. Already-seen URLs are dropped immediately.
+        ``url_hash % n_shards``. The incoming chunk is filtered against
+        the exact seen set and deduped vectorized (pandas isin /
+        drop_duplicates — no per-row Python); per URL the canonical
+        min-(depth, parent_url, method) row wins, finalized across
+        chunks at the resolve barrier, so within-generation duplicate
+        resolution is deterministic WITHOUT a groupby shuffle.
         """
-        pending = getattr(self, "pending", None)
-        if pending is None:
-            pending = self.pending = {}
-        urls = rows["url"]
-        n = 0
-        for i, u in enumerate(urls):
-            if self.filter.contains(rows["url_hash"][i]) and u in self.exact:
-                continue
-            key = (
-                rows["depth"][i],
-                rows["parent_url"][i] or "",
-                rows.get("method", ["GET"] * len(urls))[i] or "GET",
-            )
-            row = {c: rows[c][i] for c in rows}
-            prev = pending.get(u)
-            if prev is None or key < prev[0]:
-                pending[u] = (key, row)
-                n += 1
-        return n
+        chunks = getattr(self, "pending_chunks", None)
+        if chunks is None:
+            chunks = self.pending_chunks = []
+        df = tbl.to_pandas() if not hasattr(tbl, "sort_values") else tbl
+        if "method" not in df.columns:
+            df = df.assign(method="GET")
+        df = df[~df["url"].isin(self.exact)]
+        df = df.sort_values(
+            ["url", "depth", "parent_url", "method"], kind="mergesort"
+        ).drop_duplicates("url", keep="first")
+        if len(df):
+            chunks.append(df)
+        return len(df)
+
+    def _pending_df(self):
+        """Merge offer chunks into the final min-key-deduped,
+        unseen-only pending frame (sorted by url)."""
+        import pandas as pd
+
+        chunks = getattr(self, "pending_chunks", None) or []
+        if not chunks:
+            return None
+        df = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        df = df.sort_values(
+            ["url", "depth", "parent_url", "method"], kind="mergesort"
+        ).drop_duplicates("url", keep="first")
+        df = df[~df["url"].isin(self.exact)]
+        return df if len(df) else None
 
     def pending_table(self) -> list[dict]:
         """Driver-side budget path: expose pending candidates."""
-        pending = getattr(self, "pending", None) or {}
-        return [row for (_k, row) in pending.values()]
-
-    def pending_count(self) -> int:
-        return len(getattr(self, "pending", None) or {})
+        df = self._pending_df()
+        return df.to_dict("records") if df is not None else []
 
     def clear_pending(self) -> None:
-        self.pending = {}
+        self.pending_chunks = []
+
+    def pending_count(self) -> int:
+        return sum(len(c) for c in getattr(self, "pending_chunks", None) or [])
 
     def resolve(self, schema):
         """Claim every pending unseen URL; returns the winners as an
@@ -86,21 +97,18 @@ class SeenShard:
         winner rows never pass through the driver."""
         import pyarrow as pa
 
-        pending = getattr(self, "pending", None) or {}
-        winners = []
-        for u in sorted(pending):
-            _key, row = pending[u]
-            if u in self.exact:
-                continue
-            h = row["url_hash"]
+        df = self._pending_df()
+        self.pending_chunks = []
+        if df is None:
+            return schema.empty_table()
+        for u, h in zip(df["url"], df["url_hash"]):
+            h = int(h)
             self.filter.insert(h)
             self.exact.add(u)
             self.hashes[u] = h
-            winners.append(row)
-        self.pending = {}
-        if not winners:
-            return schema.empty_table()
-        return pa.Table.from_pylist(winners, schema=schema)
+        return pa.Table.from_pandas(
+            df[schema.names], schema=schema, preserve_index=False
+        )
 
     def resolve_chunks(self, schema, n_chunks: int):
         """``resolve`` with the winners pre-split into ``n_chunks``
@@ -194,18 +202,25 @@ def route(urls: list[str], hashes: list[int], n_shards: int) -> dict[int, tuple[
 
 
 def offer_batch(shards: list, batch) -> int:
-    """Route a candidate-row Arrow batch to shards by url_hash."""
+    """Route a candidate-row Arrow batch to shards by url_hash —
+    vectorized routing, Arrow-table slices through the object store
+    (no per-row Python on the send side)."""
+    import numpy as np
     import ray as _ray
 
-    cols = {name: batch.column(name).to_pylist() for name in batch.schema.names}
+    if batch.num_rows == 0:
+        return 0
     n_shards = len(shards)
-    by_shard: dict[int, list[int]] = {}
-    for pos, h in enumerate(cols["url_hash"]):
-        by_shard.setdefault(h % n_shards, []).append(pos)
+    batch = batch.combine_chunks()
+    shard_of = (
+        batch.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        % np.uint64(n_shards)
+    )
     futures = []
-    for s, positions in by_shard.items():
-        rows = {name: [cols[name][p] for p in positions] for name in cols}
-        futures.append(shards[s].offer.remote(rows))
+    for s in range(n_shards):
+        idx = np.flatnonzero(shard_of == s)
+        if len(idx):
+            futures.append(shards[s].offer.remote(batch.take(pa.array(idx))))
     return sum(_ray.get(futures))
 
 
