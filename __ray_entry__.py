@@ -128,6 +128,36 @@ def _crawl_lineage(sf_dir: str):
     return _crawl_result().lineage_table()
 
 
+def _crawl_near_dup(sf_dir: str):
+    """Pipeline composition: crawl output → near-duplicate keep list
+    (the crawl's templated pages are natural near-dups). Deterministic:
+    doc ids assigned over url-sorted pages."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from website_indexer_ray.pipelines import textops
+
+    rec = _crawl_result().records_table()
+    pages = rec.filter(
+        pc.and_(
+            pc.equal(rec.column("record_type"), "page"),
+            pc.is_valid(rec.column("text")),  # titled but body-less pages
+        )
+    )
+    pages = pages.take(
+        pc.sort_indices(pages, sort_keys=[("url", "ascending")])
+    )
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(pages.num_rows), type=pa.int64()),
+            "text": pages.column("text"),
+        }
+    )
+    kept = textops.near_dedup_keep("", jaccard_threshold=0.8, documents=docs)
+    urls = pages.column("url").take(kept.column("doc_id"))
+    return pa.table({"url": urls})
+
+
 def _search_title(sf_dir: str):
     from website_indexer_ray.pipelines import query
 
@@ -179,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_components": _crawl_components,
         "crawl_links": _crawl_links,
         "crawl_lineage": _crawl_lineage,
+        "crawl_near_dup_keep": _crawl_near_dup,
         # viewer searches (C1, J2, J3 — rows-only, over crawl output)
         "search_title": _search_title,
         "search_url": _search_url,
