@@ -303,6 +303,24 @@ class TestSyntheticEquality:
         assert records["http://localhost:8000/child/?page=2"]["record_type"] == "robots_excluded"
         assert records["http://localhost:8000/child/"]["title"] is None
 
+    def test_all_features_interaction(self, ray_session, tmp_path, corpus_seeds):
+        """Politeness + salted host partitioning + robots cache (no
+        robots.txt in corpus => allow-all) + budget + depth cap all at
+        once — feature interactions must not change the record set."""
+        corpus, seeds = corpus_seeds
+        cfg = self._cfg(
+            politeness_wait=0.005,
+            random_wait=True,
+            salt_partitions=4,
+            respect_robots=True,
+            max_pages=25,
+            depth=3,
+        )
+        result = run_engine(corpus, seeds, cfg, str(tmp_path / "allon"))
+        oracle = crawl_oracle(corpus_to_dict(corpus), [START_URL], cfg)
+        assert len(oracle.seen) == 25
+        engine_vs_oracle(result, oracle)
+
     def test_lineage(self, ray_session, tmp_path, corpus_seeds):
         corpus, seeds = corpus_seeds
         cfg = self._cfg()
