@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": textops.fingerprint,
         "minhash_lsh_pairs": textops.minhash_lsh_pairs,
         "near_dedup_keep": textops.near_dedup_keep,
+        "paragraph_dedup": textops.paragraph_dedup,
         "simhash_pairs": textops.simhash_pairs,
         "ngram_jaccard_pairs": textops.ngram_jaccard_pairs,
         "knn_bruteforce": annops.knn_bruteforce,
@@ -332,6 +333,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id FROM documents
             GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
             ORDER BY doc_id
+        """,
+        "paragraph_dedup": """
+            WITH p AS (
+                SELECT doc_id, unnest(string_split(text, '. ')) AS para
+                FROM documents
+            ), d AS (
+                SELECT para, COUNT(*) AS c FROM p GROUP BY para
+            )
+            SELECT p.doc_id, COUNT(*) AS n_paragraphs,
+                   CAST(SUM(CASE WHEN d.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_paragraphs
+            FROM p JOIN d USING (para)
+            GROUP BY p.doc_id ORDER BY p.doc_id
         """,
         "token_count": """
             SELECT doc_id,

@@ -114,6 +114,24 @@ class TestTextOps:
         for i in range(5):
             assert (i, 10 + i) in found, f"planted near-dup {i} missed"
 
+    def test_paragraph_dedup(self, ray_session, con):
+        from website_indexer_ray.pipelines import textops
+
+        out = textops.paragraph_dedup(SF_DIR)
+        assert_matches_sql(
+            out,
+            con,
+            """WITH p AS (
+                 SELECT doc_id, unnest(string_split(text, '. ')) AS para
+                 FROM documents
+               ), d AS (SELECT para, COUNT(*) AS c FROM p GROUP BY para)
+               SELECT p.doc_id, COUNT(*) AS n_paragraphs,
+                      CAST(SUM(CASE WHEN d.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                          AS n_dup_paragraphs
+               FROM p JOIN d USING (para)
+               GROUP BY p.doc_id ORDER BY p.doc_id""",
+        )
+
     def test_near_dedup_keep(self, ray_session):
         """Planted duplicate chains collapse to one kept doc per
         component (the min doc_id), uniques survive."""

@@ -447,6 +447,69 @@ def minhash_lsh_pairs(
     )
 
 
+def paragraph_dedup(sf_dir: str) -> pa.Table:
+    """Paragraph-level exact dedup stats: per document, how many of
+    its '. '-delimited segments also appear elsewhere in the corpus
+    (boilerplate detection — the segment-granularity member of the
+    dedup family). Two passes, both map_batches: (1) per-batch
+    (doc, segment-hash) explode with a per-batch partial count,
+    merged into the global per-hash count; (2) per-doc counting
+    against the broadcast duplicate-hash set. Only 8-byte hashes
+    shuffle/broadcast, never segment text."""
+    ds = read_documents(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_doc, out_h = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for seg in text.split(". "):
+                out_doc.append(doc_id)
+                out_h.append(_content_hash64(seg) & 0x7FFFFFFFFFFFFFFF)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "seg_hash": pa.array(out_h, type=pa.int64()),
+            }
+        )
+
+    pairs = _to_table(ds.map_batches(explode, batch_format="pyarrow"))
+    counts = (
+        pairs.select(["seg_hash"])
+        .group_by("seg_hash")
+        .aggregate([([], "count_all")])
+    )
+    dup_set = set(
+        counts.filter(pc.greater(counts.column("count_all"), 1))
+        .column("seg_hash")
+        .to_pylist()
+    )
+    import numpy as np
+
+    doc_np = pairs.column("doc_id").to_numpy()
+    dup_mask = np.fromiter(
+        (h in dup_set for h in pairs.column("seg_hash").to_pylist()),
+        dtype=bool,
+        count=pairs.num_rows,
+    )
+    order = np.argsort(doc_np, kind="stable")
+    docs_sorted = doc_np[order]
+    bounds = np.flatnonzero(np.diff(docs_sorted)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(docs_sorted)]))
+    out_doc = docs_sorted[starts]
+    n_paras = ends - starts
+    dup_sorted = dup_mask[order]
+    n_dups = np.array([int(dup_sorted[s:e].sum()) for s, e in zip(starts, ends)])
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, type=pa.int64()),
+            "n_paragraphs": pa.array(n_paras, type=pa.int64()),
+            "n_dup_paragraphs": pa.array(n_dups, type=pa.int64()),
+        }
+    )
+
+
 def near_dedup_keep(
     sf_dir: str, jaccard_threshold: float = 0.5, documents: pa.Table | None = None
 ) -> pa.Table:
