@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": textops.minhash_lsh_pairs,
         "near_dedup_keep": textops.near_dedup_keep,
         "paragraph_dedup": textops.paragraph_dedup,
+        "vocab_top_tokens": textops.vocab_top_tokens,
         "simhash_pairs": textops.simhash_pairs,
         "ngram_jaccard_pairs": textops.ngram_jaccard_pairs,
         "knn_bruteforce": annops.knn_bruteforce,
@@ -333,6 +334,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id FROM documents
             GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
             ORDER BY doc_id
+        """,
+        "vocab_top_tokens": """
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+                  FROM documents)
+            GROUP BY token ORDER BY n DESC, token LIMIT 100
         """,
         "paragraph_dedup": """
             WITH p AS (

@@ -447,6 +447,40 @@ def minhash_lsh_pairs(
     )
 
 
+def vocab_top_tokens(sf_dir: str, k: int = 100) -> pa.Table:
+    """Corpus vocabulary top-k: per-batch token Counters (the partial
+    combiner — token counts shrink ~1000x before leaving the task),
+    merged driver-side, deterministic (count desc, token asc) top-k.
+    At 10^12 tokens the merge becomes a hash-partitioned groupby over
+    the per-batch partials; the partial pass is identical."""
+    from collections import Counter
+
+    token_re = re.compile(r"[a-z0-9]+")
+    ds = read_documents(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(token_re.findall(t.lower()))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), type=pa.string()),
+                "n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    partials = _to_table(ds.map_batches(partial, batch_format="pyarrow"))
+    merged = (
+        partials.group_by("token")
+        .aggregate([("n", "sum")])
+        .rename_columns(["token", "n"])
+    )
+    order = pc.sort_indices(
+        merged, sort_keys=[("n", "descending"), ("token", "ascending")]
+    )
+    return merged.take(order.slice(0, k))
+
+
 def paragraph_dedup(sf_dir: str) -> pa.Table:
     """Paragraph-level exact dedup stats: per document, how many of
     its '. '-delimited segments also appear elsewhere in the corpus
