@@ -176,6 +176,59 @@ class TestStatsPaginationCsv:
         assert lines[1] == "https://example.com/file.xlsx,404,http://localhost:8000/"
 
 
+class TestSampleSiteCSVConformance:
+    """Byte-level CSV parity with the reference's recorded sample-site
+    assertions (viewer/tests/test_views.py:85-126): exact headers,
+    rows, BOM, CRLF; empty-q searches still dispatch (the components
+    CSV with no q is the joined row set, views.py:113-132)."""
+
+    @pytest.fixture(scope="class")
+    def records(self, ray_session, tmp_path_factory):
+        from website_indexer_ray.config import CrawlConfig
+        from website_indexer_ray.fixtures.gen import SAMPLE_START_URL, sample_site_corpus
+        from website_indexer_ray.pipelines.engine import CrawlEngine
+
+        corpus, seeds = sample_site_corpus()
+        cfg = CrawlConfig(start_url=SAMPLE_START_URL, n_seen_shards=2)
+        out = str(tmp_path_factory.mktemp("csv_conformance"))
+        return CrawlEngine(cfg, out).run(corpus, seeds).records_table()
+
+    def _csv_rows(self, table, kind):
+        _name, data = query.to_csv_bytes(table, kind)
+        assert data.startswith(b"\xef\xbb\xbf")
+        return data[3:].split(b"\r\n")[:-1]
+
+    def test_pages_csv(self, records):
+        out = query.search_pages(records)
+        rows = self._csv_rows(out, "pages")
+        assert len(rows) == 4  # test_views.py:87
+        assert rows[0] == b"url,title,language"
+        assert rows[1] == b"http://localhost:8000/,Sample homepage,en"
+
+    def test_components_csv_empty_q(self, records):
+        out = query.search_pages(records, "components", "", include_related=True)
+        rows = self._csv_rows(out, "pages_components")
+        assert rows == [  # test_views.py:100-108
+            b"url,title,language,class_name",
+            b"http://localhost:8000/,Sample homepage,en,o-sample",
+        ]
+
+    def test_links_csv_empty_q(self, records):
+        out = query.search_pages(records, "links", "", include_related=True)
+        rows = self._csv_rows(out, "pages_links")
+        assert len(rows) == 11  # test_views.py:110-116
+        assert rows[0] == b"url,title,language,link_url"
+        assert rows[1] == b"http://localhost:8000/,Sample homepage,en,./file.xlsx"
+
+    def test_errors_csv(self, records):
+        out = query.list_errors(records)
+        rows = self._csv_rows(out, "errors")
+        assert rows == [  # test_views.py:118-126
+            b"url,status_code,referrer",
+            b"https://example.com/file.xlsx,404,http://localhost:8000/",
+        ]
+
+
 class TestManageCrawls:
     def _mk(self, root, name, status):
         d = os.path.join(root, name)

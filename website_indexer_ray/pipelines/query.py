@@ -102,7 +102,11 @@ def search_pages(
     """
     pages = _pages_only(records)
 
-    if not q or search_type not in SEARCH_TYPES:
+    # Dispatch mirrors views.py:113-132: a valid search_type runs its
+    # search even with an empty q (icontains "" matches everything —
+    # the reference's components/links CSVs with no q are the joined
+    # row sets); only a missing/invalid search_type is search_empty.
+    if search_type not in SEARCH_TYPES:
         out = pages.select(PAGE_VALUES)  # search_empty, search.py:49-50
     elif search_type in ("title", "url", "text", "html"):
         colname = search_type
