@@ -77,6 +77,13 @@ class TestSearch:
         # direct match on /child/?page=2 hrefs
         assert out.num_rows >= 1
 
+    def test_language_filter(self, records):
+        """Page views' filterset_fields=["language"] (views.py:109)."""
+        en = query.search_pages(records, language="en")
+        assert en.num_rows == query.search_pages(records).num_rows  # all en
+        assert set(en.column("language").to_pylist()) == {"en"}
+        assert query.search_pages(records, language="fr").num_rows == 0
+
     def test_no_match(self, records):
         assert query.search_pages(records, "title", "zzz-nope").num_rows == 0
 

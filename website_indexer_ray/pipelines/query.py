@@ -93,14 +93,18 @@ def search_pages(
     search_type: str = "",
     q: str = "",
     include_related: bool = False,
+    language: str | None = None,
 ) -> pa.Table:
     """The six search types (search.py:10-66; dispatch views.py:113-132).
 
     Returns [timestamp, url, title, language] (+ class_name/link_url
     when ``include_related``, the CSV variants), sorted by url
-    (models.py:76 default ordering).
+    (models.py:76 default ordering). ``language`` applies the page
+    views' filterset (views.py:109 filterset_fields=["language"]).
     """
     pages = _pages_only(records)
+    if language is not None:
+        pages = pages.filter(pc.equal(pages.column("language"), language))
 
     # Dispatch mirrors views.py:113-132: a valid search_type runs its
     # search even with an empty q (icontains "" matches everything —
