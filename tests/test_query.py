@@ -258,6 +258,10 @@ class TestManageCrawls:
         manage.delete_crawl(root, "c1", dry_run=True)
         assert os.path.exists(os.path.join(root, "c1"))
 
+        # latest-finished scoping (models.py:55-64 default manager)
+        latest = manage.latest_finished(root)
+        assert latest is not None and latest.out.endswith("c3")
+
         deleted = manage.clean_crawls(root, keep=1)
         # keep newest Finished (c3), newest Failed (c2), latest overall
         # Started (c5); delete c1 (old finished) and c4 (stale started).

@@ -35,6 +35,18 @@ def list_crawls(root: str) -> list[dict]:
     return sorted(_load(root), key=lambda r: r["_name"], reverse=True)
 
 
+def latest_finished(root: str):
+    """The crawl every viewer query is implicitly scoped to — the most
+    recent Finished crawl (the reference's default manager,
+    crawler/models.py:55-64). Returns a CrawlResult or None."""
+    from website_indexer_ray.pipelines.engine import CrawlResult
+
+    for rec in list_crawls(root):
+        if rec["status"] == "Finished":
+            return CrawlResult(rec["_dir"], rec.get("crawl_id", rec["_name"]))
+    return None
+
+
 def delete_crawl(root: str, name: str, dry_run: bool = False) -> bool:
     """Delete one crawl and all its rows (FK CASCADE equivalent,
     models.py:68-70)."""
