@@ -157,6 +157,33 @@ class TestStatsPaginationCsv:
         page2 = query.paginate(table, page_number=2, page_size=2)
         assert len(page2["results"]) == 1
 
+    def test_results_summary(self):
+        """Byte-identical wording vs templatetags/viewer.py:14-40."""
+        assert query.results_summary(0) == "There are no indexed pages"
+        assert query.results_summary(1) == "Showing all 1 indexed page"
+        assert query.results_summary(1234) == "Showing all 1,234 indexed pages"
+        assert (
+            query.results_summary(2, "title", "foo")
+            == '2 pages with "foo" in the page title'
+        )
+        assert (
+            query.results_summary(0, "links", "bar")
+            == 'No pages with "bar" in link URLs'
+        )
+        long_q = "x" * 30
+        assert (
+            query.results_summary(1, "text", long_q)
+            == f'1 page with "{"x" * 24}..." in full text'
+        )
+
+    def test_format_datetime(self):
+        import datetime
+
+        dt = datetime.datetime(2024, 9, 11, 16, 41, 20, tzinfo=datetime.timezone.utc)
+        assert query.format_datetime(dt) == "Sept. 11, 2024, 4:41 p.m. UTC"
+        dt2 = datetime.datetime(2024, 3, 1, 0, 5, 0, tzinfo=datetime.timezone.utc)
+        assert query.format_datetime(dt2) == "March 1, 2024, 12:05 a.m. UTC"
+
     def test_title_suffix_strip(self):
         t = pa.table(
             {"title": ["Foo | Consumer Financial Protection Bureau", "Bar"]}

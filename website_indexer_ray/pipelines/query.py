@@ -240,6 +240,53 @@ def paginate(table: pa.Table, page_number: int = 1, page_size: int = PAGE_SIZE) 
     }
 
 
+_SEARCH_NAMES = {
+    "title": "the page title",
+    "url": "the page URL",
+    "components": "components",
+    "links": "link URLs",
+    "text": "full text",
+    "html": "page HTML",
+}  # templatetags/viewer.py:28-35
+
+
+def _intcomma(n: int) -> str:
+    return f"{n:,}"
+
+
+def results_summary(
+    count: int, search_type: str = "", q: str = "", truncate_q_at: int = 24
+) -> str:
+    """The viewer's results-summary line
+    (viewer/templatetags/viewer.py:14-40), byte-identical wording."""
+    plural = "" if count == 1 else "s"
+    if not q or not search_type:
+        if not count:
+            return "There are no indexed pages"
+        return f"Showing all {_intcomma(count)} indexed page{plural}"
+    search_name = _SEARCH_NAMES[search_type]
+    count_str = _intcomma(count) if count else "No"
+    truncated_q = f"{q[:truncate_q_at]}..." if len(q) > truncate_q_at else q
+    return f'{count_str} page{plural} with "{truncated_q}" in {search_name}'
+
+
+def format_datetime(dt) -> str:
+    """Django ``date(dt, "N j, Y, g:i a T")`` formatting
+    (templatetags/viewer.py:9-11): abbreviated month (Django style,
+    e.g. "Sept."), no zero-padded day/hour, lowercase a.m./p.m."""
+    months = [
+        "Jan.", "Feb.", "March", "April", "May", "June", "July",
+        "Aug.", "Sept.", "Oct.", "Nov.", "Dec.",
+    ]
+    hour12 = dt.hour % 12 or 12
+    ampm = "a.m." if dt.hour < 12 else "p.m."
+    tz = dt.tzname() or "UTC"
+    return (
+        f"{months[dt.month - 1]} {dt.day}, {dt.year}, "
+        f"{hour12}:{dt.minute:02d} {ampm} {tz}"
+    )
+
+
 # --- CSV export (S6: views.py:38-76, serializers.py csv_header) -----
 
 CSV_HEADERS = {
