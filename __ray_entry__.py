@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_keep": textops.near_dedup_keep,
         "paragraph_dedup": textops.paragraph_dedup,
         "vocab_top_tokens": textops.vocab_top_tokens,
+        "length_filter": textops.length_filter,
         "simhash_pairs": textops.simhash_pairs,
         "ngram_jaccard_pairs": textops.ngram_jaccard_pairs,
         "knn_bruteforce": annops.knn_bruteforce,
@@ -333,6 +334,12 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT MIN(doc_id) AS doc_id FROM documents
             GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+            ORDER BY doc_id
+        """,
+        "length_filter": """
+            SELECT doc_id FROM documents
+            WHERE length(regexp_extract_all(text, '\\w+|[^\\w\\s]'))
+                  BETWEEN 20 AND 1000
             ORDER BY doc_id
         """,
         "vocab_top_tokens": """

@@ -447,6 +447,26 @@ def minhash_lsh_pairs(
     )
 
 
+def length_filter(
+    sf_dir: str, min_tokens: int = 20, max_tokens: int = 1000
+) -> pa.Table:
+    """Token-count document filter (the standard cleaning gate: drop
+    too-short and too-long documents). Pure per-batch predicate —
+    tokenize, count, filter — emitting only kept doc_ids."""
+    ds = read_documents(sf_dir)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        kept = [
+            d
+            for d, t in zip(ids, batch.column("text").to_pylist())
+            if min_tokens <= len(_TOKEN_RE.findall(t)) <= max_tokens
+        ]
+        return pa.table({"doc_id": pa.array(kept, type=pa.int64())})
+
+    return _collect_sorted(ds.map_batches(keep, batch_format="pyarrow"), "doc_id")
+
+
 def vocab_top_tokens(sf_dir: str, k: int = 100) -> pa.Table:
     """Corpus vocabulary top-k: per-batch token Counters (the partial
     combiner — token counts shrink ~1000x before leaving the task),
