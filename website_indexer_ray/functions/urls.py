@@ -22,6 +22,7 @@ Two profiles:
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from urllib.parse import parse_qsl, urlencode, urljoin, urlsplit, urlunsplit
 
 from website_indexer_ray.functions.xxh import xxh64
@@ -30,6 +31,7 @@ _DEFAULT_PORTS = {"http": 80, "https": 443}
 _TRACKING_RE = re.compile(r"^(utm_|fbclid$|gclid$|mc_cid$|mc_eid$)")
 
 
+@lru_cache(maxsize=1 << 16)
 def canonicalize(
     url: str,
     base: str | None = None,
@@ -39,6 +41,11 @@ def canonicalize(
 
     Returns None for non-http(s) or unparseable URLs (mailto:,
     javascript:, tel:, malformed) — those never enter the frontier.
+
+    Memoized (pure function): the same hrefs — nav bars, footers,
+    listing links — recur across thousands of pages within a worker,
+    so the per-process cache turns repeat canonicalizations into dict
+    hits.
     """
     if base:
         try:
@@ -77,11 +84,15 @@ def canonicalize(
     return urlunsplit((scheme, netloc, path, query, ""))
 
 
+@lru_cache(maxsize=1 << 16)
 def url_hash(url: str) -> int:
-    """Stable unsigned 64-bit hash of a canonical URL (xxh64)."""
+    """Stable unsigned 64-bit hash of a canonical URL (xxh64, memoized
+    — the pure-python reference implementation costs ~5us/URL and hot
+    URLs repeat heavily within a worker)."""
     return xxh64(url)
 
 
+@lru_cache(maxsize=1 << 16)
 def hostname_with_port(url: str) -> str:
     """Host[:explicit-port] — mirrors wpull URLInfo.hostname_with_port
     equality checks in the reference plugin (plugin.py:115-119,129,260)."""
