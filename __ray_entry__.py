@@ -128,6 +128,52 @@ def _crawl_lineage(sf_dir: str):
     return _crawl_result().lineage_table()
 
 
+def _crawl_media_features(sf_dir: str):
+    """Pipeline composition: crawled docs' media spans (the <img> srcs
+    the reference's parser drops, kept as kind="media" spans) → opaque
+    payload rows → actor-style feature extraction (stub decode). The
+    multimodal leg of the interleaved-document model."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from website_indexer_ray.functions.spans import docs_table_from_records
+    from website_indexer_ray.pipelines.multimodal import MediaFeatureStage
+
+    docs = docs_table_from_records(_crawl_result().records_table())
+    rows = []
+    for i, (doc_id, spans) in enumerate(
+        zip(docs.column("doc_id").to_pylist(), docs.column("spans").to_pylist())
+    ):
+        for s in spans:
+            if s["kind"] == "media":
+                payload = f"{doc_id}::{s['media_ref']}".encode()
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "url": doc_id,
+                        "media_ref": s["media_ref"],
+                        "payload": payload,
+                        "n_bytes": len(payload),
+                    }
+                )
+    if not rows:
+        return pa.table({"url": [], "media_ref": [], "n_frames": []})
+    batch = pa.Table.from_pylist(rows)
+    feats = MediaFeatureStage()(batch)
+    out = pa.table(
+        {
+            "url": batch.column("url"),
+            "media_ref": batch.column("media_ref"),
+            "n_frames": feats.column("n_frames"),
+        }
+    )
+    return out.take(
+        pc.sort_indices(
+            out, sort_keys=[("url", "ascending"), ("media_ref", "ascending")]
+        )
+    )
+
+
 def _crawl_near_dup(sf_dir: str):
     """Pipeline composition: crawl output → near-duplicate keep list
     (the crawl's templated pages are natural near-dups). Deterministic:
@@ -210,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_links": _crawl_links,
         "crawl_lineage": _crawl_lineage,
         "crawl_near_dup_keep": _crawl_near_dup,
+        "crawl_media_features": _crawl_media_features,
         # viewer searches (C1, J2, J3 — rows-only, over crawl output)
         "search_title": _search_title,
         "search_url": _search_url,
