@@ -42,6 +42,25 @@ def test_cli_crawl_query_manage(ray_session, tmp_path, capsys):
     assert page["count"] >= 1
     assert all("Section" in r["title"] for r in page["results"])
 
+    rc = main(["page", "--out", str(out), "--url", "https://test.example/"])
+    assert rc == 0
+    detail = json.loads(capsys.readouterr().out)
+    assert detail["title"].startswith("Home")
+
+    rc = main(["page", "--out", str(out), "--url", "https://nope.example/"])
+    assert rc == 4  # RetrieveAPIView 404 analog
+    capsys.readouterr()
+
+    rc = main(["list", "errors", "--out", str(out), "--status-code", "404"])
+    assert rc == 0
+    err_rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert err_rows and all(r["status_code"] == 404 for r in err_rows)
+
+    rc = main(["list", "components", "--out", str(out)])
+    assert rc == 0
+    comps = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert comps == sorted(comps, key=lambda r: r["class_name"])
+
     rc = main(["manage", "list", "--root", str(tmp_path / "root")])
     assert rc == 0
     rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]

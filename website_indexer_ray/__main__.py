@@ -99,6 +99,43 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_page(args) -> int:
+    """Exact-URL page detail (viewer/views.py:151-159); exit 4 when
+    absent (the RetrieveAPIView's 404)."""
+    from website_indexer_ray.pipelines import query
+    from website_indexer_ray.pipelines.engine import CrawlResult
+
+    records = CrawlResult(args.out).records_table()
+    row = query.page_detail(records, args.url)
+    if row is None:
+        print(json.dumps({"detail": "Not found."}))
+        return 4
+    print(json.dumps(row, default=str))
+    return 0
+
+
+def cmd_list(args) -> int:
+    """components/errors/redirects list views (viewer/urls.py:8-10)
+    with their status_code filters; JSON lines or CSV."""
+    from website_indexer_ray.pipelines import query
+    from website_indexer_ray.pipelines.engine import CrawlResult
+
+    records = CrawlResult(args.out).records_table()
+    if args.kind == "components":
+        table = query.list_components(records)
+    elif args.kind == "errors":
+        table = query.list_errors(records, status_code=args.status_code)
+    else:
+        table = query.list_redirects(records, status_code=args.status_code)
+    if args.format == "csv":
+        _name, data = query.to_csv_bytes(table, args.kind)
+        sys.stdout.buffer.write(data)
+    else:
+        for row in table.to_pylist():
+            print(json.dumps(row, default=str))
+    return 0
+
+
 def cmd_manage(args) -> int:
     from website_indexer_ray.pipelines import manage
 
@@ -148,6 +185,18 @@ def main(argv=None) -> int:
     q.add_argument("--format", choices=["json", "csv"], default="json")
     q.add_argument("--page", type=int, default=1)
     q.set_defaults(fn=cmd_query)
+
+    pg = sub.add_parser("page")
+    pg.add_argument("--out", required=True)
+    pg.add_argument("--url", required=True)
+    pg.set_defaults(fn=cmd_page)
+
+    ls = sub.add_parser("list")
+    ls.add_argument("kind", choices=["components", "errors", "redirects"])
+    ls.add_argument("--out", required=True)
+    ls.add_argument("--status-code", type=int)
+    ls.add_argument("--format", choices=["json", "csv"], default="json")
+    ls.set_defaults(fn=cmd_list)
 
     m = sub.add_parser("manage")
     m.add_argument("action", choices=["list", "delete", "clean"])
