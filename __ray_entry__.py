@@ -128,6 +128,27 @@ def _crawl_lineage(sf_dir: str):
     return _crawl_result().lineage_table()
 
 
+def _crawl_stats(sf_dir: str):
+    """A1: Count/Min/Max(timestamp) crawl stats
+    (viewer/context_processors.py:6-27) as a one-row table."""
+    import pyarrow as pa
+
+    from website_indexer_ray.pipelines import query
+
+    s = query.crawl_stats(_crawl_result().records_table())
+    return pa.table(
+        {
+            "count": pa.array([s["count"]], type=pa.int64()),
+            "start": pa.array([str(s["start"])], type=pa.string()),
+            "end": pa.array([str(s["end"])], type=pa.string()),
+            "duration_us": pa.array(
+                [int(s["duration"].total_seconds() * 1e6) if s["duration"] is not None else 0],
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
 def _crawl_media_features(sf_dir: str):
     """Pipeline composition: crawled docs' media spans (the <img> srcs
     the reference's parser drops, kept as kind="media" spans) → opaque
@@ -257,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_lineage": _crawl_lineage,
         "crawl_near_dup_keep": _crawl_near_dup,
         "crawl_media_features": _crawl_media_features,
+        "crawl_stats": _crawl_stats,
         # viewer searches (C1, J2, J3 — rows-only, over crawl output)
         "search_title": _search_title,
         "search_url": _search_url,
