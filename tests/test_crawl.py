@@ -303,6 +303,23 @@ class TestSyntheticEquality:
         assert records["http://localhost:8000/child/?page=2"]["record_type"] == "robots_excluded"
         assert records["http://localhost:8000/child/"]["title"] is None
 
+    def test_aggressive_profile_equality(self, ray_session, tmp_path, corpus_seeds):
+        """canonical_profile="aggressive" (tracking-param strip, query
+        sort, trailing-slash normalization) end-to-end: engine and
+        oracle share the canonicalizer, so the crawl under the
+        alternate URL identity is still record-identical — and differs
+        from the reference profile (slash-normalized old-K URLs hit
+        their targets directly instead of redirecting)."""
+        corpus, seeds = corpus_seeds
+        cfg = self._cfg(canonical_profile="aggressive")
+        result = run_engine(corpus, seeds, cfg, str(tmp_path / "aggr"))
+        oracle = crawl_oracle(corpus_to_dict(corpus), [START_URL], cfg)
+        engine_vs_oracle(result, oracle)
+        ref_oracle = crawl_oracle(
+            corpus_to_dict(corpus), [START_URL], self._cfg()
+        )
+        assert oracle.seen != ref_oracle.seen  # the profile changes identity
+
     def test_all_features_interaction(self, ray_session, tmp_path, corpus_seeds):
         """Politeness + salted host partitioning + robots cache (no
         robots.txt in corpus => allow-all) + budget + depth cap all at
