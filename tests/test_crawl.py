@@ -338,6 +338,32 @@ class TestSyntheticEquality:
         assert len(oracle.seen) == 25
         engine_vs_oracle(result, oracle)
 
+    def test_max_generations_cap(self, ray_session, tmp_path, corpus_seeds):
+        corpus, seeds = corpus_seeds
+        cfg = self._cfg(max_generations=2)
+        result = run_engine(corpus, seeds, cfg, str(tmp_path / "gencap"))
+        lineage = result.lineage_table()
+        assert lineage.num_rows == 2
+        full = crawl_oracle(corpus_to_dict(corpus), [START_URL], self._cfg())
+        assert result.records_table().num_rows < len(full.seen)
+        assert result.status()["status"] == "Finished"
+
+    def test_invalid_seed_empty_crawl(self, ray_session, tmp_path, corpus_seeds):
+        """A seed the canonicalizer rejects (mailto:) produces an empty
+        Finished crawl, not a crash."""
+        import pyarrow as pa
+
+        from website_indexer_ray.schemas import SEEDS_SCHEMA
+
+        corpus, _seeds = corpus_seeds
+        seeds = pa.Table.from_pylist(
+            [{"url": "mailto:info@test.example", "seed_batch": 0}],
+            schema=SEEDS_SCHEMA,
+        )
+        result = run_engine(corpus, seeds, self._cfg(), str(tmp_path / "noseed"))
+        assert result.records_table().num_rows == 0
+        assert result.status()["status"] == "Finished"
+
     def test_lineage(self, ray_session, tmp_path, corpus_seeds):
         corpus, seeds = corpus_seeds
         cfg = self._cfg()
