@@ -338,6 +338,16 @@ class TestSyntheticEquality:
         assert len(oracle.seen) == 25
         engine_vs_oracle(result, oracle)
 
+    def test_cuckoo_overflow_exact_fallback(self, ray_session, tmp_path, corpus_seeds):
+        """With a filter capacity far below the URL count the cuckoo
+        filter saturates (inserts start failing); the exact set must
+        keep claim semantics — crawl results stay oracle-identical."""
+        corpus, seeds = corpus_seeds
+        cfg = self._cfg(seen_shard_capacity=8)
+        result = run_engine(corpus, seeds, cfg, str(tmp_path / "tinycuckoo"))
+        oracle = crawl_oracle(corpus_to_dict(corpus), [START_URL], cfg)
+        engine_vs_oracle(result, oracle)
+
     def test_max_generations_cap(self, ray_session, tmp_path, corpus_seeds):
         corpus, seeds = corpus_seeds
         cfg = self._cfg(max_generations=2)

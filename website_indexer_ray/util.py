@@ -1,8 +1,6 @@
 """Small shared helpers for sizing Ray Data stages to the cluster.
 
-``pool`` returns an autoscaling actor-pool concurrency tuple sized to
-the cluster CPU count — a fixed ``concurrency=2`` underuses a 32-CPU
-node and would starve a 256-node cluster. ``read_parquet_parallel``
+``read_parquet_parallel``
 fixes the small-file degenerate case: one small parquet file yields
 ONE block, which serializes every downstream map_batches no matter the
 concurrency; at test/bench scale we override the block count so the
@@ -41,11 +39,6 @@ def cluster_cpus(default: int = 4) -> int:
         return int(ray.cluster_resources().get("CPU", default))
     except Exception:
         return default
-
-
-def pool(frac: float = 0.5, lo: int = 2, hi: int = 32) -> tuple[int, int]:
-    """Autoscaling (min, max) actor-pool size ~ frac of cluster CPUs."""
-    return (1, max(lo, min(hi, int(cluster_cpus() * frac))))
 
 
 def read_parquet_parallel(path: str, columns=None, **kw):
