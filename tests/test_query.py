@@ -157,6 +157,20 @@ class TestStatsPaginationCsv:
         page2 = query.paginate(table, page_number=2, page_size=2)
         assert len(page2["results"]) == 1
 
+    def test_search_pages_ds_equivalence(self, records):
+        """The Dataset-native search (scale path: predicate as
+        map_batches, no driver materialization of the crawl) returns
+        exactly what the table form returns."""
+        import ray.data
+
+        ds = ray.data.from_arrow(records).repartition(3)
+        for st_, q in (("title", "Sample"), ("links", "example"), ("", "")):
+            via_ds = query.search_pages_ds(ds, st_, q).to_pandas()
+            via_tbl = query.search_pages(records, st_, q).to_pandas()
+            assert via_ds.reset_index(drop=True).equals(
+                via_tbl.reset_index(drop=True)
+            ), (st_, q)
+
     def test_results_summary(self):
         """Byte-identical wording vs templatetags/viewer.py:14-40."""
         assert query.results_summary(0) == "There are no indexed pages"

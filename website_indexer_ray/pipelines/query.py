@@ -138,6 +138,30 @@ def search_pages(
     return out.take(pc.sort_indices(out, sort_keys=sort_keys))
 
 
+def search_pages_ds(
+    records_ds,
+    search_type: str = "",
+    q: str = "",
+    include_related: bool = False,
+    language: str | None = None,
+):
+    """Dataset-native form of ``search_pages`` — the scale path: the
+    predicate runs as ``map_batches`` over the records dataset (pruned
+    to the needed columns by the caller's read), so the full crawl —
+    HTML included — never materializes on the driver; only matching
+    projected rows flow to the final url sort. Returns a Dataset.
+    """
+
+    def batch_search(batch: pa.Table) -> pa.Table:
+        out = search_pages(
+            batch, search_type, q, include_related=include_related,
+            language=language,
+        )
+        return out
+
+    return records_ds.map_batches(batch_search, batch_format="pyarrow").sort("url")
+
+
 def strip_title_suffix(table: pa.Table) -> pa.Table:
     """Presentation-side title cleanup (serializers.py:27-35)."""
     titles = [
