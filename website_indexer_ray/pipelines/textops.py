@@ -45,7 +45,6 @@ _WS_RE = re.compile(r"\s+")
 _TOKEN_RE = re.compile(r"\w+|[^\w\s]")  # BPE-ish: words + punct singles
 _WORD_RE = re.compile(r"\S+")
 _PUNCT_RE = re.compile(r"[^\w\s]")
-_UPPER_RE = re.compile(r"[A-Z]")
 _STOP_RE = re.compile(r"\b(the|a|and|of|to|in|is)\b")
 
 
