@@ -21,6 +21,41 @@ from typing import Any
 
 _CRAWL_CACHE: dict[str, Any] = {}
 
+# Flat parquet exports of the deterministic q-120 crawl checkpoint,
+# written where the driver's DuckDB oracle can read_parquet() them.
+# The crawl is a pure function of (n_pages=120, seed=42), so the
+# export is idempotent across processes and orderings — whichever of
+# queries()/oracle_sql() runs first produces identical bytes.
+_ORACLE_DIR = "/tmp/wir_oracle/q-120"
+_ORACLE_RECORDS = f"{_ORACLE_DIR}/records/*.parquet"
+_ORACLE_SEEN = f"{_ORACLE_DIR}/seen/*.parquet"
+_ORACLE_LINEAGE = f"{_ORACLE_DIR}/lineage.parquet"
+
+
+def _ensure_oracle_exports() -> None:
+    """Materialize the crawl checkpoint tables for the DuckDB oracle:
+    records (streamed out via the Dataset path — never collected on
+    the driver), the final seen snapshot (shard files copied as-is),
+    and the lineage table."""
+    import glob
+    import shutil
+
+    marker = os.path.join(_ORACLE_DIR, "_SUCCESS")
+    if os.path.exists(marker):
+        return
+    result = _crawl_result()
+    if os.path.exists(_ORACLE_DIR):
+        shutil.rmtree(_ORACLE_DIR)
+    os.makedirs(os.path.join(_ORACLE_DIR, "seen"), exist_ok=True)
+    result.ray_records().write_parquet(os.path.join(_ORACLE_DIR, "records"))
+    for f in glob.glob(os.path.join(result.seen_dir_latest(), "*.parquet")):
+        shutil.copy(f, os.path.join(_ORACLE_DIR, "seen", os.path.basename(f)))
+    shutil.copy(
+        os.path.join(result.out, "lineage.parquet"), _ORACLE_LINEAGE
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+
 
 def _crawl_result(n_pages: int = 120, tag: str = "q"):
     """Run (once per process) the synthetic-corpus crawl the crawl_*
@@ -57,163 +92,221 @@ def entry() -> Any:
     )
 
 
-# --- crawl-engine queries (iterative; no SQL equivalent) ------------
+# --- crawl-engine queries (Dataset-native over the checkpoint) ------
+#
+# Every entry streams over the crawl checkpoint with pruned columns —
+# no records_table() (full-crawl, HTML-included) materialization on
+# the driver. Each is SQL-verified against the exported checkpoint
+# tables (see _ensure_oracle_exports / oracle_sql).
 
-def _crawl_pages(sf_dir: str):
+_PAGE_VALUES = ["timestamp", "url", "title", "language"]
+
+
+def _search_ds(search_type: str = "", q: str = "", include_related: bool = False):
+    """Pruned-read Dataset search pipeline (query.search_pages_ds)."""
     from website_indexer_ray.pipelines import query
 
-    records = _crawl_result().records_table()
-    out = query.search_pages(records)  # all pages, url-sorted
-    return out
+    extra = {
+        "text": ["text"], "html": ["html"],
+        "components": ["components"], "links": ["links"],
+    }.get(search_type, [])
+    ds = _crawl_result().ray_records(
+        columns=["record_type", *_PAGE_VALUES, *extra]
+    )
+    return query.search_pages_ds(
+        ds, search_type, q, include_related=include_related
+    )
+
+
+def _crawl_pages(sf_dir: str):
+    return _search_ds()  # all pages, url-sorted
 
 
 def _crawl_errors(sf_dir: str):
     from website_indexer_ray.pipelines import query
 
-    return query.list_errors(_crawl_result().records_table())
+    ds = _crawl_result().ray_records(
+        columns=["record_type", "timestamp", "url", "status_code", "referrer"]
+    )
+    return ds.map_batches(query.list_errors, batch_format="pyarrow").sort("url")
 
 
 def _crawl_redirects(sf_dir: str):
     from website_indexer_ray.pipelines import query
 
-    return query.list_redirects(_crawl_result().records_table())
+    ds = _crawl_result().ray_records(
+        columns=[
+            "record_type", "timestamp", "url", "status_code",
+            "referrer", "location",
+        ]
+    )
+    return ds.map_batches(query.list_redirects, batch_format="pyarrow").sort("url")
 
 
 def _crawl_seen(sf_dir: str):
-    return _crawl_result().seen_table()
+    return _crawl_result().ray_seen().sort("url")
 
 
 def _crawl_docs(sf_dir: str):
-    from website_indexer_ray.functions.spans import docs_table_from_records
+    """Interleaved-span docs, flattened to one row per span —
+    vectorized flatten (pc.list_flatten / list_parent_indices), no
+    per-row Python."""
+    from website_indexer_ray.functions.spans import (
+        DOC_SOURCE_COLUMNS,
+        docs_table_from_records,
+        flatten_spans,
+    )
 
-    docs = docs_table_from_records(_crawl_result().records_table())
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    # flatten spans for a hashable tabular shape
-    flat_doc, flat_kind, flat_text, flat_ref, flat_off = [], [], [], [], []
-    for doc_id, spans in zip(
-        docs.column("doc_id").to_pylist(), docs.column("spans").to_pylist()
-    ):
-        for s in spans:
-            flat_doc.append(doc_id)
-            flat_kind.append(s["kind"])
-            flat_text.append(s["text"])
-            flat_ref.append(s["media_ref"])
-            flat_off.append(s["offset"])
-    return pa.table(
-        {
-            "doc_id": flat_doc,
-            "kind": flat_kind,
-            "text": flat_text,
-            "media_ref": flat_ref,
-            "offset": flat_off,
-        }
+    return (
+        _crawl_result()
+        .ray_records(columns=DOC_SOURCE_COLUMNS)
+        .map_batches(docs_table_from_records, batch_format="pyarrow")
+        .map_batches(flatten_spans, batch_format="pyarrow")
     )
 
 
-def _crawl_components(sf_dir: str):
-    from website_indexer_ray.pipelines import query
+def _distinct_list_column(col: str, out_name: str):
+    """Distinct values of a list column over pages: per-batch partial
+    distinct (shrinks the exchange to unique values per block), tiny
+    final merge."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    return query.list_components(_crawl_result().records_table())
+    def partial(batch: pa.Table) -> pa.Table:
+        pages = batch.filter(pc.equal(batch.column("record_type"), "page"))
+        flat = pc.list_flatten(pages.column(col).combine_chunks())
+        return pa.table({out_name: pc.unique(flat)})
+
+    ds = _crawl_result().ray_records(columns=["record_type", col])
+    merged = pa.concat_tables(
+        [t for t in _arrow_blocks(ds.map_batches(partial, batch_format="pyarrow"))]
+    )
+    distinct = pc.unique(merged.column(out_name).combine_chunks())
+    return pa.table({out_name: pc.take(distinct, pc.sort_indices(distinct))})
+
+
+def _arrow_blocks(ds):
+    import ray
+
+    return [t for t in (ray.get(r) for r in ds.to_arrow_refs()) if t.num_rows]
+
+
+def _crawl_components(sf_dir: str):
+    return _distinct_list_column("components", "class_name")
 
 
 def _crawl_links(sf_dir: str):
-    from website_indexer_ray.pipelines import query
+    return _distinct_list_column("links", "href")
 
-    return query.list_links(_crawl_result().records_table())
+
+_LINEAGE_COLUMNS = [
+    "crawl_id", "generation", "seed_batch", "n_candidates", "n_accepted",
+    "n_pages", "n_errors", "n_redirects", "n_skipped",
+]  # deterministic columns only (wall_s varies run to run)
 
 
 def _crawl_lineage(sf_dir: str):
-    return _crawl_result().lineage_table()
+    return _crawl_result().lineage_table().select(_LINEAGE_COLUMNS)
 
 
 def _crawl_stats(sf_dir: str):
     """A1: Count/Min/Max(timestamp) crawl stats
-    (viewer/context_processors.py:6-27) as a one-row table."""
+    (viewer/context_processors.py:6-27) as a one-row table, computed
+    as a streaming Dataset aggregate over the pruned checkpoint."""
     import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min
 
-    from website_indexer_ray.pipelines import query
-
-    s = query.crawl_stats(_crawl_result().records_table())
+    ds = _crawl_result().ray_records(columns=["record_type", "timestamp"])
+    pages = ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("record_type"), "page")).select(
+            ["timestamp"]
+        ),
+        batch_format="pyarrow",
+    )
+    res = pages.aggregate(
+        Count(alias_name="n_pages"),
+        Min("timestamp", alias_name="start_ts"),
+        Max("timestamp", alias_name="end_ts"),
+    )
+    start, end = res["start_ts"], res["end_ts"]
+    duration_us = int((end - start).total_seconds() * 1e6) if start and end else 0
     return pa.table(
         {
-            "count": pa.array([s["count"]], type=pa.int64()),
-            "start": pa.array([str(s["start"])], type=pa.string()),
-            "end": pa.array([str(s["end"])], type=pa.string()),
-            "duration_us": pa.array(
-                [int(s["duration"].total_seconds() * 1e6) if s["duration"] is not None else 0],
-                type=pa.int64(),
-            ),
+            "n_pages": pa.array([res["n_pages"]], type=pa.int64()),
+            "start_ts": pa.array([start], type=pa.timestamp("us")),
+            "end_ts": pa.array([end], type=pa.timestamp("us")),
+            "duration_us": pa.array([duration_us], type=pa.int64()),
         }
     )
 
 
 def _crawl_media_features(sf_dir: str):
-    """Pipeline composition: crawled docs' media spans (the <img> srcs
-    the reference's parser drops, kept as kind="media" spans) → opaque
-    payload rows → actor-style feature extraction (stub decode). The
-    multimodal leg of the interleaved-document model."""
+    """Crawled pages' media refs (the <img> srcs the reference's parser
+    drops, kept as kind="media" spans) → opaque payload rows →
+    MediaFeatureStage (stub decode) — one vectorized map_batches pass
+    over the pruned checkpoint."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from website_indexer_ray.functions.spans import docs_table_from_records
     from website_indexer_ray.pipelines.multimodal import MediaFeatureStage
 
-    docs = docs_table_from_records(_crawl_result().records_table())
-    rows = []
-    for i, (doc_id, spans) in enumerate(
-        zip(docs.column("doc_id").to_pylist(), docs.column("spans").to_pylist())
-    ):
-        for s in spans:
-            if s["kind"] == "media":
-                payload = f"{doc_id}::{s['media_ref']}".encode()
-                rows.append(
-                    {
-                        "doc_id": i,
-                        "url": doc_id,
-                        "media_ref": s["media_ref"],
-                        "payload": payload,
-                        "n_bytes": len(payload),
-                    }
-                )
-    if not rows:
-        return pa.table({"url": [], "media_ref": [], "n_frames": []})
-    batch = pa.Table.from_pylist(rows)
-    feats = MediaFeatureStage()(batch)
-    out = pa.table(
-        {
-            "url": batch.column("url"),
-            "media_ref": batch.column("media_ref"),
-            "n_frames": feats.column("n_frames"),
-        }
-    )
-    return out.take(
-        pc.sort_indices(
-            out, sort_keys=[("url", "ascending"), ("media_ref", "ascending")]
+    stage = MediaFeatureStage()
+
+    def explode_and_extract(batch: pa.Table) -> pa.Table:
+        pages = batch.filter(pc.equal(batch.column("record_type"), "page"))
+        media = pages.column("media").combine_chunks()
+        flat = pc.list_flatten(media)
+        parents = pc.list_parent_indices(media)
+        urls = pc.take(pages.column("url").combine_chunks(), parents)
+        payload = pc.binary_join_element_wise(urls, flat, "::")
+        media_batch = pa.table(
+            {
+                "doc_id": pa.array(range(len(flat)), type=pa.int64()),
+                "payload": payload.cast(pa.large_binary()),
+                "n_bytes": pc.binary_length(payload).cast(pa.int64()),
+            }
         )
+        feats = stage(media_batch)
+        return pa.table(
+            {
+                "url": urls,
+                "media_ref": flat,
+                "n_frames": feats.column("n_frames"),
+            }
+        )
+
+    ds = _crawl_result().ray_records(columns=["record_type", "url", "media"])
+    return ds.map_batches(explode_and_extract, batch_format="pyarrow").sort(
+        ["url", "media_ref"]
     )
 
 
 def _crawl_near_dup(sf_dir: str):
     """Pipeline composition: crawl output → near-duplicate keep list
     (the crawl's templated pages are natural near-dups). Deterministic:
-    doc ids assigned over url-sorted pages."""
+    doc ids assigned over url-sorted pages. Approximate (MinHash) ⇒
+    rows-only driver check; recall covered in pytest."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from website_indexer_ray.pipelines import textops
 
-    rec = _crawl_result().records_table()
-    pages = rec.filter(
-        pc.and_(
-            pc.equal(rec.column("record_type"), "page"),
-            pc.is_valid(rec.column("text")),  # titled but body-less pages
+    ds = _crawl_result().ray_records(columns=["record_type", "url", "text"])
+    pages = pa.concat_tables(
+        _arrow_blocks(
+            ds.map_batches(
+                lambda b: b.filter(
+                    pc.and_(
+                        pc.equal(b.column("record_type"), "page"),
+                        pc.is_valid(b.column("text")),
+                    )
+                ).select(["url", "text"]),
+                batch_format="pyarrow",
+            )
         )
     )
-    pages = pages.take(
-        pc.sort_indices(pages, sort_keys=[("url", "ascending")])
-    )
+    pages = pages.take(pc.sort_indices(pages, sort_keys=[("url", "ascending")]))
     docs = pa.table(
         {
             "doc_id": pa.array(range(pages.num_rows), type=pa.int64()),
@@ -226,41 +319,27 @@ def _crawl_near_dup(sf_dir: str):
 
 
 def _search_title(sf_dir: str):
-    from website_indexer_ray.pipelines import query
-
-    return query.search_pages(_crawl_result().records_table(), "title", "Section")
+    return _search_ds("title", "Section")
 
 
 def _search_components(sf_dir: str):
-    from website_indexer_ray.pipelines import query
-
-    return query.search_pages(
-        _crawl_result().records_table(), "components", "o-", include_related=True
-    )
+    return _search_ds("components", "o-", include_related=True)
 
 
 def _search_links(sf_dir: str):
-    from website_indexer_ray.pipelines import query
-
-    return query.search_pages(_crawl_result().records_table(), "links", "ext0.example")
+    return _search_ds("links", "ext0.example")
 
 
 def _search_text(sf_dir: str):
-    from website_indexer_ray.pipelines import query
-
-    return query.search_pages(_crawl_result().records_table(), "text", "consumer")
+    return _search_ds("text", "consumer")
 
 
 def _search_html(sf_dir: str):
-    from website_indexer_ray.pipelines import query
-
-    return query.search_pages(_crawl_result().records_table(), "html", "o-banner")
+    return _search_ds("html", "o-banner")
 
 
 def _search_url(sf_dir: str):
-    from website_indexer_ray.pipelines import query
-
-    return query.search_pages(_crawl_result().records_table(), "url", "list")
+    return _search_ds("url", "list")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -321,7 +400,128 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # Crawl-surface oracles read the exported checkpoint tables; the
+    # export is triggered here too so the files exist regardless of
+    # whether the driver runs queries or oracles first.
+    _ensure_oracle_exports()
+    R = f"read_parquet('{_ORACLE_RECORDS}')"
     return {
+        "crawl_pages": f"""
+            SELECT timestamp, url, title, language FROM {R}
+            WHERE record_type = 'page' ORDER BY url
+        """,
+        "crawl_errors": f"""
+            SELECT timestamp, url, status_code, referrer FROM {R}
+            WHERE record_type = 'error' ORDER BY url
+        """,
+        "crawl_redirects": f"""
+            SELECT timestamp, url, status_code, referrer,
+                   location AS redirect_url,
+                   COALESCE(
+                     location = regexp_replace(url, '^http://', 'https://'),
+                     FALSE) AS is_http_to_https,
+                   COALESCE(
+                     (NOT regexp_matches(url, '/$')) AND location = url || '/',
+                     FALSE) AS is_append_slash
+            FROM {R} WHERE record_type = 'redirect' ORDER BY url
+        """,
+        "crawl_seen": f"""
+            SELECT url, url_hash FROM read_parquet('{_ORACLE_SEEN}')
+            ORDER BY url
+        """,
+        "crawl_docs_spans": f"""
+            WITH pages AS (
+                SELECT url, title, language, text, links, components, media
+                FROM {R} WHERE record_type = 'page'
+            ), sp AS (
+                SELECT url AS doc_id, 'title' AS kind, title AS text,
+                       '' AS media_ref, 0 AS grp, 0 AS ord FROM pages
+                UNION ALL SELECT url, 'lang', language, '', 1, 0
+                    FROM pages WHERE language IS NOT NULL
+                UNION ALL SELECT url, 'text', text, '', 2, 0
+                    FROM pages WHERE text IS NOT NULL
+                UNION ALL SELECT url, 'link', unnest(links), '', 3,
+                       generate_subscripts(links, 1) FROM pages
+                UNION ALL SELECT url, 'component', unnest(components), '', 4,
+                       generate_subscripts(components, 1) FROM pages
+                UNION ALL SELECT url, 'media', '', unnest(media), 5,
+                       generate_subscripts(media, 1) FROM pages
+            )
+            SELECT doc_id, kind, text, media_ref,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY grp, ord) - 1 AS BIGINT)
+                       AS "offset"
+            FROM sp ORDER BY doc_id, "offset"
+        """,
+        "crawl_components": f"""
+            SELECT DISTINCT class_name FROM (
+                SELECT unnest(components) AS class_name FROM {R}
+                WHERE record_type = 'page')
+            ORDER BY class_name
+        """,
+        "crawl_links": f"""
+            SELECT DISTINCT href FROM (
+                SELECT unnest(links) AS href FROM {R}
+                WHERE record_type = 'page')
+            ORDER BY href
+        """,
+        "crawl_lineage": f"""
+            SELECT crawl_id, generation, seed_batch, n_candidates,
+                   n_accepted, n_pages, n_errors, n_redirects, n_skipped
+            FROM read_parquet('{_ORACLE_LINEAGE}') ORDER BY generation
+        """,
+        "crawl_stats": f"""
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   MIN(timestamp) AS start_ts,
+                   MAX(timestamp) AS end_ts,
+                   CAST(COALESCE(date_diff('microseconds',
+                       MIN(timestamp), MAX(timestamp)), 0) AS BIGINT)
+                       AS duration_us
+            FROM {R} WHERE record_type = 'page'
+        """,
+        "crawl_media_features": f"""
+            SELECT url, media_ref,
+                   1 + CAST(octet_length(encode(url || '::' || media_ref))
+                       AS BIGINT) // 512 AS n_frames
+            FROM (SELECT url, unnest(media) AS media_ref FROM {R}
+                  WHERE record_type = 'page')
+            ORDER BY url, media_ref
+        """,
+        "search_title": f"""
+            SELECT timestamp, url, title, language FROM {R}
+            WHERE record_type = 'page' AND title ILIKE '%Section%'
+            ORDER BY url
+        """,
+        "search_url": f"""
+            SELECT timestamp, url, title, language FROM {R}
+            WHERE record_type = 'page' AND url ILIKE '%list%'
+            ORDER BY url
+        """,
+        "search_text": f"""
+            SELECT timestamp, url, title, language FROM {R}
+            WHERE record_type = 'page' AND text ILIKE '%consumer%'
+            ORDER BY url
+        """,
+        "search_html": f"""
+            SELECT timestamp, url, title, language FROM {R}
+            WHERE record_type = 'page' AND html ILIKE '%o-banner%'
+            ORDER BY url
+        """,
+        "search_components": f"""
+            SELECT timestamp, url, title, language, class_name FROM (
+                SELECT timestamp, url, title, language,
+                       unnest(components) AS class_name
+                FROM {R} WHERE record_type = 'page')
+            WHERE class_name ILIKE '%o-%'
+            ORDER BY url, class_name
+        """,
+        "search_links": f"""
+            SELECT timestamp, url, title, language FROM {R}
+            WHERE record_type = 'page'
+              AND len(list_filter(links,
+                      x -> x ILIKE '%ext0.example%')) > 0
+            ORDER BY url
+        """,
         "agg_lineitem": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,

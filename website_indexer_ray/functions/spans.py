@@ -21,6 +21,7 @@ invariant vs the reference is span-sequence equality on
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from website_indexer_ray.schemas import DOCS_SCHEMA
 
@@ -92,4 +93,24 @@ def docs_table_from_records(batch: pa.Table) -> pa.Table:
         )
     return pa.Table.from_pydict(
         {"doc_id": doc_ids, "spans": spans_col}, schema=DOCS_SCHEMA
+    )
+
+
+def flatten_spans(batch: pa.Table) -> pa.Table:
+    """DOCS_SCHEMA → one row per span (doc_id, kind, text, media_ref,
+    offset) — the hashable tabular projection of the interleaved-span
+    shape. Fully vectorized: ``pc.list_flatten`` for the struct values,
+    ``pc.list_parent_indices`` to repeat doc_ids."""
+    spans = batch.column("spans").combine_chunks()
+    flat = pc.list_flatten(spans)
+    parents = pc.list_parent_indices(spans)
+    doc_ids = pc.take(batch.column("doc_id").combine_chunks(), parents)
+    return pa.table(
+        {
+            "doc_id": doc_ids,
+            "kind": pc.struct_field(flat, "kind"),
+            "text": pc.struct_field(flat, "text"),
+            "media_ref": pc.struct_field(flat, "media_ref"),
+            "offset": pc.struct_field(flat, "offset"),
+        }
     )

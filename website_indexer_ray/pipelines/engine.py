@@ -682,6 +682,18 @@ class CrawlResult:
     def lineage_table(self) -> pa.Table:
         return pq.read_table(os.path.join(self.out, "lineage.parquet"))
 
+    def seen_dir_latest(self) -> str:
+        gens = sorted(glob.glob(os.path.join(self.out, "seen", "gen=*")))
+        return gens[-1] if gens else os.path.join(self.out, "seen")
+
+    def ray_seen(self):
+        """Final seen snapshot as a Dataset (shard files of the last
+        completed generation — already url-sorted within each shard)."""
+        files = glob.glob(os.path.join(self.seen_dir_latest(), "*.parquet"))
+        # columns= prunes the hive "gen=N" partition column the path
+        # pattern would otherwise inject.
+        return ray.data.read_parquet(files, columns=["url", "url_hash"])
+
     def seen_table(self) -> pa.Table:
         gens = sorted(glob.glob(os.path.join(self.out, "seen", "gen=*")))
         files = glob.glob(os.path.join(gens[-1], "*.parquet")) if gens else []

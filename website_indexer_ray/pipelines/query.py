@@ -159,7 +159,10 @@ def search_pages_ds(
         )
         return out
 
-    return records_ds.map_batches(batch_search, batch_format="pyarrow").sort("url")
+    keys = ["url"]
+    if include_related and search_type in ("components", "links"):
+        keys.append("class_name" if search_type == "components" else "link_url")
+    return records_ds.map_batches(batch_search, batch_format="pyarrow").sort(keys)
 
 
 def strip_title_suffix(table: pa.Table) -> pa.Table:
