@@ -40,14 +40,41 @@ def _embed_matrix(source, col: str = "embedding") -> np.ndarray:
 
 
 def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, list[int]]:
+    """The n_queries lowest vec_ids + their vectors via a pruned
+    two-step read: the slim id column picks the ids, a filtered
+    (row-group-pruned) read fetches just those vectors — the driver
+    never holds the embedding matrix."""
+    import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    ids = tbl.column("vec_id").to_pylist()
-    order = np.argsort(ids)
+    path = f"{sf_dir}/embeddings.parquet"
+    ids = pq.read_table(path, columns=["vec_id"]).column("vec_id").to_numpy()
+    qids = np.sort(ids)[:n_queries].tolist()
+    tbl = pads.dataset(path).to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id").isin(qids),
+    )
+    got = tbl.column("vec_id").to_numpy()
+    order = np.argsort(got)
     mat = _embed_matrix(tbl)
-    q_idx = order[:n_queries]
-    return mat[q_idx], [ids[i] for i in q_idx]
+    return mat[order], [int(got[i]) for i in order]
+
+
+def _sample_matrix(sf_dir: str, cap: int = 4096) -> np.ndarray:
+    """Bounded training sample for the coarse quantizer — first ``cap``
+    rows, normalized (at 10^9+ vectors this becomes a distributed
+    reservoir sample; the k-means iterations stay this size)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    batches, n = [], 0
+    for b in pf.iter_batches(batch_size=1024, columns=["embedding"]):
+        batches.append(b)
+        n += b.num_rows
+        if n >= cap:
+            break
+    mat = _embed_matrix(pa.Table.from_batches(batches))[:cap]
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
 
 
 class TopKStage:

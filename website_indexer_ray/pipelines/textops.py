@@ -303,15 +303,102 @@ class MinHashStage:
         )
 
 
+_BUCKET_CAP = 50  # per-bucket member cap; truncation is counted+logged
+
+
+def _bucket_pairs_partition(group: pa.Table) -> pa.Table:
+    """One hash partition of (bucket_key, doc_id) rows → candidate
+    pairs (doc_a < doc_b) for every bucket in the partition.
+
+    Runs inside a ``hash_exchange`` reducer (state/exchange.py) —
+    grouping per raw bucket key would pay a Python call per
+    near-singleton group; within a partition the buckets are recovered
+    vectorized (argsort + run-length boundaries, the same cost profile
+    as a local combiner). Hot buckets are capped at _BUCKET_CAP sorted
+    members; a sentinel row (doc_a = -1, n_dropped = k) records each
+    truncation instead of dropping it silently."""
+    keys = group.column("bucket_key").to_numpy(zero_copy_only=False)
+    docs_np = group.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    sorted_keys = keys[order]
+    boundaries = np.flatnonzero(np.diff(sorted_keys)) + 1
+    starts = np.concatenate(([0], boundaries))
+    ends = np.concatenate((boundaries, [len(sorted_keys)]))
+    a_out: list[int] = []
+    b_out: list[int] = []
+    n_dropped: list[int] = []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        members = sorted(set(docs_np[order[s:e]].tolist()))
+        dropped = max(0, len(members) - _BUCKET_CAP)
+        members = members[:_BUCKET_CAP]
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a_out.append(members[i])
+                b_out.append(members[j])
+                n_dropped.append(0)
+        if dropped:
+            a_out.append(-1)
+            b_out.append(-1)
+            n_dropped.append(dropped)
+    return pa.table(
+        {
+            "doc_a": pa.array(a_out, type=pa.int64()),
+            "doc_b": pa.array(b_out, type=pa.int64()),
+            "n_dropped": pa.array(n_dropped, type=pa.int64()),
+        }
+    )
+
+
+def _split_candidates(cand_tbl: pa.Table, op_name: str) -> pa.Table:
+    """Strip truncation-sentinel rows, logging the drop count."""
+    sentinels = cand_tbl.filter(pc.equal(cand_tbl.column("doc_a"), -1))
+    if sentinels.num_rows:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: %d hot-bucket members beyond the %d-member cap were "
+            "dropped across %d buckets",
+            op_name,
+            sum(sentinels.column("n_dropped").to_pylist()),
+            _BUCKET_CAP,
+            sentinels.num_rows,
+        )
+    return cand_tbl.filter(pc.greater_equal(cand_tbl.column("doc_a"), 0)).select(
+        ["doc_a", "doc_b"]
+    )
+
+
+_EMPTY_PAIRS = pa.schema(
+    [
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("jaccard_permille", pa.int64()),
+    ]
+)
+
+
 def minhash_lsh_pairs(
     sf_dir: str, jaccard_threshold: float = 0.5, documents: pa.Table | None = None
 ) -> pa.Table:
     """shingle→minhash→band→bucket-groupby→candidate pairs→exact
-    Jaccard verify (ray_guide near-dup pattern; Broder 1997).
+    Jaccard verify (ray_guide near-dup pattern; Broder 1997) — fully
+    in-dataset:
 
-    The verify step broadcasts the shingle-set table via ``ray.put``
-    (fine while the candidate set ≪ corpus; the 100 TB path replaces
-    it with a hash-partitioned join of shingle sets onto pairs).
+      1. signatures: map_batches (slim (bucket_key, doc_id) rows)
+      2. candidates: hash_exchange on bucket_key (actor reducers as
+         hash partitions — the one LSH exchange); buckets recovered
+         vectorized in-partition; hot buckets capped (logged, never
+         silent)
+      3. verify: hash-partitioned shingle join — the pair-membership
+         map (bounded by the candidate set) broadcasts once, shingle
+         sets are computed per batch for candidate docs only, and one
+         pair-keyed exchange co-locates both sides for the exact
+         Jaccard.
+
+    The signature table and shingle sets never land on the driver;
+    only the final verified pair list (≪ corpus) does.
     Returns (doc_a, doc_b, jaccard_permille), doc_a < doc_b.
     """
     if documents is not None:
@@ -322,128 +409,129 @@ def minhash_lsh_pairs(
     # Stage state (permutation params) is 2 KB — run as plain tasks on
     # warm workers (instance-callable), not an actor pool whose
     # spin-up would dominate this short job.
+    from website_indexer_ray.state.exchange import hash_exchange
+
     sigs = ds.map_batches(MinHashStage(), batch_format="pyarrow")
-    # Bucket the slim (band, band_hash, doc_id) rows. At this scale
-    # the signature table is tiny (32 rows/doc of 20 bytes) so the
-    # bucket-groupby runs driver-side — vectorized: one composite u64
-    # key per row, argsort, run-length detection; only collided
-    # buckets ever touch Python. The 100 TB path shuffles on
-    # (band, band_hash) with hot buckets capped exactly as below.
-    sig_tbl = _to_table(sigs)
-    bands = sig_tbl.column("band").to_numpy()
-    hashes = sig_tbl.column("band_hash").to_numpy()
-    docs_np = sig_tbl.column("doc_id").to_numpy()
-    keys = (hashes.astype(np.uint64) << np.uint64(5)) | bands.astype(np.uint64)
-    order = np.argsort(keys, kind="stable")
-    sorted_keys = keys[order]
-    boundaries = np.flatnonzero(np.diff(sorted_keys)) + 1
-    starts = np.concatenate(([0], boundaries))
-    ends = np.concatenate((boundaries, [len(sorted_keys)]))
-    pair_set: set[tuple[int, int]] = set()
-    for s, e in zip(starts, ends):
-        if e - s < 2:
-            continue
-        members = sorted(set(docs_np[order[s:e]].tolist()))[:50]
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                pair_set.add((members[i], members[j]))
-    cand_tbl = pa.table(
-        {
-            "doc_a": pa.array([p[0] for p in sorted(pair_set)], type=pa.int64()),
-            "doc_b": pa.array([p[1] for p in sorted(pair_set)], type=pa.int64()),
-        }
+
+    def add_bucket_key(batch: pa.Table) -> pa.Table:
+        h = batch.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket_key = ((h << np.uint64(5)) | b).astype(np.int64)
+        return pa.table(
+            {
+                "bucket_key": pa.array(bucket_key, type=pa.int64()),
+                "doc_id": batch.column("doc_id"),
+            }
+        )
+
+    cand_raw = hash_exchange(
+        sigs.map_batches(add_bucket_key, batch_format="pyarrow"),
+        "bucket_key",
+        _bucket_pairs_partition,
     )
+    if cand_raw is None:
+        return _EMPTY_PAIRS.empty_table()
+    cand_tbl = _split_candidates(cand_raw, "minhash_lsh_pairs")
     if cand_tbl.num_rows == 0:
-        return pa.table(
-            {
-                "doc_a": pa.array([], type=pa.int64()),
-                "doc_b": pa.array([], type=pa.int64()),
-                "jaccard_permille": pa.array([], type=pa.int64()),
-            }
-        )
-
-    if documents is not None:
-        docs_tbl = documents.select(["doc_id", "text"])
-    else:
-        import pyarrow.parquet as pq
-
-        docs_tbl = pq.read_table(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        )
-    needed = set(cand_tbl.column("doc_a").to_pylist()) | set(
-        cand_tbl.column("doc_b").to_pylist()
+        return _EMPTY_PAIRS.empty_table()
+    # Dedup duplicate candidates across bands on the slim pair list.
+    cand_tbl = cand_tbl.group_by(["doc_a", "doc_b"]).aggregate([]).select(
+        ["doc_a", "doc_b"]
     )
-    shingles = {
-        d: set(_shingle_hashes(t).tolist())
-        for d, t in zip(
-            docs_tbl.column("doc_id").to_pylist(), docs_tbl.column("text").to_pylist()
-        )
-        if d in needed
-    }
-    def verify_local(sh, a_ids, b_ids):
-        keep_a, keep_b, jac = [], [], []
-        for da, db in zip(a_ids, b_ids):
-            sa, sb = sh.get(da, set()), sh.get(db, set())
-            union = len(sa | sb)
-            j = len(sa & sb) / union if union else 0.0
-            if j >= jaccard_threshold:
-                keep_a.append(da)
-                keep_b.append(db)
-                jac.append(int(j * 1000))
-        return pa.table(
-            {
-                "doc_a": pa.array(keep_a, type=pa.int64()),
-                "doc_b": pa.array(keep_b, type=pa.int64()),
-                "jaccard_permille": pa.array(jac, type=pa.int64()),
-            }
-        )
 
-    # Small candidate sets verify on the driver (the shingle dict is
-    # already local); past the threshold the verify fans out with the
-    # broadcast dict read once per worker.
-    if cand_tbl.num_rows < 100_000:
-        out = verify_local(
-            shingles,
-            cand_tbl.column("doc_a").to_pylist(),
-            cand_tbl.column("doc_b").to_pylist(),
-        )
-        return out.take(
-            pc.sort_indices(
-                out, sort_keys=[("doc_a", "ascending"), ("doc_b", "ascending")]
-            )
-        )
-
-    shingles_ref = ray.put(shingles)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        from website_indexer_ray.util import cached_get
-
-        sh = cached_get(shingles_ref)
-        a_ids = batch.column("doc_a").to_pylist()
-        b_ids = batch.column("doc_b").to_pylist()
-        keep_a, keep_b, jac = [], [], []
-        for da, db in zip(a_ids, b_ids):
-            sa, sb = sh.get(da, set()), sh.get(db, set())
-            union = len(sa | sb)
-            j = len(sa & sb) / union if union else 0.0
-            if j >= jaccard_threshold:
-                keep_a.append(da)
-                keep_b.append(db)
-                jac.append(int(j * 1000))
-        return pa.table(
-            {
-                "doc_a": pa.array(keep_a, type=pa.int64()),
-                "doc_b": pa.array(keep_b, type=pa.int64()),
-                "jaccard_permille": pa.array(jac, type=pa.int64()),
-            }
-        )
-
-    out = _to_table(
-        ray.data.from_arrow(cand_tbl).map_batches(verify, batch_format="pyarrow")
-    )
+    out = _verify_pairs_jaccard(ds, cand_tbl, jaccard_threshold)
     return out.take(
         pc.sort_indices(out, sort_keys=[("doc_a", "ascending"), ("doc_b", "ascending")])
     )
+
+
+def _verify_pairs_jaccard(
+    docs_ds, cand_tbl: pa.Table, jaccard_threshold: float
+) -> pa.Table:
+    """Exact-Jaccard verification of candidate pairs as a
+    hash-partitioned join: the pair membership map (doc → its pairs,
+    bounded by the candidate set) is broadcast once; a map pass over
+    the documents computes shingle sets for candidate docs only and
+    emits one slim (pair_key, side, shingles) row per (doc, pair);
+    one keyed exchange co-locates both sides of each pair, where the
+    exact Jaccard is computed. Raw text never moves, and the driver
+    only ever holds the candidate pair list."""
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for da, db in zip(
+        cand_tbl.column("doc_a").to_pylist(), cand_tbl.column("doc_b").to_pylist()
+    ):
+        by_doc.setdefault(da, []).append((da, db))
+        by_doc.setdefault(db, []).append((da, db))
+    map_ref = ray.put(by_doc)
+
+    shingle_list = pa.list_(pa.uint64())
+
+    def emit_sides(batch: pa.Table) -> pa.Table:
+        from website_indexer_ray.util import cached_get
+
+        want = cached_get(map_ref)
+        out_pk, out_id, out_a, out_b, out_sh = [], [], [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            pairs = want.get(doc_id)
+            if not pairs:
+                continue
+            sh = _shingle_hashes(text).tolist()
+            for da, db in pairs:
+                out_pk.append(da * 1_000_003 + db)
+                out_id.append(doc_id)
+                out_a.append(da)
+                out_b.append(db)
+                out_sh.append(sh)
+        return pa.table(
+            {
+                "pair_key": pa.array(out_pk, type=pa.int64()),
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "doc_a": pa.array(out_a, type=pa.int64()),
+                "doc_b": pa.array(out_b, type=pa.int64()),
+                "shingles": pa.array(out_sh, type=shingle_list),
+            }
+        )
+
+    def jaccard_partition(group: pa.Table) -> pa.Table:
+        """One pair-key hash partition: both sides of each pair are
+        co-located; compute the exact Jaccard per unique pair."""
+        sides: dict[tuple[int, int], dict[int, set]] = {}
+        for d, da, db, sh in zip(
+            group.column("doc_id").to_pylist(),
+            group.column("doc_a").to_pylist(),
+            group.column("doc_b").to_pylist(),
+            group.column("shingles").to_pylist(),
+        ):
+            sides.setdefault((da, db), {})[d] = set(sh)
+        out_a, out_b, out_j = [], [], []
+        for (da, db), docs in sides.items():
+            sa, sb = docs.get(da), docs.get(db)
+            if sa is None or sb is None:
+                continue
+            union = len(sa | sb)
+            j = len(sa & sb) / union if union else 0.0
+            if j >= jaccard_threshold:
+                out_a.append(da)
+                out_b.append(db)
+                out_j.append(int(j * 1000))
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, type=pa.int64()),
+                "doc_b": pa.array(out_b, type=pa.int64()),
+                "jaccard_permille": pa.array(out_j, type=pa.int64()),
+            }
+        )
+
+    from website_indexer_ray.state.exchange import hash_exchange
+
+    out = hash_exchange(
+        docs_ds.map_batches(emit_sides, batch_format="pyarrow"),
+        "pair_key",
+        jaccard_partition,
+    )
+    return out if out is not None else _EMPTY_PAIRS.empty_table()
 
 
 def length_filter(
@@ -504,11 +592,11 @@ def paragraph_dedup(sf_dir: str) -> pa.Table:
     """Paragraph-level exact dedup stats: per document, how many of
     its '. '-delimited segments also appear elsewhere in the corpus
     (boilerplate detection — the segment-granularity member of the
-    dedup family). Two passes, both map_batches: (1) per-batch
-    (doc, segment-hash) explode with a per-batch partial count,
-    merged into the global per-hash count; (2) per-doc counting
-    against the broadcast duplicate-hash set. Only 8-byte hashes
-    shuffle/broadcast, never segment text."""
+    dedup family). Fully in-dataset: explode to (doc_id, seg_hash)
+    rows per batch, ``groupby(seg_hash)`` marks each occurrence of a
+    corpus-duplicated segment, ``groupby(doc_id)`` sums the per-doc
+    stats. Only 8-byte hash rows shuffle, never segment text, and
+    nothing lands on the driver but the final per-doc table."""
     ds = read_documents(sf_dir)
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -526,41 +614,57 @@ def paragraph_dedup(sf_dir: str) -> pa.Table:
             }
         )
 
-    pairs = _to_table(ds.map_batches(explode, batch_format="pyarrow"))
-    counts = (
-        pairs.select(["seg_hash"])
-        .group_by("seg_hash")
-        .aggregate([([], "count_all")])
-    )
-    dup_set = set(
-        counts.filter(pc.greater(counts.column("count_all"), 1))
-        .column("seg_hash")
-        .to_pylist()
-    )
-    import numpy as np
+    from website_indexer_ray.state.exchange import hash_exchange
 
-    doc_np = pairs.column("doc_id").to_numpy()
-    dup_mask = np.fromiter(
-        (h in dup_set for h in pairs.column("seg_hash").to_pylist()),
-        dtype=bool,
-        count=pairs.num_rows,
+    def mark_partition(group: pa.Table) -> pa.Table:
+        """One seg_hash hash partition: a row is a duplicate segment
+        iff its seg_hash occurs more than once corpus-wide — all of a
+        hash's rows are co-located here, so the global count is a
+        vectorized run-length over the sorted partition. Emits per-doc
+        PARTIAL sums (the combiner) so the final doc_id exchange moves
+        one row per (doc, partition)."""
+        h = group.column("seg_hash").to_numpy(zero_copy_only=False)
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        bounds = np.flatnonzero(np.diff(hs)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(hs)]))
+        sizes = ends - starts
+        dup_flag = np.repeat((sizes > 1).astype(np.int64), sizes)
+        partial = (
+            pa.table(
+                {
+                    "doc_id": pa.array(d[order], type=pa.int64()),
+                    "n": pa.array(np.ones(len(d), dtype=np.int64)),
+                    "dup": pa.array(dup_flag, type=pa.int64()),
+                }
+            )
+            .group_by("doc_id")
+            .aggregate([("n", "sum"), ("dup", "sum")])
+        )
+        return partial.rename_columns(["doc_id", "n", "dup"])
+
+    partials = hash_exchange(
+        ds.map_batches(explode, batch_format="pyarrow"), "seg_hash", mark_partition
     )
-    order = np.argsort(doc_np, kind="stable")
-    docs_sorted = doc_np[order]
-    bounds = np.flatnonzero(np.diff(docs_sorted)) + 1
-    starts = np.concatenate(([0], bounds))
-    ends = np.concatenate((bounds, [len(docs_sorted)]))
-    out_doc = docs_sorted[starts]
-    n_paras = ends - starts
-    dup_sorted = dup_mask[order]
-    n_dups = np.array([int(dup_sorted[s:e].sum()) for s, e in zip(starts, ends)])
-    return pa.table(
-        {
-            "doc_id": pa.array(out_doc, type=pa.int64()),
-            "n_paragraphs": pa.array(n_paras, type=pa.int64()),
-            "n_dup_paragraphs": pa.array(n_dups, type=pa.int64()),
-        }
+    if partials is None:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_paragraphs": pa.array([], type=pa.int64()),
+                "n_dup_paragraphs": pa.array([], type=pa.int64()),
+            }
+        )
+    # Final merge over the partials (≤ one row per doc per reducer —
+    # the same shrink-then-merge contract as vocab_top_tokens; at
+    # 10^10 docs this flips to a hash-partitioned groupby).
+    tbl = (
+        partials.group_by("doc_id")
+        .aggregate([("n", "sum"), ("dup", "sum")])
+        .rename_columns(["doc_id", "n_paragraphs", "n_dup_paragraphs"])
     )
+    return tbl.take(pc.sort_indices(tbl, sort_keys=[("doc_id", "ascending")]))
 
 
 def near_dedup_keep(
@@ -642,52 +746,121 @@ class SimHashStage:
         )
 
 
+def _simhash_bands(batch: pa.Table) -> pa.Table:
+    """(doc_id, simhash) → 4 band rows per doc for the blocking
+    exchange, keyed by the composite bucket key (band folded in) plus
+    its coarse hash partition. The signature rides along so hamming
+    verifies in-partition with no second lookup."""
+    ids = batch.column("doc_id").combine_chunks()
+    sigs = batch.column("simhash").combine_chunks()
+    sig_np = sigs.to_numpy(zero_copy_only=False).astype(np.uint64)
+    out_key = np.concatenate(
+        [
+            (((sig_np >> np.uint64(band * 16)) & np.uint64(0xFFFF)) * np.uint64(4)
+             + np.uint64(band)).astype(np.int64)
+            for band in range(4)
+        ]
+    )
+    return pa.table(
+        {
+            "bucket_key": pa.array(out_key, type=pa.int64()),
+            "doc_id": pa.concat_arrays([ids] * 4),
+            "simhash": pa.concat_arrays([sigs] * 4),
+        }
+    )
+
+
 def simhash_pairs(
     sf_dir: str, max_hamming: int = 3, documents: pa.Table | None = None
 ) -> pa.Table:
     """Near-dup pairs by simhash: 4×16-bit band blocking (two sigs
     within hamming ≤3 of 64 bits share at least one exact 16-bit band)
-    then exact hamming verify. Returns (doc_a, doc_b, hamming)."""
+    then exact hamming verify — distributed: the band rows flow
+    through one bucket-keyed hash_exchange (actor reducers as hash
+    partitions), hamming verifies inside the partition (signatures
+    ride with the band rows), and the slim result dedups pairs that
+    collided in several bands. Hot buckets capped at _BUCKET_CAP
+    (logged). Returns (doc_a, doc_b, hamming)."""
     if documents is not None:
         ds = ray.data.from_arrow(documents.select(["doc_id", "text"]))
     else:
         ds = read_documents(sf_dir)
-    sig_tbl = _to_table(
-        ds.map_batches(SimHashStage(), batch_format="pyarrow")
+
+    def bucket_verify_partition(group: pa.Table) -> pa.Table:
+        """One hash partition of band rows: recover the buckets
+        vectorized (argsort + run-length over the composite band key),
+        verify hamming inside each bucket (signatures rode along —
+        no second lookup exchange)."""
+        keys = group.column("bucket_key").to_numpy(zero_copy_only=False)
+        docs_np = group.column("doc_id").to_numpy(zero_copy_only=False)
+        sigs_np = group.column("simhash").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        sorted_keys = keys[order]
+        bounds = np.flatnonzero(np.diff(sorted_keys)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(sorted_keys)]))
+        a_out, b_out, h_out = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            idx = order[s:e]
+            sig_of = dict(zip(docs_np[idx].tolist(), sigs_np[idx].tolist()))
+            members = sorted(sig_of)
+            dropped = max(0, len(members) - _BUCKET_CAP)
+            members = members[:_BUCKET_CAP]
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    ham = bin(sig_of[members[i]] ^ sig_of[members[j]]).count("1")
+                    if ham <= max_hamming:
+                        a_out.append(members[i])
+                        b_out.append(members[j])
+                        h_out.append(ham)
+            if dropped:
+                # Unique per bucket so the dedup pass can't merge two
+                # buckets' truncation records.
+                a_out.append(-1)
+                b_out.append(-(1 + int(sorted_keys[s])))
+                h_out.append(dropped)
+        return pa.table(
+            {
+                "doc_a": pa.array(a_out, type=pa.int64()),
+                "doc_b": pa.array(b_out, type=pa.int64()),
+                "hamming": pa.array(h_out, type=pa.int64()),
+            }
+        )
+
+    from website_indexer_ray.state.exchange import hash_exchange
+
+    tbl = hash_exchange(
+        ds.map_batches(SimHashStage(), batch_format="pyarrow").map_batches(
+            _simhash_bands, batch_format="pyarrow"
+        ),
+        "bucket_key",
+        bucket_verify_partition,
     )
-    ids = sig_tbl.column("doc_id").to_pylist()
-    sigs = sig_tbl.column("simhash").to_pylist()
-    sig_of = dict(zip(ids, sigs))
+    if tbl is None:
+        return pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "hamming": pa.array([], type=pa.int64()),
+            }
+        )
+    sentinels = tbl.filter(pc.equal(tbl.column("doc_a"), -1))
+    if sentinels.num_rows:
+        import logging
 
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for d, s in zip(ids, sigs):
-        for band in range(4):
-            key = (band, (s >> (band * 16)) & 0xFFFF)
-            buckets.setdefault(key, []).append(d)
-
-    seen_pairs: set[tuple[int, int]] = set()
-    a_out, b_out, h_out = [], [], []
-    for members in buckets.values():
-        if len(members) < 2:
-            continue
-        members = sorted(members)[:50]
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                pair = (members[i], members[j])
-                if pair in seen_pairs:
-                    continue
-                seen_pairs.add(pair)
-                ham = bin(sig_of[pair[0]] ^ sig_of[pair[1]]).count("1")
-                if ham <= max_hamming:
-                    a_out.append(pair[0])
-                    b_out.append(pair[1])
-                    h_out.append(ham)
-    out = pa.table(
-        {
-            "doc_a": pa.array(a_out, type=pa.int64()),
-            "doc_b": pa.array(b_out, type=pa.int64()),
-            "hamming": pa.array(h_out, type=pa.int64()),
-        }
+        logging.getLogger(__name__).warning(
+            "simhash_pairs: %d hot-bucket members beyond the %d-member "
+            "cap were dropped",
+            sum(sentinels.column("hamming").to_pylist()),
+            _BUCKET_CAP,
+        )
+    out = tbl.filter(pc.greater_equal(tbl.column("doc_a"), 0))
+    # Dedup pairs that collided in several bands (slim pair list).
+    out = (
+        out.group_by(["doc_a", "doc_b"]).aggregate([("hamming", "min")])
+        .rename_columns(["doc_a", "doc_b", "hamming"])
     )
     return out.take(
         pc.sort_indices(out, sort_keys=[("doc_a", "ascending"), ("doc_b", "ascending")])
