@@ -278,11 +278,10 @@ class IvfAssignStage:
         mat = _embed_matrix(batch)
         norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
         assign = np.argmax((mat / norms) @ self.centroids.T, axis=1)
-        return pa.table(
-            {
-                "cluster": pa.array(assign.astype(np.int32), type=pa.int32()),
-                "vec_id": batch.column("vec_id"),
-            }
+        # Vector payload rides along: the cluster-keyed exchange builds
+        # the partitioned inverted lists directly from these rows.
+        return batch.append_column(
+            "cluster", pa.array(assign.astype(np.int64), type=pa.int64())
         )
 
 
@@ -294,60 +293,98 @@ def knn_ivf(
     n_probe: int = 4,
     seed: int = 5,
 ) -> pa.Table:
-    """IVF approximate cosine top-k: k-means coarse quantizer, search
-    only the n_probe clusters nearest each query. The inverted lists
-    are built by a distributed assignment pass; the per-query search
-    touches only probed clusters' vectors. Approximate ⇒ rows-only
-    check; recall vs brute force asserted in pytest."""
+    """IVF approximate cosine top-k — distributed end to end:
+
+      - coarse quantizer: seeded k-means on a bounded sample
+        (_sample_matrix), centroids broadcast;
+      - inverted lists: the assignment pass keys every vector by its
+        cluster and a cluster-keyed hash exchange (state/exchange.py)
+        co-locates each cluster's list in a reducer partition — the
+        partitioned-inverted-list layout, never a driver dict;
+      - search: each partition scores only the vectors whose cluster
+        is probed by some query (queries + probe sets broadcast with
+        the reduce fn) and emits per-query partial top-k; the driver
+        merges the tiny partials.
+
+    The embeddings parquet is never loaded whole anywhere.
+    Approximate ⇒ rows-only check; recall vs brute force asserted in
+    pytest."""
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    ids = tbl.column("vec_id").to_pylist()
-    mat = _embed_matrix(tbl)
-    norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+    n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
     if n_clusters is None:
-        n_clusters = max(4, int(np.sqrt(len(ids))))
-    centroids = _kmeans(norm, n_clusters, seed=seed)
+        n_clusters = max(4, int(np.sqrt(n_rows)))
+    centroids = _kmeans(_sample_matrix(sf_dir), n_clusters, seed=seed)
     cent_ref = ray.put(centroids)
+
+    qmat, qids = _load_queries(sf_dir, n_queries)
+    qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-300)
+    # Probe sets: n_probe nearest centroids per query (tiny, driver).
+    probes = [
+        set(np.argsort(-(qnorm[i] @ centroids.T))[:n_probe].tolist())
+        for i in range(len(qids))
+    ]
+
+    def search_partition(group: pa.Table) -> pa.Table:
+        clusters = group.column("cluster").to_numpy(zero_copy_only=False)
+        ids_np = group.column("vec_id").to_numpy(zero_copy_only=False)
+        mat = _embed_matrix(group)
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+        normed = mat / norms
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            mask = np.isin(clusters, list(probes[qi])) & (ids_np != qid)
+            idx = np.flatnonzero(mask)
+            if not len(idx):
+                continue
+            sims = normed[idx] @ qnorm[qi]
+            take = min(k, len(idx))
+            part = np.argpartition(-sims, take - 1)[:take]
+            out_q.extend([qid] * take)
+            out_n.extend(ids_np[idx][part].tolist())
+            out_s.extend(sims[part].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    from website_indexer_ray.state.exchange import hash_exchange
 
     ds = read_parquet_parallel(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    assign_tbl = pa.concat_tables(
-        [
-            t
-            for t in (
-                ray.get(r)
-                for r in ds.map_batches(
-                    IvfAssignStage(cent_ref), batch_format="pyarrow", batch_size=2048
-                ).to_arrow_refs()
-            )
-            if t.num_rows
-        ]
+    partials = hash_exchange(
+        ds.map_batches(
+            IvfAssignStage(cent_ref), batch_format="pyarrow", batch_size=2048
+        ),
+        "cluster",
+        search_partition,
     )
-    lists: dict[int, list[int]] = {}
-    for c, v in zip(
-        assign_tbl.column("cluster").to_pylist(), assign_tbl.column("vec_id").to_pylist()
-    ):
-        lists.setdefault(c, []).append(v)
+    return _merge_topk(partials, k)
 
-    id_to_row = {v: i for i, v in enumerate(ids)}
-    qids = sorted(ids)[:n_queries]
+
+def _merge_topk(partials: pa.Table | None, k: int) -> pa.Table:
+    """Tiny driver-side merge of per-partition (query_id, neighbor_id,
+    sim) partial top-k rows → ranked (query_id, neighbor_id, rank),
+    ordered by (sim desc, neighbor_id asc)."""
+    import heapq
+
+    merged: dict[int, list] = {}
+    if partials is not None:
+        for q, n, s in zip(
+            partials.column("query_id").to_pylist(),
+            partials.column("neighbor_id").to_pylist(),
+            partials.column("sim").to_pylist(),
+        ):
+            merged.setdefault(q, []).append((-s, n))
     out_q, out_n, out_r = [], [], []
-    for qid in qids:
-        qrow = norm[id_to_row[qid]]
-        probe = np.argsort(-(qrow @ centroids.T))[:n_probe]
-        cands = sorted(
-            {v for c in probe for v in lists.get(int(c), [])} - {qid}
-        )
-        if not cands:
-            continue
-        sims = norm[[id_to_row[c] for c in cands]] @ qrow
-        order = sorted(zip([-s for s in sims], cands))[:k]
-        for rank, (_negs, n) in enumerate(order, start=1):
-            out_q.append(qid)
+    for q in sorted(merged):
+        top = heapq.nsmallest(k, merged[q])
+        for rank, (_negs, n) in enumerate(top, start=1):
+            out_q.append(q)
             out_n.append(n)
             out_r.append(rank)
     return pa.table(
@@ -361,35 +398,55 @@ def knn_ivf(
 
 # --- LSH-bucketed approximate variant -------------------------------
 
-class LshIndexStage:
-    """Random-hyperplane signatures; emits (table, bucket, vec_id)."""
+class LshSearchStage:
+    """Bucket semi-join search: the queries' (table, bucket) signatures
+    are broadcast (ref resolved once per worker); each batch hashes its
+    vectors into every table's buckets and scores, per query, ONLY the
+    vectors colliding with that query's bucket in at least one table —
+    the LSH candidate rule enforced as a vectorized mask. Emits
+    per-query partial top-k; nothing but those slim rows leaves the
+    task, and no index or matrix ever lands on the driver."""
 
-    def __init__(self, planes_ref):
-        self.planes_ref = planes_ref
-        self.planes = None
+    def __init__(self, ref, k: int):
+        self.ref = ref
+        self.k = k
+        self.state = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.planes is None:
-            self.planes = (
-                cached_get(self.planes_ref)
-                if not isinstance(self.planes_ref, np.ndarray)
-                else self.planes_ref
+        if self.state is None:
+            self.state = (
+                cached_get(self.ref) if not isinstance(self.ref, tuple) else self.ref
             )
-        ids = batch.column("vec_id").to_pylist()
+        planes, qids, qnorm, qbuckets = self.state
+        n_tables, n_bits, _dim = planes.shape
+        powers = 1 << np.arange(n_bits)
+        ids_np = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         mat = _embed_matrix(batch)
-        n_tables, n_bits, dim = self.planes.shape
-        out_t, out_b, out_v = [], [], []
-        for ti in range(n_tables):
-            proj = mat @ self.planes[ti].T > 0  # (n, n_bits)
-            buckets = proj @ (1 << np.arange(n_bits))
-            out_t.extend([ti] * len(ids))
-            out_b.extend(buckets.tolist())
-            out_v.extend(ids)
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        normed = mat / norms
+        buckets = np.stack(
+            [(mat @ planes[ti].T > 0) @ powers for ti in range(n_tables)]
+        )  # (n_tables, n)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            collide = np.zeros(len(ids_np), dtype=bool)
+            for ti in range(n_tables):
+                collide |= buckets[ti] == qbuckets[ti][qi]
+            collide &= ids_np != qid
+            idx = np.flatnonzero(collide)
+            if not len(idx):
+                continue
+            sims = normed[idx] @ qnorm[qi]
+            take = min(self.k, len(idx))
+            part = np.argpartition(-sims, take - 1)[:take]
+            out_q.extend([qid] * take)
+            out_n.extend(ids_np[idx][part].tolist())
+            out_s.extend(sims[part].tolist())
         return pa.table(
             {
-                "table_id": pa.array(out_t, type=pa.int32()),
-                "bucket": pa.array(out_b, type=pa.int64()),
-                "vec_id": pa.array(out_v, type=pa.int64()),
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
             }
         )
 
@@ -403,62 +460,31 @@ def knn_lsh(
     seed: int = 11,
 ) -> pa.Table:
     """Approximate cosine top-k: search only vectors sharing an LSH
-    bucket with the query in any hash table."""
-    import pyarrow.parquet as pq
-
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    ids = tbl.column("vec_id").to_pylist()
-    mat = _embed_matrix(tbl)
-    dim = mat.shape[1]
+    bucket with the query in any hash table. One streaming scan —
+    planes + query buckets broadcast once, per-batch masked scoring,
+    partial top-k, tiny driver merge (the knn_bruteforce shape with
+    the bucket semi-join as the candidate filter)."""
+    qmat, qids = _load_queries(sf_dir, n_queries)
+    dim = qmat.shape[1]
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_bits, dim))
-    planes_ref = ray.put(planes)
+    qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    powers = 1 << np.arange(n_bits)
+    # Query bucket per (table, query) — computed from the RAW query
+    # vector exactly as the corpus side hashes raw vectors.
+    qbuckets = np.stack(
+        [(qmat @ planes[ti].T > 0) @ powers for ti in range(n_tables)]
+    )  # (n_tables, n_queries)
+    ref = ray.put((planes, qids, qnorm, qbuckets))
 
     ds = read_parquet_parallel(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    index = ds.map_batches(
-        LshIndexStage(planes_ref), batch_format="pyarrow", batch_size=2048
+    partials_ds = ds.map_batches(
+        LshSearchStage(ref, k), batch_format="pyarrow", batch_size=2048
     )
-    idx_tbl = pa.concat_tables(
-        [t for t in (ray.get(r) for r in index.to_arrow_refs()) if t.num_rows]
-    )
-
-    # bucket → members
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for t_id, b, v in zip(
-        idx_tbl.column("table_id").to_pylist(),
-        idx_tbl.column("bucket").to_pylist(),
-        idx_tbl.column("vec_id").to_pylist(),
-    ):
-        buckets.setdefault((t_id, b), []).append(v)
-
-    id_to_row = {v: i for i, v in enumerate(ids)}
-    norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    qids = sorted(ids)[:n_queries]
-
-    out_q, out_n, out_r = [], [], []
-    for qid in qids:
-        qrow = norm[id_to_row[qid]]
-        cands: set[int] = set()
-        for ti in range(n_tables):
-            proj = qrow @ planes[ti].T > 0
-            b = int(proj @ (1 << np.arange(n_bits)))
-            cands.update(buckets.get((ti, b), []))
-        cands.discard(qid)
-        cand_list = sorted(cands)
-        if not cand_list:
-            continue
-        sims = norm[[id_to_row[c] for c in cand_list]] @ qrow
-        order = sorted(zip([-s for s in sims], cand_list))[:k]
-        for rank, (_negs, n) in enumerate(order, start=1):
-            out_q.append(qid)
-            out_n.append(n)
-            out_r.append(rank)
-    return pa.table(
-        {
-            "query_id": pa.array(out_q, type=pa.int64()),
-            "neighbor_id": pa.array(out_n, type=pa.int64()),
-            "rank": pa.array(out_r, type=pa.int64()),
-        }
-    )
+    tables = [
+        t for t in (ray.get(r) for r in partials_ds.to_arrow_refs()) if t.num_rows
+    ]
+    partials = pa.concat_tables(tables) if tables else None
+    return _merge_topk(partials, k)
