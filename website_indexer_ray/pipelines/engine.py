@@ -612,14 +612,22 @@ class CrawlEngine:
         min-key-deduped and unseen-filtered by the shards' offer pass)
         claim the remaining budget in canonical sorted-URL order
         (plugin.py:88-100 is order-sensitive, so this path is
-        driver-sequenced; the collection is bounded by the crawl's
-        configured budget)."""
+        driver-sequenced). Each shard returns only its sorted
+        budget-sized prefix (pending_topk) and the driver k-way merges
+        — the collection is bounded by n_shards x remaining even when
+        the pending set is vastly larger than the budget."""
         remaining = max(0, self.cfg.max_pages - total_requested)
-        rows = [
-            r
-            for chunk in ray.get([s.pending_table.remote() for s in shards])
-            for r in chunk
-        ]
+        rows = (
+            [
+                r
+                for chunk in ray.get(
+                    [s.pending_topk.remote(remaining) for s in shards]
+                )
+                for r in chunk
+            ]
+            if remaining
+            else []
+        )
         ray.get([s.clear_pending.remote() for s in shards])
         if not rows or remaining == 0:
             return FRONTIER_WITH_METHOD.empty_table()

@@ -339,21 +339,25 @@ def to_csv_bytes(table: pa.Table, kind: str, crawl_start=None) -> tuple[str, byt
         filename += f"-{crawl_start.strftime('%Y%m%d')}"
     filename += ".csv"
 
-    buf = io.StringIO()
-    buf.write(",".join(header) + "\r\n")
-    cols = [table.column(h).to_pylist() if h in table.schema.names else [None] * table.num_rows for h in header]
-    for i in range(table.num_rows):
-        cells = []
-        for col in cols:
-            v = col[i]
-            if v is None:
-                v = ""
-            elif isinstance(v, bool):
-                v = "True" if v else "False"
+    # Vectorized export (pandas' C CSV writer — QUOTE_MINIMAL with
+    # doubled quotes and CRLF rows, the reference's csv.writer wire
+    # format), not a per-row Python loop.
+    import pandas as pd
+
+    cols = {}
+    for h in header:
+        if h in table.schema.names:
+            col = table.column(h)
+            vals = col.to_pylist()
+            # str() per cell matches csv.writer; bools stay Python
+            # bools so pandas renders True/False.
+            if pa.types.is_boolean(col.type):
+                cols[h] = vals
             else:
-                v = str(v)
-            if any(c in v for c in ",\"\r\n"):
-                v = '"' + v.replace('"', '""') + '"'
-            cells.append(v)
-        buf.write(",".join(cells) + "\r\n")
+                cols[h] = ["" if v is None else str(v) for v in vals]
+        else:
+            cols[h] = [""] * table.num_rows
+    df = pd.DataFrame(cols, columns=header)
+    buf = io.StringIO()
+    df.to_csv(buf, index=False, lineterminator="\r\n")
     return filename, b"\xef\xbb\xbf" + buf.getvalue().encode("utf-8")

@@ -35,20 +35,38 @@ def agg_lineitem(sf_dir: str) -> pa.Table:
         ],
     )
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["qty"] = batch["l_quantity"].round().astype("int64")
-        batch["price_c"] = (batch["l_extendedprice"] * 100).round().astype("int64")
-        batch["disc_c"] = ((1 - batch["l_discount"]) * 100).round().astype("int64")
-        batch["revenue_c4"] = batch["price_c"] * batch["disc_c"]
-        batch["n"] = 1
-        g = (
-            batch.groupby(["l_returnflag", "l_linestatus"], as_index=False)[
-                ["qty", "price_c", "revenue_c4", "n"]
-            ].sum()
+    def partial(batch: pa.Table) -> pa.Table:
+        # Zero-copy Arrow partials: scaled-integer money columns +
+        # pyarrow group_by (no Arrow→pandas→Arrow round trip).
+        qty = pc.cast(pc.round(batch.column("l_quantity")), pa.int64())
+        price_c = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)),
+            pa.int64(),
         )
-        return g
+        disc_c = pc.cast(
+            pc.round(
+                pc.multiply(pc.subtract(1.0, batch.column("l_discount")), 100.0)
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": qty,
+                "price_c": price_c,
+                "revenue_c4": pc.multiply(price_c, disc_c),
+                "n": pa.array([1] * batch.num_rows, type=pa.int64()),
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price_c", "sum"), ("revenue_c4", "sum"), ("n", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "qty", "price_c", "revenue_c4", "n"]
+        )
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     out = (
         partials.groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
@@ -75,14 +93,30 @@ def top_revenue_orders(sf_dir: str, k: int = 10) -> pa.Table:
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["revenue_c4"] = (
-            (batch["l_extendedprice"] * 100).round().astype("int64")
-            * ((1 - batch["l_discount"]) * 100).round().astype("int64")
+    def partial(batch: pa.Table) -> pa.Table:
+        price_c = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)),
+            pa.int64(),
         )
-        return batch.groupby("l_orderkey", as_index=False)[["revenue_c4"]].sum()
+        disc_c = pc.cast(
+            pc.round(
+                pc.multiply(pc.subtract(1.0, batch.column("l_discount")), 100.0)
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "revenue_c4": pc.multiply(price_c, disc_c),
+            }
+        )
+        return (
+            t.group_by("l_orderkey")
+            .aggregate([("revenue_c4", "sum")])
+            .rename_columns(["l_orderkey", "revenue_c4"])
+        )
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     # Final merge: partials are one row per (key, batch) — a tiny
     # table — so the combine runs on the driver. At 10^9+ key
     # cardinality this flips to a hash-partitioned groupby; top-k
@@ -120,11 +154,14 @@ def status_counts(sf_dir: str) -> pa.Table:
     """Per-type outcome counts (A3 — plugin.py:219-255 accounting)."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby("event_type", as_index=False).size()
-        return g.rename(columns={"size": "n"})
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by("event_type")
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "n"])
+        )
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     out = partials.groupby("event_type").aggregate(Sum("n", alias_name="n"))
     tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
     return tbl.take(pc.sort_indices(tbl, sort_keys=[("event_type", "ascending")]))
@@ -188,15 +225,24 @@ def window_counts(sf_dir: str) -> pa.Table:
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["window_start"] = batch["ts"].dt.floor("h")
-        batch["value_c"] = (batch["value"] * 100).round().astype("int64")
-        batch["n"] = 1
-        return batch.groupby(["window_start", "event_type"], as_index=False)[
-            ["value_c", "n"]
-        ].sum()
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "window_start": pc.floor_temporal(batch.column("ts"), unit="hour"),
+                "event_type": batch.column("event_type"),
+                "value_c": pc.cast(
+                    pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+                ),
+                "n": pa.array([1] * batch.num_rows, type=pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["window_start", "event_type"])
+            .aggregate([("value_c", "sum"), ("n", "sum")])
+            .rename_columns(["window_start", "event_type", "value_c", "n"])
+        )
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     out = partials.groupby(["window_start", "event_type"]).aggregate(
         Sum("value_c", alias_name="sum_value_c"),
         Sum("n", alias_name="n"),
@@ -231,30 +277,32 @@ def asof_last_order(sf_dir: str) -> pa.Table:
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
 
-    def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def tag_orders(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
             {
-                "key": b["o_custkey"],
-                "t": b["o_orderdate"],
-                "kind": 0,
-                "event_id": -1,
-                "orderkey": b["o_orderkey"],
+                "key": b.column("o_custkey"),
+                "t": pc.cast(b.column("o_orderdate"), pa.timestamp("us")),
+                "kind": pa.array([0] * n, type=pa.int64()),
+                "event_id": pa.array([-1] * n, type=pa.int64()),
+                "orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
             }
         )
 
-    def tag_events(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def tag_events(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
             {
-                "key": b["user_id"],
-                "t": b["ts"],
-                "kind": 1,
-                "event_id": b["event_id"],
-                "orderkey": -1,
+                "key": b.column("user_id"),
+                "t": pc.cast(b.column("ts"), pa.timestamp("us")),
+                "kind": pa.array([1] * n, type=pa.int64()),
+                "event_id": pc.cast(b.column("event_id"), pa.int64()),
+                "orderkey": pa.array([-1] * n, type=pa.int64()),
             }
         )
 
-    unioned = orders.map_batches(tag_orders, batch_format="pandas").union(
-        events.map_batches(tag_events, batch_format="pandas")
+    unioned = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        events.map_batches(tag_events, batch_format="pyarrow")
     )
 
     def fill(g: pd.DataFrame) -> pd.DataFrame:

@@ -125,8 +125,22 @@ class FetchParseStage:
 
     # --- per-batch --------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        if self.budget is not None and rows:
+            # One reserve_n RPC per (host, batch) instead of a blocking
+            # actor round-trip per row; slots are wall-clock targets
+            # relative to the reservation time.
+            from collections import Counter
+
+            counts = Counter(r["host"] for r in rows)
+            futs = {
+                h: self.budget.reserve_n.remote(h, c) for h, c in counts.items()
+            }
+            t0 = time.monotonic()
+            self._slot_t0 = t0
+            self._slots = {h: iter(ray.get(f)) for h, f in futs.items()}
         out: list[dict] = []
-        for row in batch.to_pylist():
+        for row in rows:
             out.append(self._process(row))
         if not out:
             return RECORDS_SCHEMA.empty_table()
@@ -165,9 +179,10 @@ class FetchParseStage:
             return rec
 
         if self.budget is not None:
-            delay = ray.get(self.budget.reserve.remote(host))
-            if delay > 0:
-                time.sleep(delay)
+            target = self._slot_t0 + next(self._slots[host])
+            wait = target - time.monotonic()
+            if wait > 0:
+                time.sleep(wait)
         else:
             self.limiter.acquire(host)
 

@@ -46,7 +46,9 @@ from __future__ import annotations
 
 from urllib.parse import parse_qs, urlsplit
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from website_indexer_ray.config import CrawlConfig
 from website_indexer_ray.functions.htmlparse import HTML_EXTERNAL_SITE
@@ -54,6 +56,17 @@ from website_indexer_ray.functions.urls import canonicalize, hostname_with_port,
 from website_indexer_ray.schemas import FRONTIER_SCHEMA
 
 _MAX_REWRITE_PASSES = 4
+
+# "." anywhere in the path portion (after the authority, before ?/#) —
+# the vectorized form of F7's `"." in urlsplit(url).path`.
+_DOT_IN_PATH_RE = r"^[^/?#]+//[^/?#]*/[^?#]*\."
+
+
+def _anchor(pattern: str) -> str:
+    """Python ``re.match`` anchors at the start; Arrow's
+    match_substring_regex matches anywhere — wrap to keep re.match
+    semantics."""
+    return f"^(?:{pattern})"
 
 
 class PredicateStage:
@@ -149,9 +162,73 @@ class PredicateStage:
         return accepted
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = batch.to_pylist()
-        accepted = self.process_rows(rows)
+        """Vectorized chain: F1/F4/F5/F7 and the F6 method rewrite are
+        pure string/compare kernels over the whole batch; only rows
+        that carry a querystring on the start host (the F8 wrapper
+        re-enqueue and the F9 ?page=N rule, plus any F8 rewrites) drop
+        to the exact row-wise path — a rare slice of real frontiers.
+        Equality with ``process_rows`` (the sequential-oracle form) is
+        pinned by the engine-vs-oracle e2e tests."""
         schema = FRONTIER_SCHEMA.append(pa.field("method", pa.string()))
-        if not accepted:
+        if batch.num_rows == 0:
             return schema.empty_table()
-        return pa.Table.from_pylist(accepted, schema=schema)
+        batch = batch.select(FRONTIER_SCHEMA.names).combine_chunks()
+        url = batch.column("url")
+
+        def any_match(patterns) -> pa.Array:
+            mask = None
+            for p in patterns:
+                m = pc.match_substring_regex(url, _anchor(p.pattern))
+                mask = m if mask is None else pc.or_(mask, m)
+            if mask is None:
+                return pa.array(np.zeros(batch.num_rows, dtype=bool))
+            return mask
+
+        cfg = self.cfg
+        # F1 depth cap (0 = uncapped).
+        keep = (
+            pc.less_equal(batch.column("depth"), cfg.depth)
+            if cfg.depth
+            else pa.array(np.ones(batch.num_rows, dtype=bool))
+        )
+        # F4 skip regexes; F5 external-parent rejection.
+        keep = pc.and_(keep, pc.invert(any_match(self.skip_res)))
+        keep = pc.and_(
+            keep, pc.equal(batch.column("parent_host"), self.start_host_port)
+        )
+        # F6: HEAD-domain rows accept immediately (skip F7-F9).
+        head = pc.and_(keep, any_match(self.head_res))
+        rest = pc.and_(keep, pc.invert(head))
+        internal = pc.equal(batch.column("host"), self.start_host_port)
+        # F7: filename-like internal paths.
+        dot = pc.match_substring_regex(url, _DOT_IN_PATH_RE)
+        rest = pc.and_(rest, pc.invert(pc.and_(internal, dot)))
+        # F8/F9 live behind "internal with a querystring" — exact path.
+        has_query = pc.match_substring(url, "?")
+        complex_mask = pc.and_(rest, pc.and_(internal, has_query))
+        vec_get = pc.and_(rest, pc.invert(complex_mask))
+
+        parts = []
+        n_head = pc.sum(head).as_py() or 0
+        if n_head:
+            parts.append(
+                batch.filter(head).append_column(
+                    "method", pa.array(["HEAD"] * n_head)
+                )
+            )
+        n_get = pc.sum(vec_get).as_py() or 0
+        if n_get:
+            parts.append(
+                batch.filter(vec_get).append_column(
+                    "method", pa.array(["GET"] * n_get)
+                )
+            )
+        if pc.sum(complex_mask).as_py():
+            accepted = self.process_rows(batch.filter(complex_mask).to_pylist())
+            if accepted:
+                parts.append(pa.Table.from_pylist(accepted, schema=schema))
+        if not parts:
+            return schema.empty_table()
+        return pa.concat_tables(
+            [p.select(schema.names).cast(schema) for p in parts]
+        )

@@ -74,10 +74,21 @@ class HostBudget:
 
     def reserve(self, host: str) -> float:
         """Returns seconds the caller must wait before fetching."""
-        if self.limiter.wait <= 0:
-            return 0.0
-        now = self.limiter.clock()
-        t = self.limiter.next_ok.get(host, now)
-        delay = max(0.0, t - now)
-        self.limiter.next_ok[host] = max(now, t) + self.limiter.wait * self.limiter._factor(host)
-        return delay
+        return self.reserve_n(host, 1)[0]
+
+    def reserve_n(self, host: str, n: int) -> list[float]:
+        """Reserve ``n`` consecutive slots for one host in a single
+        RPC (the fetch stage calls this once per batch, not per row).
+        Returns per-slot delays relative to now; callers sleep until
+        ``t0 + delay[i]`` before request i."""
+        lim = self.limiter
+        if lim.wait <= 0:
+            return [0.0] * n
+        now = lim.clock()
+        t = lim.next_ok.get(host, now)
+        delays = []
+        for _ in range(n):
+            delays.append(max(0.0, t - now))
+            t = max(now, t) + lim.wait * lim._factor(host)
+        lim.next_ok[host] = t
+        return delays

@@ -83,6 +83,14 @@ class SeenShard:
         df = self._pending_df()
         return df.to_dict("records") if df is not None else []
 
+    def pending_topk(self, k: int) -> list[dict]:
+        """First ``k`` pending candidates in canonical (sorted-URL)
+        order — the budgeted-claim path fetches only each shard's
+        budget-sized prefix, so the driver never holds more than
+        n_shards x budget rows however large the pending set is."""
+        df = self._pending_df()
+        return df.head(k).to_dict("records") if df is not None else []
+
     def clear_pending(self) -> None:
         self.pending_chunks = []
 
