@@ -83,13 +83,24 @@ def entry() -> Any:
     """Flagship: synthetic-web crawl → interleaved-span docs table,
     as a streaming Dataset pipeline over the crawl checkpoint (pruned
     read, per-batch span construction — never materializes records on
-    the driver)."""
+    the driver). The docs table round-trips through the Lance
+    sink/source seam (sources/lance_io.py — real Lance when the
+    library exists; in this container, its documented Parquet
+    fallback with the same Dataset contract)."""
     from website_indexer_ray.functions.spans import DOC_SOURCE_COLUMNS, docs_table_from_records
+    from website_indexer_ray.sources import lance_io
+
+    import shutil
 
     result = _crawl_result(n_pages=40, tag="entry")
-    return result.ray_records(columns=DOC_SOURCE_COLUMNS).map_batches(
+    docs = result.ray_records(columns=DOC_SOURCE_COLUMNS).map_batches(
         docs_table_from_records, batch_format="pyarrow"
     )
+    out = "/tmp/wir_entry_crawl/entry-docs"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(out + ".lance", ignore_errors=True)
+    info = lance_io.write_records(docs, out)
+    return lance_io.read_records(info["path"])
 
 
 # --- crawl-engine queries (Dataset-native over the checkpoint) ------

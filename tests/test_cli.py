@@ -66,3 +66,30 @@ def test_cli_crawl_query_manage(ray_session, tmp_path, capsys):
     rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert rows[0]["name"] == "run1"
     assert rows[0]["status"] == "Finished"
+
+
+class TestExitStatusMapping:
+    """plugin.py:283-304 — network-class exit codes downgrade to 0."""
+
+    def test_network_classes_downgrade(self):
+        from website_indexer_ray.__main__ import map_exit_status
+
+        for code in (4, 5, 6, 7, 8):
+            assert map_exit_status(code) == 0
+
+    def test_real_errors_kept(self):
+        from website_indexer_ray.__main__ import map_exit_status
+
+        for code in (1, 2, 3):
+            assert map_exit_status(code) == code
+
+    def test_exception_classification(self):
+        import socket
+        import ssl
+
+        from website_indexer_ray.__main__ import _classify_crawl_exception
+
+        assert _classify_crawl_exception(ssl.SSLError()) == 5
+        assert _classify_crawl_exception(socket.gaierror()) == 4
+        assert _classify_crawl_exception(TimeoutError()) == 4
+        assert _classify_crawl_exception(ValueError()) == 1

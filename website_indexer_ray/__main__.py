@@ -30,6 +30,32 @@ def _ray_ready():
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
 
 
+# wpull exit-status classes (ArchiveTeam wpull v2.0.1 errors.py:40-63):
+# 4 network_failure, 5 ssl_verification_error, 6 authentication_failure,
+# 7 protocol_error, 8 server_error. The reference downgrades these to 0
+# because per-URL network errors are EXPECTED during a crawl and must
+# not fail downstream processing (crawler/wpull/plugin.py:283-304).
+_DOWNGRADED_EXIT_CODES = frozenset({4, 5, 6, 7, 8})
+
+
+def map_exit_status(exit_code: int) -> int:
+    """plugin.py:283-304 — network-class failures exit 0."""
+    return 0 if exit_code in _DOWNGRADED_EXIT_CODES else exit_code
+
+
+def _classify_crawl_exception(exc: BaseException) -> int:
+    """Map an engine exception onto the wpull exit-status classes so
+    map_exit_status applies to our failures the same way."""
+    import socket
+    import ssl
+
+    if isinstance(exc, ssl.SSLError):
+        return 5
+    if isinstance(exc, (ConnectionError, socket.gaierror, socket.timeout, TimeoutError, OSError)):
+        return 4
+    return 1  # generic error — NOT downgraded
+
+
 def cmd_crawl(args) -> int:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -39,7 +65,9 @@ def cmd_crawl(args) -> int:
     from website_indexer_ray.schemas import SEEDS_SCHEMA
 
     _ray_ready()
-    corpus = pq.read_table(args.corpus)
+    # No --corpus ⇒ real-network crawl (HttpFetcher behind the same
+    # fetch seam, stages/httpfetch.py).
+    corpus = pq.read_table(args.corpus) if args.corpus else None
     if args.seeds:
         seeds = pq.read_table(args.seeds)
     else:
@@ -56,9 +84,23 @@ def cmd_crawl(args) -> int:
         n_seen_shards=args.seen_shards,
         fetch_concurrency=args.fetch_concurrency,
     )
-    result = CrawlEngine(cfg, args.out, crawl_id=args.crawl_id).run(
-        corpus, seeds, resume=args.resume
-    )
+    try:
+        result = CrawlEngine(cfg, args.out, crawl_id=args.crawl_id).run(
+            corpus, seeds, resume=args.resume
+        )
+    except Exception as exc:
+        code = map_exit_status(_classify_crawl_exception(exc))
+        print(
+            json.dumps(
+                {
+                    "crawl_id": args.crawl_id,
+                    "status": "Failed",
+                    "error": f"{type(exc).__name__}: {exc}",
+                    "exit_status": code,
+                }
+            )
+        )
+        return code
     lineage = result.lineage_table()
     print(
         json.dumps(
@@ -157,7 +199,7 @@ def main(argv=None) -> int:
 
     c = sub.add_parser("crawl")
     c.add_argument("--start-url", required=True)
-    c.add_argument("--corpus", required=True)
+    c.add_argument("--corpus")  # omit for a real-network crawl
     c.add_argument("--seeds")
     c.add_argument("--out", default="/tmp/wir_crawl")
     c.add_argument("--crawl-id", default="crawl-0")

@@ -40,6 +40,15 @@ class CrawlConfig:
     random_wait: bool = False
     respect_robots: bool = False
 
+    # Real-network client (crawler.py:38-47) — used when the engine
+    # runs with corpus=None. host_map is a test-only /etc/hosts shim:
+    # {hostname: (scheme, addr, port)}.
+    user_agent: str = "CFPB website indexer"
+    connect_timeout: float = 5.0
+    read_timeout: float = 30.0
+    session_timeout: float = 30.0
+    host_map: dict | None = None
+
     # Engine knobs.
     canonical_profile: str = "reference"
     n_seen_shards: int = 8

@@ -127,6 +127,10 @@ class CrawlEngine:
         self._corpus_ref = None
 
     def _ensure_corpus(self, corpus):
+        """corpus=None ⇒ real-network mode: the fetch stages build an
+        HttpFetcher behind the same seam instead of a corpus lookup."""
+        if corpus is None:
+            return None
         if self._corpus_ref is None:
             self._corpus_dict = (
                 corpus if isinstance(corpus, dict) else corpus_to_dict(corpus)
@@ -143,6 +147,8 @@ class CrawlEngine:
         import functools
         import json as _json
 
+        if corpus is None:
+            return  # network mode: nothing to pre-broadcast
         cfg = self.cfg
         corpus_ref = self._ensure_corpus(corpus)
         n = n_tasks or 2 * cfg.fetch_concurrency

@@ -91,8 +91,27 @@ class FetchParseStage:
         budget_handle=None,
     ):
         self.cfg = CrawlConfig.from_dict(cfg) if isinstance(cfg, dict) else cfg
-        corpus = ray.get(corpus_ref) if not isinstance(corpus_ref, dict) else corpus_ref
-        self.corpus: dict[str, tuple] = corpus
+        if corpus_ref is None:
+            # Real-network mode: the HttpFetcher drops in behind the
+            # same _fetch seam (stages/httpfetch.py).
+            from website_indexer_ray.stages.httpfetch import HttpFetcher
+
+            self.corpus = None
+            self.http = HttpFetcher(
+                connect_timeout=self.cfg.connect_timeout,
+                read_timeout=self.cfg.read_timeout,
+                session_timeout=self.cfg.session_timeout,
+                user_agent=self.cfg.user_agent,
+                host_map=self.cfg.host_map,
+            )
+        else:
+            corpus = (
+                ray.get(corpus_ref)
+                if not isinstance(corpus_ref, dict)
+                else corpus_ref
+            )
+            self.corpus: dict[str, tuple] = corpus
+            self.http = None
         self.start_host_port = hostname_with_port(self.cfg.start_url)
         self.start_hostname = hostname(self.cfg.start_url)
         self.limiter = HostRateLimiter(
@@ -109,6 +128,8 @@ class FetchParseStage:
     def _fetch(self, url: str, method: str) -> tuple[int, str, str | None, str | None, int]:
         """(status, content_type, location, html, delay_ms); a miss is
         a network-level failure (status 0, plugin.py:176-183)."""
+        if self.http is not None:
+            return self.http.fetch(url, method)
         row = self.corpus.get(url)
         if row is None:
             return 0, "", None, None, 0
@@ -118,6 +139,11 @@ class FetchParseStage:
         return status, ctype, location, html, delay
 
     def _fetch_robots_text(self, robots_url: str) -> str | None:
+        if self.http is not None:
+            status, _ct, _loc, body, _d = self.http.fetch(
+                robots_url, "GET", body_prefixes=("",)
+            )
+            return body if status == 200 else None
         row = self.corpus.get(robots_url)
         if row is None or row[0] != 200:
             return None
