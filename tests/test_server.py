@@ -1,0 +1,113 @@
+"""Viewer HTTP server tests — the reference viewer's endpoint surface
+(viewer/urls.py:6-13) exercised over real sockets against a crawl of
+the synthetic sample site (mirrors viewer/tests/test_views.py
+assertions: counts, pagination shape, CSV BOM/headers/filename, 404
+detail payloads)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from website_indexer_ray.config import CrawlConfig
+from website_indexer_ray.fixtures.gen import SAMPLE_START_URL, sample_site_corpus
+from website_indexer_ray.pipelines.engine import CrawlEngine
+from website_indexer_ray.server import make_server
+
+
+@pytest.fixture(scope="module")
+def base_url(ray_session, tmp_path_factory):
+    corpus, seeds = sample_site_corpus()
+    cfg = CrawlConfig(
+        start_url=SAMPLE_START_URL, n_seen_shards=2, fetch_concurrency=2
+    )
+    out = str(tmp_path_factory.mktemp("server_crawl"))
+    CrawlEngine(cfg, out).run(corpus, seeds)
+    httpd = make_server(out, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def get(url: str):
+    try:
+        with urllib.request.urlopen(url) as resp:
+            return resp.status, dict(resp.headers), resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, dict(e.headers), e.read()
+
+
+class TestPages:
+    def test_index_lists_all_pages(self, base_url):
+        status, _h, body = get(f"{base_url}/")
+        assert status == 200
+        page = json.loads(body)
+        assert page["count"] == 3
+        assert [r["url"] for r in page["results"]] == [
+            "http://localhost:8000/",
+            "http://localhost:8000/child/",
+            "http://localhost:8000/child/?page=2",
+        ]
+        assert "indexed page" in page["results_summary"]
+
+    def test_title_search(self, base_url):
+        _s, _h, body = get(f"{base_url}/?search_type=title&q=child")
+        page = json.loads(body)
+        assert page["count"] == 2
+        assert page["results_summary"] == '2 pages with "child" in the page title'
+
+    def test_csv_has_bom_header_and_filename(self, base_url):
+        _s, headers, body = get(f"{base_url}/?format=csv")
+        assert body.startswith(b"\xef\xbb\xbf")
+        assert body[3:].split(b"\r\n")[0] == b"url,title,language"
+        assert headers["Content-Disposition"].startswith(
+            "attachment; filename=pages-"
+        )
+        assert headers["Content-Disposition"].endswith(".csv")
+
+    def test_components_csv_variant(self, base_url):
+        _s, _h, body = get(f"{base_url}/?search_type=components&q=o-&format=csv")
+        assert b"class_name" in body.split(b"\r\n")[0]
+
+    def test_page_detail_and_404(self, base_url):
+        _s, _h, body = get(f"{base_url}/page/?url=http://localhost:8000/")
+        row = json.loads(body)
+        assert row["title"] == "Sample homepage"
+        assert row["components"] == ["o-sample"]
+        status, _h, body = get(f"{base_url}/page/?url=http://nope/")
+        assert status == 404
+        assert json.loads(body) == {"detail": "Not found."}
+
+
+class TestDimensionsAndStats:
+    def test_components_unpaginated(self, base_url):
+        _s, _h, body = get(f"{base_url}/components/")
+        data = json.loads(body)
+        assert data["results"] == [{"class_name": "o-sample"}]
+
+    def test_errors_with_status_filter(self, base_url):
+        _s, _h, body = get(f"{base_url}/errors/")
+        all_errors = json.loads(body)["count"]
+        _s, _h, body = get(f"{base_url}/errors/?status_code=404")
+        assert json.loads(body)["count"] <= all_errors
+
+    def test_redirects_endpoint(self, base_url):
+        status, _h, body = get(f"{base_url}/redirects/")
+        assert status == 200
+        assert "results" in json.loads(body)
+
+    def test_status_and_help(self, base_url):
+        _s, _h, body = get(f"{base_url}/status/")
+        stats = json.loads(body)
+        assert stats["count"] == 3
+        status, _h, body = get(f"{base_url}/help/")
+        assert status == 200
+        assert b"viewer API" in body
+
+    def test_unknown_route_404(self, base_url):
+        status, _h, body = get(f"{base_url}/nope/")
+        assert status == 404

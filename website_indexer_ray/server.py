@@ -1,0 +1,199 @@
+"""Viewer HTTP server — the reference viewer's API surface
+(/root/reference/viewer/urls.py:6-13, views.py:79-159) served from a
+crawl checkpoint directory over stdlib http.server (no web framework
+in this container; the routing/semantics are what's reproduced):
+
+  GET /                ?search_type=&q=&language=&page=N&format=json|csv
+                       page list + the six search types (views.py:113-132)
+  GET /page/           ?url=...   exact-URL detail, 404 JSON when absent
+                       (views.py:151-159)
+  GET /components/     ?format=csv   global component dimension,
+                       unpaginated (views.py:79-88)
+  GET /errors/         ?status_code=&page=&format=csv (views.py:91-97)
+  GET /redirects/      ?status_code=&page=&format=csv (views.py:100-106)
+  GET /status/         crawl stats (viewer/context_processors.py:6-27)
+  GET /help/           static help text (urls.py:12)
+
+CSV responses carry the UTF-8 BOM, per-type headers and the
+date-stamped attachment filename (views.py:38-76). JSON list
+responses use the viewer's page-window shape (pagination.py:5-16,
+page size 25). The handler serves from slim in-memory tables loaded
+once at startup; a checkpoint too large for that swaps in the
+Dataset-native search path (pipelines/query.search_pages_ds) behind
+the same handlers.
+
+Run: python -m website_indexer_ray.server --out /path/to/crawl [--port 8000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlsplit
+
+from website_indexer_ray.pipelines import query
+from website_indexer_ray.pipelines.engine import CrawlResult
+
+HELP_TEXT = (
+    "website-indexer viewer API\n"
+    "  /            page search (search_type, q, language, page, format)\n"
+    "  /page/       page detail (url)\n"
+    "  /components/ component dimension\n"
+    "  /errors/     crawl errors (status_code filter)\n"
+    "  /redirects/  crawl redirects (status_code filter)\n"
+    "  /status/     crawl stats\n"
+)
+
+
+class ViewerState:
+    """Checkpoint tables loaded once per serving process."""
+
+    def __init__(self, out_dir: str):
+        self.result = CrawlResult(out_dir)
+        self.records = self.result.records_table()
+        self.stats = query.crawl_stats(self.records)
+
+
+class ViewerHandler(BaseHTTPRequestHandler):
+    state: ViewerState  # assigned by make_server
+
+    # --- plumbing ----------------------------------------------------
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _send(self, code: int, body: bytes, ctype: str, extra: dict | None = None):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        for k, v in (extra or {}).items():
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _json(self, obj, code: int = 200):
+        self._send(
+            code,
+            json.dumps(obj, default=str).encode(),
+            "application/json",
+        )
+
+    def _csv(self, table, kind: str):
+        name, data = query.to_csv_bytes(table, kind, self.state.stats["start"])
+        self._send(
+            200,
+            data,
+            "text/csv; charset=utf-8",
+            {"Content-Disposition": f"attachment; filename={name}"},
+        )
+
+    # --- routing -----------------------------------------------------
+    def do_GET(self):
+        parts = urlsplit(self.path)
+        qs = {k: v[0] for k, v in parse_qs(parts.query).items()}
+        route = parts.path.rstrip("/") or "/"
+        try:
+            if route == "/":
+                self._pages(qs)
+            elif route == "/page":
+                self._page_detail(qs)
+            elif route == "/components":
+                self._components(qs)
+            elif route == "/errors":
+                self._errors_or_redirects(qs, "errors")
+            elif route == "/redirects":
+                self._errors_or_redirects(qs, "redirects")
+            elif route == "/status":
+                s = self.state.stats
+                self._json(
+                    {
+                        "count": s["count"],
+                        "start": s["start"],
+                        "end": s["end"],
+                        "duration_s": (
+                            s["duration"].total_seconds()
+                            if s["duration"] is not None
+                            else None
+                        ),
+                    }
+                )
+            elif route == "/help":
+                self._send(200, HELP_TEXT.encode(), "text/plain; charset=utf-8")
+            else:
+                self._json({"detail": "Not found."}, 404)
+        except Exception as exc:  # pragma: no cover - defensive 500
+            self._json({"detail": f"{type(exc).__name__}: {exc}"}, 500)
+
+    # --- views -------------------------------------------------------
+    def _pages(self, qs: dict):
+        search_type = qs.get("search_type", "")
+        q = qs.get("q", "")
+        is_csv = qs.get("format") == "csv"
+        out = query.search_pages(
+            self.state.records,
+            search_type,
+            q,
+            include_related=is_csv and search_type in ("components", "links"),
+            language=qs.get("language"),
+        )
+        if is_csv:
+            kind = (
+                "pages_components"
+                if search_type == "components"
+                else "pages_links" if search_type == "links" else "pages"
+            )
+            self._csv(out, kind)
+            return
+        page = query.paginate(query.strip_title_suffix(out), int(qs.get("page", 1)))
+        page["results_summary"] = query.results_summary(
+            page["count"], search_type, q
+        )
+        self._json(page)
+
+    def _page_detail(self, qs: dict):
+        row = query.page_detail(self.state.records, qs.get("url", ""))
+        if row is None:
+            self._json({"detail": "Not found."}, 404)
+        else:
+            self._json(row)
+
+    def _components(self, qs: dict):
+        table = query.list_components(self.state.records)
+        if qs.get("format") == "csv":
+            self._csv(table, "components")
+        else:
+            # pagination_class = None (views.py:81): full list.
+            self._json({"count": table.num_rows, "results": table.to_pylist()})
+
+    def _errors_or_redirects(self, qs: dict, kind: str):
+        status = int(qs["status_code"]) if "status_code" in qs else None
+        table = (
+            query.list_errors(self.state.records, status_code=status)
+            if kind == "errors"
+            else query.list_redirects(self.state.records, status_code=status)
+        )
+        if qs.get("format") == "csv":
+            self._csv(table, kind)
+        else:
+            self._json(query.paginate(table, int(qs.get("page", 1))))
+
+
+def make_server(out_dir: str, port: int = 0) -> ThreadingHTTPServer:
+    state = ViewerState(out_dir)
+    handler = type("BoundViewerHandler", (ViewerHandler,), {"state": state})
+    return ThreadingHTTPServer(("127.0.0.1", port), handler)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="website_indexer_ray.server")
+    p.add_argument("--out", required=True, help="crawl checkpoint directory")
+    p.add_argument("--port", type=int, default=8000)
+    args = p.parse_args(argv)
+    httpd = make_server(args.out, args.port)
+    print(f"viewer serving {args.out} on http://127.0.0.1:{httpd.server_address[1]}/")
+    httpd.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
