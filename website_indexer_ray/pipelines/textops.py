@@ -93,12 +93,19 @@ def exact_dedup(sf_dir: str) -> pa.Table:
         )
 
     partials = ds.map_batches(partial_min, batch_format="pyarrow")
-    # Partials are one row per (hash, batch); the final min-merge is a
-    # tiny driver-side combine (hash-partitioned groupby at 10^9+ key
-    # scale).
+    # Partials are one row per (hash, batch). Adaptive final merge:
+    # small partial sets combine on the driver; past the threshold the
+    # min-merge runs as a text_hash-keyed hash exchange (each reducer
+    # partition owns its hashes, so its local min IS the global min).
+    merged = _merge_partials_adaptive(
+        partials,
+        key="text_hash",
+        reduce_fn=lambda t: t.group_by("text_hash")
+        .aggregate([("doc_id", "min")])
+        .rename_columns(["text_hash", "doc_id"]),
+    )
     tbl = (
-        _to_table(partials)
-        .group_by("text_hash")
+        merged.group_by("text_hash")
         .aggregate([("doc_id", "min")])
         .rename_columns(["text_hash", "doc_id"])
         .select(["doc_id"])
@@ -556,10 +563,12 @@ def length_filter(
 
 def vocab_top_tokens(sf_dir: str, k: int = 100) -> pa.Table:
     """Corpus vocabulary top-k: per-batch token Counters (the partial
-    combiner — token counts shrink ~1000x before leaving the task),
-    merged driver-side, deterministic (count desc, token asc) top-k.
-    At 10^12 tokens the merge becomes a hash-partitioned groupby over
-    the per-batch partials; the partial pass is identical."""
+    combiner — token counts shrink ~1000x before leaving the task)
+    with an adaptive merge — driver-side while the partial table is
+    small, flipping to a token-hash-keyed actor exchange when the
+    vocabulary explodes (each partition owns its hashes, so its
+    per-token sums are final). Deterministic (count desc, token asc)
+    top-k."""
     from collections import Counter
 
     token_re = re.compile(r"[a-z0-9]+")
@@ -569,14 +578,24 @@ def vocab_top_tokens(sf_dir: str, k: int = 100) -> pa.Table:
         c: Counter = Counter()
         for t in batch.column("text").to_pylist():
             c.update(token_re.findall(t.lower()))
+        toks = list(c.keys())
         return pa.table(
             {
-                "token": pa.array(list(c.keys()), type=pa.string()),
+                "token": pa.array(toks, type=pa.string()),
+                "token_hash": pa.array(
+                    [crc32(t.encode()) for t in toks], type=pa.int64()
+                ),
                 "n": pa.array(list(c.values()), type=pa.int64()),
             }
         )
 
-    partials = _to_table(ds.map_batches(partial, batch_format="pyarrow"))
+    partials = _merge_partials_adaptive(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        key="token_hash",
+        reduce_fn=lambda t: t.group_by(["token", "token_hash"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["token", "token_hash", "n"]),
+    )
     merged = (
         partials.group_by("token")
         .aggregate([("n", "sum")])
@@ -877,6 +896,26 @@ def ngram_jaccard_pairs(
 
 
 # --- helpers ---------------------------------------------------------
+
+_PARTIAL_DRIVER_MAX = 200_000
+
+
+def _merge_partials_adaptive(partials_ds, key: str, reduce_fn) -> pa.Table:
+    """Adaptive partial-merge: a small partial table concatenates on
+    the driver (the caller's final group_by finishes it); past
+    _PARTIAL_DRIVER_MAX rows the merge runs as a key-hashed actor
+    exchange (state/exchange.py) where each partition owns its keys,
+    so per-partition reduction is globally correct and only
+    already-reduced rows reach the driver. Both paths return a table
+    the caller finishes with one group_by."""
+    mat = partials_ds.materialize()
+    if mat.count() <= _PARTIAL_DRIVER_MAX:
+        return _to_table(mat)
+    from website_indexer_ray.state.exchange import hash_exchange
+
+    out = hash_exchange(mat, key, reduce_fn)
+    return out if out is not None else _to_table(partials_ds)
+
 
 def _to_table(ds) -> pa.Table:
     tables = [t for t in (ray.get(r) for r in ds.to_arrow_refs()) if t.num_rows]
