@@ -84,6 +84,13 @@ def _ray_up(num_cpus: int):
         lambda b: (_time.sleep(0.2), b)[1], num_cpus=0.25
     ).materialize()
 
+    # Warm the reducer-actor pool the keyed exchanges use
+    # (state/exchange.py) — actor spawn is a per-session cost, not a
+    # per-operator cost, exactly like the worker pool above.
+    from website_indexer_ray.state.exchange import _pool
+
+    ray.get([s.reset.remote() for s in _pool(8)])
+
 
 def _crawl_cfg(num_cpus: int):
     from website_indexer_ray.config import CrawlConfig
