@@ -657,6 +657,32 @@ def oracle_sql() -> dict[str, str]:
                              // length(regexp_extract_all(text, '\\S+')) END AS stop_permille
             FROM documents ORDER BY doc_id
         """,
+        "lang_id": """
+            WITH c AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(lower(text), '[a-z'']+')) AS nw,
+                       len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+                           x -> list_contains(['the','and','of','to','is','in','a','that','it','for'], x))) AS s_en,
+                       len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+                           x -> list_contains(['el','la','de','que','y','en','un','los','se','no'], x))) AS s_es,
+                       len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+                           x -> list_contains(['der','die','und','das','ist','nicht','ein','mit','zu','den'], x))) AS s_de,
+                       len(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+                           x -> list_contains(['le','la','les','de','et','un','une','est','que','pour'], x))) AS s_fr
+                FROM documents
+            ), g AS (
+                SELECT *, greatest(s_de, s_en, s_es, s_fr) AS m FROM c
+            )
+            SELECT doc_id,
+                   CASE WHEN nw = 0 OR m = 0 THEN 'und'
+                        WHEN s_de = m THEN 'de'
+                        WHEN s_en = m THEN 'en'
+                        WHEN s_es = m THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   CASE WHEN nw = 0 THEN 0
+                        ELSE CAST((1000 * m) // nw AS BIGINT) END AS conf_permille
+            FROM g ORDER BY doc_id
+        """,
         "knn_bruteforce": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qe FROM embeddings
