@@ -111,3 +111,49 @@ class TestDimensionsAndStats:
     def test_unknown_route_404(self, base_url):
         status, _h, body = get(f"{base_url}/nope/")
         assert status == 404
+
+
+class TestHTMLRendering:
+    """AlsoRenderHTMLMixin equivalents (views.py:33-36): pages,
+    page detail, and components render HTML; errors/redirects stay
+    JSON/CSV-only like the reference."""
+
+    def test_search_page_html(self, base_url):
+        status, headers, body = get(f"{base_url}/?format=html")
+        assert status == 200
+        assert headers["Content-Type"].startswith("text/html")
+        text = body.decode()
+        assert "Showing all 3 indexed pages" in text
+        assert "Download search results" in text
+        assert 'name="q"' in text  # the search form
+        assert "http://localhost:8000/child/" in text
+
+    def test_search_summary_wording_html(self, base_url):
+        _s, _h, body = get(f"{base_url}/?search_type=title&q=child&format=html")
+        assert '2 pages with &quot;child&quot; in the page title' in body.decode()
+
+    def test_accept_header_negotiation(self, base_url):
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{base_url}/", headers={"Accept": "text/html,application/xhtml+xml"}
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.headers["Content-Type"].startswith("text/html")
+
+    def test_page_detail_html(self, base_url):
+        _s, _h, body = get(
+            f"{base_url}/page/?url=http://localhost:8000/&format=html"
+        )
+        text = body.decode()
+        assert "<h1>Sample homepage</h1>" in text
+        assert "o-sample" in text
+
+    def test_components_html(self, base_url):
+        _s, _h, body = get(f"{base_url}/components/?format=html")
+        assert "search_type=components&q=o-sample" in body.decode()
+
+    def test_errors_stay_json(self, base_url):
+        _s, headers, _b = get(f"{base_url}/errors/?format=html")
+        # reference Error/RedirectListView have no HTML renderer
+        assert headers["Content-Type"].startswith("application/json")

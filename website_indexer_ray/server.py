@@ -55,6 +55,18 @@ class ViewerState:
         self.stats = query.crawl_stats(self.records)
 
 
+def _esc(s) -> str:
+    import html
+
+    return html.escape(str(s if s is not None else ""))
+
+
+_HTML_SHELL = (
+    "<!DOCTYPE html><html lang=\"en\"><head><meta charset=\"utf-8\">"
+    "<title>website-indexer viewer</title></head><body>{body}</body></html>"
+)
+
+
 class ViewerHandler(BaseHTTPRequestHandler):
     state: ViewerState  # assigned by make_server
 
@@ -124,6 +136,19 @@ class ViewerHandler(BaseHTTPRequestHandler):
         except Exception as exc:  # pragma: no cover - defensive 500
             self._json({"detail": f"{type(exc).__name__}: {exc}"}, 500)
 
+    def _html(self, body: str):
+        self._send(
+            200, _HTML_SHELL.format(body=body).encode(), "text/html; charset=utf-8"
+        )
+
+    def _wants_html(self, qs: dict) -> bool:
+        if qs.get("format") == "html":
+            return True
+        if "format" in qs:
+            return False
+        accept = self.headers.get("Accept", "")
+        return "text/html" in accept and "application/json" not in accept.split(",")[0]
+
     # --- views -------------------------------------------------------
     def _pages(self, qs: dict):
         search_type = qs.get("search_type", "")
@@ -148,19 +173,84 @@ class ViewerHandler(BaseHTTPRequestHandler):
         page["results_summary"] = query.results_summary(
             page["count"], search_type, q
         )
+        if self._wants_html(qs):
+            self._html(self._render_search(page, search_type, q))
+            return
         self._json(page)
+
+    def _render_search(self, page: dict, search_type: str, q: str) -> str:
+        """HTML equivalent of the viewer's search page
+        (templates/viewer/search_results.html + page_list.html +
+        search_form.html + pagination.html): the search form, the
+        results-summary notification (byte-identical wording via
+        templatetags), a CSV download link, the result list with
+        per-page detail links, and prev/next pagination."""
+        from urllib.parse import quote_plus, urlencode
+
+        opts = "".join(
+            f'<option value="{t}"{" selected" if t == search_type else ""}>{t}</option>'
+            for t in ("title", "url", "components", "links", "text", "html")
+        )
+        form = (
+            '<form action="/"><h2>Search the index</h2>'
+            f'<input type="search" name="q" value="{_esc(q)}" maxlength="75">'
+            f'<select name="search_type">{opts}</select>'
+            "<button type=\"submit\">Search</button></form>"
+        )
+        csv_qs = urlencode(
+            {"format": "csv", **({"search_type": search_type} if search_type else {}),
+             **({"q": q} if q else {})}
+        )
+        summary = (
+            f'<div class="m-notification__message">{_esc(page["results_summary"])}</div>'
+            f'<a href="/?{csv_qs}">Download search results</a>'
+        )
+        items = "".join(
+            f'<li class="results-list__item"><h4><a href="{_esc(r["url"])}">'
+            f'{_esc(r["title"])}</a></h4><div>{_esc(r["url"])}</div>'
+            f'<a href="/page/?url={quote_plus(r["url"])}">View page details</a></li>'
+            for r in page["results"]
+        )
+        nav = ""
+        if page["num_pages"] > 1:
+            n = page["page_number"]
+            if n > 1:
+                nav += f'<a href="/?page={n - 1}">Previous</a> '
+            nav += f'Page {n} of {page["num_pages"]}'
+            if n < page["num_pages"]:
+                nav += f' <a href="/?page={n + 1}">Next</a>'
+        return f'{form}{summary}<ul class="m-list">{items}</ul><nav>{nav}</nav>'
 
     def _page_detail(self, qs: dict):
         row = query.page_detail(self.state.records, qs.get("url", ""))
         if row is None:
             self._json({"detail": "Not found."}, 404)
-        else:
-            self._json(row)
+            return
+        if self._wants_html(qs):
+            comps = "".join(f"<li>{_esc(c)}</li>" for c in row["components"] or [])
+            links = "".join(f"<li>{_esc(h)}</li>" for h in row["links"] or [])
+            self._html(
+                f'<h1>{_esc(row["title"])}</h1>'
+                f'<div><a href="{_esc(row["url"])}">{_esc(row["url"])}</a></div>'
+                f'<div>Language: {_esc(row["language"])}</div>'
+                f'<h2>Components</h2><ul>{comps}</ul>'
+                f'<h2>Links</h2><ul>{links}</ul>'
+                f'<h2>Text</h2><p>{_esc(row["text"])}</p>'
+            )
+            return
+        self._json(row)
 
     def _components(self, qs: dict):
         table = query.list_components(self.state.records)
         if qs.get("format") == "csv":
             self._csv(table, "components")
+        elif self._wants_html(qs):
+            items = "".join(
+                f'<li><a href="/?search_type=components&q={_esc(r["class_name"])}">'
+                f'{_esc(r["class_name"])}</a></li>'
+                for r in table.to_pylist()
+            )
+            self._html(f"<h1>Components</h1><ul>{items}</ul>")
         else:
             # pagination_class = None (views.py:81): full list.
             self._json({"count": table.num_rows, "results": table.to_pylist()})
