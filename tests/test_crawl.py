@@ -23,7 +23,7 @@ from website_indexer_ray.fixtures.gen import (
 )
 from website_indexer_ray.fixtures.oracle import crawl_oracle
 from website_indexer_ray.functions.spans import build_spans, docs_table_from_records
-from website_indexer_ray.pipelines.engine import CrawlEngine, corpus_to_dict
+from website_indexer_ray.pipelines.engine import CrawlEngine, CrawlResult, corpus_to_dict
 
 
 def run_engine(corpus, seeds, cfg, out_dir, resume=False):
@@ -384,3 +384,51 @@ class TestSyntheticEquality:
         total = sum(r["n_accepted"] for r in lineage)
         assert total == result.records_table().num_rows
         assert result.status()["status"] == "Finished"
+
+
+class TestActorFailureRecovery:
+    """Distributed fault tolerance: a seen-shard actor dying mid-crawl
+    fails the run (status Failed recorded in crawl.json), and a
+    resume=True run restores shard state from the last _SUCCESS seen
+    snapshot and completes with tables identical to an uninterrupted
+    crawl — the north_rule's lossless-checkpoint-resume contract under
+    real actor loss, not just truncated directories."""
+
+    def test_shard_death_then_resume(self, ray_session, tmp_path):
+        import ray as _ray
+
+        from website_indexer_ray.fixtures.gen import generate_corpus
+
+        corpus, seeds = generate_corpus(n_pages=60, seed=42)
+        cfg = CrawlConfig(
+            start_url=START_URL, n_seen_shards=2, fetch_concurrency=2
+        )
+
+        full = run_engine(corpus, seeds, cfg, str(tmp_path / "clean"))
+        full_records = full.records_table()
+
+        class FaultyEngine(CrawlEngine):
+            killed = False
+
+            def _run_generation(self, g, corpus_ref, cfg_dict, shards,
+                                budget_handle, total_requested):
+                if g == 2 and not FaultyEngine.killed:
+                    FaultyEngine.killed = True
+                    _ray.kill(shards[0])
+                return super()._run_generation(
+                    g, corpus_ref, cfg_dict, shards, budget_handle,
+                    total_requested,
+                )
+
+        crash_dir = str(tmp_path / "crash")
+        with pytest.raises(Exception):
+            FaultyEngine(cfg, crash_dir).run(corpus, seeds)
+        status = CrawlResult(crash_dir).status()
+        assert status["status"] == "Failed"
+        assert status["failure_message"]
+
+        resumed = CrawlEngine(cfg, crash_dir).run(corpus, seeds, resume=True)
+        assert resumed.status()["status"] == "Finished"
+        key = lambda t: sorted(t.to_pylist(), key=lambda r: r["url"])
+        assert key(resumed.records_table()) == key(full_records)
+        assert resumed.seen_table().equals(full.seen_table())

@@ -178,6 +178,28 @@ def cmd_list(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Run the viewer HTTP server over a crawl checkpoint
+    (server.py — the reference viewer's endpoint surface)."""
+    from website_indexer_ray.server import make_server
+
+    httpd = make_server(args.out, args.port)
+    print(
+        json.dumps(
+            {
+                "serving": args.out,
+                "url": f"http://127.0.0.1:{httpd.server_address[1]}/",
+            }
+        ),
+        flush=True,
+    )
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def cmd_manage(args) -> int:
     from website_indexer_ray.pipelines import manage
 
@@ -239,6 +261,11 @@ def main(argv=None) -> int:
     ls.add_argument("--status-code", type=int)
     ls.add_argument("--format", choices=["json", "csv"], default="json")
     ls.set_defaults(fn=cmd_list)
+
+    sv = sub.add_parser("serve")
+    sv.add_argument("--out", required=True)
+    sv.add_argument("--port", type=int, default=8000)
+    sv.set_defaults(fn=cmd_serve)
 
     m = sub.add_parser("manage")
     m.add_argument("action", choices=["list", "delete", "clean"])
