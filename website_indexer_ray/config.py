@@ -65,7 +65,12 @@ class CrawlConfig:
     # Data job launch + actor-pool spin-up that dwarfs the work. At
     # scale only the first/last generations of a crawl are this small;
     # the mass generations always take the distributed path.
-    driver_threshold: int = 2048  # source rows for expand+predicate+offer
+    # Kept small: a wide corpus expands few source rows into tens of
+    # thousands of candidates, so the gate must only catch genuinely
+    # tiny generations (seeds, BFS tails) — a 2k-row listing
+    # generation single-threading its 60k-candidate expansion on the
+    # driver costs more than the job launch it avoids.
+    driver_threshold: int = 256  # source rows for expand+predicate+offer
     fetch_driver_threshold: int = 256  # claimed rows fetched driver-side
 
     def to_dict(self) -> dict:

@@ -147,6 +147,13 @@ class CrawlEngine:
         import functools
         import json as _json
 
+        # Pre-spawn the seen shards too (their actor spawn + first-call
+        # pandas import is a session cost, not a crawl cost).
+        if getattr(self, "_warm_shards", None) is None:
+            self._warm_shards = seen_state.create_shards(
+                self.cfg.n_seen_shards, self.cfg.seen_shard_capacity
+            )
+            ray.get([s.count.remote() for s in self._warm_shards])
         if corpus is None:
             return  # network mode: nothing to pre-broadcast
         cfg = self.cfg
@@ -216,7 +223,10 @@ class CrawlEngine:
 
         corpus_ref = self._ensure_corpus(corpus)
 
-        shards = seen_state.create_shards(cfg.n_seen_shards, cfg.seen_shard_capacity)
+        shards = getattr(self, "_warm_shards", None) or seen_state.create_shards(
+            cfg.n_seen_shards, cfg.seen_shard_capacity
+        )
+        self._warm_shards = None  # fresh shards per run() call
         budget_handle = (
             HostBudget.remote(cfg.politeness_wait, cfg.random_wait)
             if cfg.salt_partitions > 1 and cfg.politeness_wait > 0
