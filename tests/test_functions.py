@@ -297,3 +297,58 @@ SAMPLE_HOMEPAGE = """<!DOCTYPE html>
   </body>
 </html>
 """
+
+
+class TestPredicateVectorizedEquality:
+    """The vectorized PredicateStage.__call__ must accept exactly the
+    rows (and methods) the sequential row-wise form does — on a batch
+    covering every rule: depth cap, skip regexes, external parents,
+    HEAD domains, filename paths, external-site rewrites, ?page=N."""
+
+    def test_call_matches_process_rows(self):
+        import pyarrow as pa
+
+        from website_indexer_ray.config import CrawlConfig
+        from website_indexer_ray.schemas import FRONTIER_SCHEMA
+        from website_indexer_ray.stages.predicates import PredicateStage
+
+        cfg = CrawlConfig(
+            start_url="https://test.example/",
+            depth=3,
+            head_url_patterns=(r"^https://files\.test\.example/.*",),
+        )
+        start = "https://test.example"
+        urls = [
+            (f"{start}/plain/", "test.example", 1),
+            (f"{start}/deep/", "test.example", 9),  # depth-capped
+            ("https://www.facebook.com/dialog/share?u=x", "www.facebook.com", 1),
+            ("https://files.test.example/a.pdf", "files.test.example", 1),  # HEAD
+            (f"{start}/file.pdf", "test.example", 1),  # F7
+            (f"{start}/list/?page=3", "test.example", 1),  # F9 ok
+            (f"{start}/list/?page=3&x=1", "test.example", 2),  # F9 reject
+            (f"{start}/external-site/?ext_url=https%3A%2F%2Fout.example%2F",
+             "test.example", 2),  # F8 rewrite
+            ("https://other.example/x/", "other.example", 1),  # external GET
+        ]
+        rows = [
+            {
+                "url": u, "url_hash": i, "host": h, "depth": d,
+                "parent_url": f"{start}/", "parent_host": "test.example",
+                "root_url": f"{start}/", "generation": 1, "seed_batch": 0,
+            }
+            for i, (u, h, d) in enumerate(urls)
+        ]
+        # one external-parent row (F5 reject)
+        rows.append(dict(rows[0], url="https://other.example/y/",
+                         host="other.example", parent_host="other.example"))
+        st = PredicateStage(cfg)
+        batch = pa.Table.from_pylist(rows, schema=FRONTIER_SCHEMA)
+        vec = sorted(
+            (r["url"], r["method"]) for r in st(batch).to_pylist()
+        )
+        ref = sorted(
+            (r["url"], r["method"]) for r in st.process_rows(rows)
+        )
+        assert vec == ref
+        assert ("https://files.test.example/a.pdf", "HEAD") in vec
+        assert ("https://out.example/", "GET") in vec

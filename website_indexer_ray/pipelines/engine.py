@@ -38,8 +38,9 @@ records flow map_batches → write_parquet as streaming blocks; the
 expansion input prunes to the tiny columns (EXPAND_COLUMNS — never the
 HTML); candidate→shard claims are actor calls keyed by url_hash, not a
 shuffle. The only driver-side collections are the budgeted-crawl
-candidate list (bounded by the budget) and per-generation row counts
-read from Parquet footers.
+candidate list (each shard returns only its sorted budget-sized
+prefix, so the driver holds ≤ n_shards × budget rows) and
+per-generation row counts read from Parquet footers.
 """
 
 from __future__ import annotations
