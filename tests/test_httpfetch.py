@@ -157,3 +157,52 @@ class TestSampleSiteCrawl:
     def test_no_redirects_recorded(self, result):
         res, _ = result
         assert query.list_redirects(res.records_table()).num_rows == 0
+
+
+class TestHttpRobots:
+    """ST3 over the real fetcher: robots.txt fetched through the same
+    HTTP path, per-host cache, disallowed URLs recorded as
+    robots_excluded and never fetched."""
+
+    @pytest.fixture(scope="class")
+    def robots_site(self, tmp_path_factory):
+        import shutil
+
+        root = tmp_path_factory.mktemp("robots_site")
+        shutil.copytree(SAMPLE_SRC, root / "src", dirs_exist_ok=True)
+        (root / "src" / "robots.txt").write_text(
+            "User-agent: *\nDisallow: /child/\n"
+        )
+        handler = functools.partial(
+            http.server.SimpleHTTPRequestHandler, directory=str(root / "src")
+        )
+        httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        yield f"127.0.0.1:{httpd.server_address[1]}", httpd.server_address[1]
+        httpd.shutdown()
+
+    def test_robots_excludes_child(self, ray_session, robots_site, tmp_path):
+        host, port = robots_site
+        start = f"http://{host}/"
+        cfg = CrawlConfig(
+            start_url=start,
+            n_seen_shards=2,
+            fetch_concurrency=2,
+            respect_robots=True,
+            host_map={
+                "example.com": ("http", "127.0.0.1", port),
+                "example.org": ("http", "127.0.0.1", port),
+            },
+        )
+        seeds = pa.Table.from_pylist(
+            [{"url": start, "seed_batch": 0}], schema=SEEDS_SCHEMA
+        )
+        res = CrawlEngine(cfg, str(tmp_path / "robots_crawl")).run(None, seeds)
+        records = res.records_table()
+        pages = query.search_pages(records)
+        assert pages.column("url").to_pylist() == [start]
+        excluded = records.filter(
+            pc.equal(records.column("record_type"), "robots_excluded")
+        )
+        assert f"{start}child/" in excluded.column("url").to_pylist()
