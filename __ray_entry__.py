@@ -479,7 +479,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_lineage": f"""
             SELECT crawl_id, generation, seed_batch, n_candidates,
                    n_accepted, n_pages, n_errors, n_redirects, n_skipped
-            FROM read_parquet('{_ORACLE_LINEAGE}') ORDER BY generation
+            FROM read_parquet('{_ORACLE_LINEAGE}')
+            ORDER BY generation, seed_batch
         """,
         "crawl_stats": f"""
             SELECT CAST(COUNT(*) AS BIGINT) AS n_pages,

@@ -432,3 +432,67 @@ class TestActorFailureRecovery:
         key = lambda t: sorted(t.to_pylist(), key=lambda r: r["url"])
         assert key(resumed.records_table()) == key(full_records)
         assert resumed.seen_table().equals(full.seen_table())
+
+
+class TestSeedBatchLineage:
+    """north_rule: lineage rows key on (seed batch, generation) with
+    per-batch outcome counts; seed_batch provenance inherits
+    parent→child through expansion and redirect follows."""
+
+    def test_two_seed_batches(self, ray_session, tmp_path):
+        import pyarrow as pa
+
+        from website_indexer_ray.fixtures.gen import generate_corpus
+        from website_indexer_ray.schemas import SEEDS_SCHEMA
+
+        corpus, _ = generate_corpus(n_pages=60, seed=42)
+        # Second batch seeds a section page: its subtree counts under
+        # batch 1 unless batch 0 claims a URL first (dedup is global).
+        urls = corpus.column("url").to_pylist()
+        section = next(
+            u for u in urls if u != START_URL and u.endswith("/")
+            and "ext" not in u
+        )
+        seeds = pa.Table.from_pylist(
+            [
+                {"url": START_URL, "seed_batch": 0},
+                {"url": section, "seed_batch": 1},
+            ],
+            schema=SEEDS_SCHEMA,
+        )
+        cfg = CrawlConfig(
+            start_url=START_URL, n_seen_shards=2, fetch_concurrency=2
+        )
+        res = run_engine(corpus, seeds, cfg, str(tmp_path / "two_batches"))
+
+        lin = res.lineage_table().to_pylist()
+        gen0 = [r for r in lin if r["generation"] == 0]
+        assert sorted(r["seed_batch"] for r in gen0) == [0, 1]
+        assert all(r["n_accepted"] == 1 for r in gen0)
+
+        records = res.records_table()
+        batches = set(records.column("seed_batch").to_pylist())
+        assert batches == {0, 1}
+
+        # Lineage accounting is exact per batch: outcome counts sum to
+        # the records table's per-batch row counts.
+        import collections
+
+        by_batch = collections.Counter(records.column("seed_batch").to_pylist())
+        for sb, n in by_batch.items():
+            assert sum(r["n_accepted"] for r in lin if r["seed_batch"] == sb) == n
+
+    def test_single_batch_unchanged(self, ray_session, tmp_path):
+        """Default crawls still produce one lineage row per generation
+        (seed_batch 0) — the round-1 contract."""
+        from website_indexer_ray.fixtures.gen import generate_corpus
+
+        corpus, seeds = generate_corpus(n_pages=60, seed=42)
+        cfg = CrawlConfig(
+            start_url=START_URL, n_seen_shards=2, fetch_concurrency=2
+        )
+        res = run_engine(corpus, seeds, cfg, str(tmp_path / "single"))
+        lin = res.lineage_table().to_pylist()
+        gens = [r["generation"] for r in lin]
+        assert gens == sorted(set(gens))  # exactly one row per generation
+        assert set(r["seed_batch"] for r in lin) == {0}

@@ -149,6 +149,7 @@ def load_fixture(objs: list[dict] | str) -> pa.Table:
             "host": "",
             "generation": 0,
             "depth": 0,
+            "seed_batch": 0,
             "timestamp": _ts_dt(f.get("timestamp")),
             "status_code": f.get("status_code", 200),
             "referrer": f.get("referrer"),

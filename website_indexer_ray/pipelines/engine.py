@@ -244,8 +244,11 @@ class CrawlEngine:
                 for g in complete:
                     with open(self._manifest_path(g)) as f:
                         rec = json.load(f)
-                    self.lineage.append(rec["lineage"])
-                    total_requested += rec["lineage"]["n_accepted"]
+                    rows = rec["lineage"]
+                    if isinstance(rows, dict):  # single-row manifests
+                        rows = [rows]
+                    self.lineage.extend(rows)
+                    total_requested += sum(r["n_accepted"] for r in rows)
                 start_gen = last + 1
 
         if start_gen == 0:
@@ -259,13 +262,14 @@ class CrawlEngine:
             while g < cfg.max_generations:
                 if g == 0 and _dir_num_rows(_gen_dir(self.out, "frontier", 0)) == 0:
                     break
-                lineage_row = self._run_generation(
+                lineage_rows = self._run_generation(
                     g, corpus_ref, cfg_dict, shards, budget_handle, total_requested
                 )
-                total_requested += lineage_row["n_accepted"]
-                self.lineage.append(lineage_row)
+                gen_accepted = sum(r["n_accepted"] for r in lineage_rows)
+                total_requested += gen_accepted
+                self.lineage.extend(lineage_rows)
                 g += 1
-                if lineage_row["n_accepted"] == 0:
+                if gen_accepted == 0:
                     break
 
             self._finalize("Finished", None, status_path, cfg_dict, t_start)
@@ -286,7 +290,7 @@ class CrawlEngine:
         shards: list,
         budget_handle,
         total_requested: int,
-    ) -> dict:
+    ) -> list[dict]:
         cfg = self.cfg
         t0 = time.monotonic()
         records_dir = _gen_dir(self.out, "records", g)
@@ -338,7 +342,11 @@ class CrawlEngine:
                 candidates = (
                     ExpandStage(cfg_dict).expand_rows(src.to_pylist()) if src is not None else []
                 )
-            n_candidates = len(candidates)
+            from collections import Counter
+
+            cand_by_batch: dict[int, int] = dict(
+                Counter(r.get("seed_batch", 0) or 0 for r in candidates)
+            )
             accepted = pred.process_rows(candidates)
             if accepted:
                 seen_state.offer_batch(
@@ -355,26 +363,30 @@ class CrawlEngine:
 
             def pred_offer(batch: pa.Table) -> pa.Table:
                 acc = pred(batch)
-                n_off = (
+                if acc.num_rows:
                     seen_state.offer_batch(shard_handles, acc)
-                    if acc.num_rows
-                    else 0
-                )
+                vals, ns = _value_counts(batch.column("seed_batch"))
                 return pa.table(
                     {
-                        "n_in": pa.array([batch.num_rows], type=pa.int64()),
-                        "n_off": pa.array([n_off], type=pa.int64()),
+                        "seed_batch": pa.array(
+                            [int(v) for v in vals], type=pa.int32()
+                        ),
+                        "n_in": pa.array(ns, type=pa.int64()),
                     }
                 )
 
-            n_candidates = 0
+            cand_by_batch = {}
             for t in ray.get(
                 cand_ds.map_batches(pred_offer, batch_format="pyarrow")
                 .materialize()
                 .to_arrow_refs()
             ):
-                if t.num_rows and "n_in" in t.schema.names:
-                    n_candidates += sum(t.column("n_in").to_pylist())
+                if t.num_rows and "seed_batch" in t.schema.names:
+                    for sb, n in zip(
+                        t.column("seed_batch").to_pylist(),
+                        t.column("n_in").to_pylist(),
+                    ):
+                        cand_by_batch[sb] = cand_by_batch.get(sb, 0) + n
 
         if os.environ.get("WIR_TIMING"):
             print(f"[timing] gen={g} phaseA={time.monotonic()-t0:.2f}", flush=True)
@@ -389,7 +401,7 @@ class CrawlEngine:
             ray.get([s.pending_count.remote() for s in shards])
         )
 
-        counts: dict[str, int] = {}
+        counts: dict[tuple[int, str], int] = {}  # (seed_batch, record_type) → n
         if cfg.max_pages:
             claimed_tbl = self._budgeted_claim_table(shards, total_requested)
             self._fetch_table_or_ds(
@@ -436,7 +448,6 @@ class CrawlEngine:
                 None, claimed_ds, records_dir, corpus_ref, cfg_dict,
                 budget_handle, counts, n_pending,
             )
-        n_accepted = sum(counts.values())
         if os.environ.get("WIR_TIMING"):
             print(f"[timing] gen={g} phaseB={time.monotonic()-t_b:.2f}", flush=True)
 
@@ -446,23 +457,33 @@ class CrawlEngine:
         if os.environ.get("WIR_TIMING"):
             print(f"[timing] gen={g} snapshot={time.monotonic()-t_s:.2f}", flush=True)
 
-        lineage_row = {
-            "crawl_id": self.crawl_id,
-            "generation": g,
-            "seed_batch": 0,
-            "n_candidates": n_candidates,
-            "n_accepted": n_accepted,
-            "n_pages": counts.get("page", 0),
-            "n_errors": counts.get("error", 0),
-            "n_redirects": counts.get("redirect", 0),
-            "n_skipped": counts.get("skipped", 0) + counts.get("robots_excluded", 0),
-            "wall_s": time.monotonic() - t0,
-            "status": "complete",
-        }
+        # One lineage row per (generation, seed_batch) — the
+        # north_rule's lineage key (seed batch, frontier generation,
+        # fetch outcome counts).
+        wall_s = time.monotonic() - t0
+        sbs = sorted(set(cand_by_batch) | {sb for (sb, _t) in counts}) or [0]
+        lineage_rows = []
+        for sb in sbs:
+            c = {t: n for (s, t), n in counts.items() if s == sb}
+            lineage_rows.append(
+                {
+                    "crawl_id": self.crawl_id,
+                    "generation": g,
+                    "seed_batch": sb,
+                    "n_candidates": cand_by_batch.get(sb, 0),
+                    "n_accepted": sum(c.values()),
+                    "n_pages": c.get("page", 0),
+                    "n_errors": c.get("error", 0),
+                    "n_redirects": c.get("redirect", 0),
+                    "n_skipped": c.get("skipped", 0) + c.get("robots_excluded", 0),
+                    "wall_s": wall_s,
+                    "status": "complete",
+                }
+            )
         os.makedirs(records_dir, exist_ok=True)
         with open(self._manifest_path(g), "w") as f:
-            json.dump({"lineage": lineage_row}, f)
-        return lineage_row
+            json.dump({"lineage": lineage_rows}, f)
+        return lineage_rows
 
     # ---- fetch dispatch ---------------------------------------------
     def _fetch_table_or_ds(
@@ -501,8 +522,7 @@ class CrawlEngine:
             pq.write_table(
                 records_tbl, os.path.join(records_dir, "part-driver.parquet")
             )
-            for v, n in zip(*_value_counts(records_tbl.column("record_type"))):
-                counts[v] = counts.get(v, 0) + n
+            _accumulate_counts(counts, records_tbl)
             return
 
         # Salted host partitioning (north_rule skew handling): when a
@@ -516,9 +536,9 @@ class CrawlEngine:
                 claimed_ds, records_dir, corpus_ref, cfg_dict, budget_handle
             )
             for f in glob.glob(os.path.join(records_dir, "*.parquet")):
-                col = pq.read_table(f, columns=["record_type"]).column("record_type")
-                for v, n in zip(*_value_counts(col)):
-                    counts[v] = counts.get(v, 0) + n
+                _accumulate_counts(
+                    counts, pq.read_table(f, columns=["record_type", "seed_batch"])
+                )
             return
 
         stateless = (
@@ -580,9 +600,9 @@ class CrawlEngine:
         # Outcome counts from the written checkpoint (prunes to one
         # dictionary-encoded column; no driver materialization of rows).
         for f in glob.glob(os.path.join(records_dir, "*.parquet")):
-            col = pq.read_table(f, columns=["record_type"]).column("record_type")
-            for v, n in zip(*_value_counts(col)):
-                counts[v] = counts.get(v, 0) + n
+            _accumulate_counts(
+                counts, pq.read_table(f, columns=["record_type", "seed_batch"])
+            )
         if os.environ.get("WIR_TIMING"):
             print(f"[timing]   counts={time.monotonic()-t_c:.2f}", flush=True)
 
@@ -675,6 +695,22 @@ class CrawlEngine:
                 pa.Table.from_pylist(self.lineage, schema=LINEAGE_SCHEMA),
                 os.path.join(self.out, "lineage.parquet"),
             )
+
+
+def _accumulate_counts(counts: dict, tbl: pa.Table) -> None:
+    """Accumulate (seed_batch, record_type) outcome counts from a
+    pruned two-column records table — the per-partition lineage
+    accounting (north_rule), never a row materialization."""
+    grouped = (
+        tbl.group_by(["seed_batch", "record_type"]).aggregate([([], "count_all")])
+    )
+    for sb, rt, n in zip(
+        grouped.column("seed_batch").to_pylist(),
+        grouped.column("record_type").to_pylist(),
+        grouped.column("count_all").to_pylist(),
+    ):
+        key = (int(sb or 0), rt)
+        counts[key] = counts.get(key, 0) + n
 
 
 def _value_counts(col: pa.ChunkedArray) -> tuple[list[str], list[int]]:

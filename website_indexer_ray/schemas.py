@@ -85,6 +85,10 @@ RECORDS_SCHEMA = pa.schema(
         ("host", pa.string()),
         ("generation", pa.int32()),
         ("depth", pa.int32()),
+        # Seed-batch provenance: inherited parent→child through
+        # expansion so lineage rows attribute outcome counts per
+        # (generation, seed_batch) — the north_rule's lineage key.
+        ("seed_batch", pa.int32()),
         ("timestamp", pa.timestamp("us")),
         ("status_code", pa.int32()),
         ("referrer", pa.string()),

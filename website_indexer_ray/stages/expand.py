@@ -42,6 +42,7 @@ EXPAND_COLUMNS = [
     "referrer",
     "frontier_links",
     "generation",
+    "seed_batch",
 ]
 
 
@@ -87,7 +88,7 @@ class ExpandStage:
                         ),
                         "root_url": self.cfg.start_url,
                         "generation": gen_next,
-                        "seed_batch": 0,
+                        "seed_batch": row.get("seed_batch", 0) or 0,
                     }
                 )
                 continue
@@ -113,7 +114,7 @@ class ExpandStage:
                         "parent_host": parent_host,
                         "root_url": self.cfg.start_url,
                         "generation": gen_next,
-                        "seed_batch": 0,
+                        "seed_batch": row.get("seed_batch", 0) or 0,
                     }
                 )
         return out

@@ -185,6 +185,7 @@ class FetchParseStage:
             "host": host,
             "generation": row["generation"],
             "depth": row["depth"],
+            "seed_batch": row.get("seed_batch", 0) or 0,
             "timestamp": record_timestamp_us(row["generation"], row["url_hash"]),
             "status_code": 0,
             "referrer": referrer,
