@@ -407,6 +407,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": annops.knn_ivf,
         "embedding_dedup": annops.embedding_dedup_pairs,
         "media_features": multimodal.media_features,
+        "media_frame_sample": multimodal.media_frame_sample,
+        "media_thumbnails": multimodal.media_thumbnails,
     }
 
 
@@ -715,6 +717,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    1 + CAST(octet_length(encode(text)) AS BIGINT) // 512 AS n_frames
+            FROM documents ORDER BY doc_id
+        """,
+        "media_frame_sample": """
+            SELECT doc_id,
+                   CAST(frame_idx AS BIGINT) AS frame_idx,
+                   CAST(frame_idx * 512 AS BIGINT) AS frame_offset
+            FROM (
+                SELECT doc_id,
+                       unnest(range(least(8,
+                           1 + CAST(octet_length(encode(text)) AS BIGINT) // 512
+                       ))) AS frame_idx
+                FROM documents)
+            ORDER BY doc_id, frame_idx
+        """,
+        "media_thumbnails": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(least(octet_length(encode(text)), 256) AS BIGINT)
+                       AS thumb_bytes
             FROM documents ORDER BY doc_id
         """,
     }

@@ -401,3 +401,41 @@ class TestRelational:
                  AND regexp_matches(props, '"k": [0-9]*[02468]}')
                ORDER BY event_id""",
         )
+
+
+class TestMultimodalStages:
+    """Frame-sample and resize stages: real Ray-side plumbing, stubbed
+    codecs (NotImplementedError when real decode is requested)."""
+
+    def test_frame_sample_shapes(self, ray_session):
+        from website_indexer_ray.pipelines import multimodal
+
+        out = multimodal.media_frame_sample(SF_DIR, stride=512, max_frames=8)
+        assert out.schema.names == ["doc_id", "frame_idx", "frame_offset"]
+        rows = out.to_pylist()
+        assert all(r["frame_offset"] == r["frame_idx"] * 512 for r in rows)
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+        for idxs in by_doc.values():
+            assert idxs == list(range(len(idxs)))  # dense per-doc 0..k
+            assert len(idxs) <= 8
+
+    def test_thumbnails_bounded(self, ray_session):
+        from website_indexer_ray.pipelines import multimodal
+
+        out = multimodal.media_thumbnails(SF_DIR, max_bytes=256)
+        rows = out.to_pylist()
+        assert all(r["thumb_bytes"] <= 256 for r in rows)
+        assert all(r["thumb_bytes"] <= r["n_bytes"] for r in rows)
+
+    def test_real_codecs_stubbed(self):
+        from website_indexer_ray.pipelines.multimodal import (
+            FrameSampleStage,
+            MediaResizeStage,
+        )
+
+        with pytest.raises(NotImplementedError):
+            FrameSampleStage(use_real_codecs=True)
+        with pytest.raises(NotImplementedError):
+            MediaResizeStage(use_real_codecs=True)

@@ -102,6 +102,122 @@ class MediaFeatureStage:
         )
 
 
+class FrameSampleStage:
+    """Frame sampling over opaque payloads — the video-style stage:
+    one output row per sampled frame at ``stride``-byte boundaries,
+    capped at ``max_frames`` per document. Decode stays stubbed (no
+    codec libraries in this container; a real decoder replaces
+    ``_frame_at`` only), but the actor signature, per-batch fan-out
+    and output layout are the real plumbing a frame pipeline needs.
+    Frame-bearing batches multiply rows — keep batch_size small when
+    payloads are large (class docstring above)."""
+
+    def __init__(self, stride: int = 512, max_frames: int = 8,
+                 use_real_codecs: bool = False):
+        if use_real_codecs:
+            raise NotImplementedError(
+                "Real frame decoding requires codec libraries not "
+                "present in this environment (ffmpeg). Wire them into "
+                "_frame_at; the stage contract stays identical."
+            )
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_bytes = batch.column("n_bytes").to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        frames = np.minimum(self.max_frames, 1 + n_bytes // self.stride)
+        out_ids = np.repeat(ids, frames)
+        idx = np.concatenate([np.arange(f) for f in frames]) if len(frames) else np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "frame_idx": pa.array(idx.astype(np.int64), type=pa.int64()),
+                "frame_offset": pa.array(
+                    (idx * self.stride).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+
+class MediaResizeStage:
+    """Resize/thumbnail stage: derives bounded-size thumbnail payloads
+    from the opaque media bytes (deterministic byte-truncation stand-in
+    for a pixel resize — the real kernel drops into ``_resize`` when
+    codec libs exist). Emits (doc_id, n_bytes, thumb_bytes, thumb)."""
+
+    def __init__(self, max_bytes: int = 256, use_real_codecs: bool = False):
+        if use_real_codecs:
+            raise NotImplementedError(
+                "Real image resizing requires PIL/opencv, absent here; "
+                "replace _resize, the stage contract stays identical."
+            )
+        self.max_bytes = max_bytes
+
+    def _resize(self, payload: bytes) -> bytes:
+        return payload[: self.max_bytes]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        thumbs = [self._resize(p) for p in payloads]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bytes": batch.column("n_bytes"),
+                "thumb_bytes": pa.array(
+                    [len(t) for t in thumbs], type=pa.int64()
+                ),
+                "thumb": pa.array(thumbs, type=pa.large_binary()),
+            }
+        )
+
+
+def media_frame_sample(sf_dir: str, stride: int = 512, max_frames: int = 8) -> pa.Table:
+    """documents → opaque payloads → frame-sample stage: one row per
+    sampled frame (doc_id, frame_idx, frame_offset), SQL-checkable
+    byte arithmetic."""
+    import pyarrow.compute as pc
+
+    ds = read_parquet_parallel(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    frames = ds.map_batches(pack_binary, batch_format="pyarrow").map_batches(
+        FrameSampleStage(stride, max_frames),
+        batch_format="pyarrow",
+        batch_size=256,
+    )
+    tables = [t for t in (ray.get(r) for r in frames.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables(tables).combine_chunks()
+    return tbl.take(
+        pc.sort_indices(
+            tbl, sort_keys=[("doc_id", "ascending"), ("frame_idx", "ascending")]
+        )
+    )
+
+
+def media_thumbnails(sf_dir: str, max_bytes: int = 256) -> pa.Table:
+    """documents → opaque payloads → resize stage; returns the slim
+    (doc_id, n_bytes, thumb_bytes) projection (payload thumbnails stay
+    in the pipeline; the driver only sees byte counts)."""
+    import pyarrow.compute as pc
+
+    ds = read_parquet_parallel(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    thumbs = ds.map_batches(pack_binary, batch_format="pyarrow").map_batches(
+        MediaResizeStage(max_bytes),
+        batch_format="pyarrow",
+        batch_size=256,
+    )
+    tables = [
+        t.select(["doc_id", "n_bytes", "thumb_bytes"])
+        for t in (ray.get(r) for r in thumbs.to_arrow_refs())
+        if t.num_rows
+    ]
+    tbl = pa.concat_tables(tables).combine_chunks()
+    return tbl.take(pc.sort_indices(tbl, sort_keys=[("doc_id", "ascending")]))
+
+
 def media_features(sf_dir: str) -> pa.Table:
     """documents → pack binary → actor-pool feature extraction.
 
