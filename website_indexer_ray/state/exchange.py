@@ -27,6 +27,8 @@ Partitioning assumptions (documented per the custom-operator rule):
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -58,7 +60,10 @@ class ReduceShard:
 
 # Reducer pools are cached per (cluster, size): actor spawn is a
 # multi-hundred-ms cost that would otherwise recur per operator call.
+# One exchange at a time per pool (the lock) — concurrent exchanges
+# sharing a pool would interleave their adds.
 _POOLS: dict[tuple, list] = {}
+_POOL_LOCK = threading.Lock()
 
 
 def _pool(n_reducers: int) -> list:
@@ -81,6 +86,11 @@ def hash_exchange(ds, key_col: str, fn, n_reducers: int = 8) -> pa.Table | None:
     The routing job streams: map tasks push slices to shards and block
     on the acks (backpressure), so no task holds more than one batch.
     """
+    with _POOL_LOCK:
+        return _hash_exchange_locked(ds, key_col, fn, n_reducers)
+
+
+def _hash_exchange_locked(ds, key_col: str, fn, n_reducers: int) -> pa.Table | None:
     shards = _pool(n_reducers)
     ray.get([s.reset.remote() for s in shards])
     R = np.uint64(n_reducers)
