@@ -439,3 +439,38 @@ class TestMultimodalStages:
             FrameSampleStage(use_real_codecs=True)
         with pytest.raises(NotImplementedError):
             MediaResizeStage(use_real_codecs=True)
+
+
+class TestExchangeOpsEmptyInput:
+    """Exchange-based ops on an empty documents table: no partitions
+    ever materialize, and every op returns its empty schema rather
+    than raising."""
+
+    @pytest.fixture(scope="class")
+    def empty_docs(self):
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+            }
+        )
+
+    def test_minhash_empty(self, ray_session, empty_docs):
+        from website_indexer_ray.pipelines import textops
+
+        out = textops.minhash_lsh_pairs("", documents=empty_docs)
+        assert out.num_rows == 0
+        assert out.schema.names == ["doc_a", "doc_b", "jaccard_permille"]
+
+    def test_simhash_empty(self, ray_session, empty_docs):
+        from website_indexer_ray.pipelines import textops
+
+        out = textops.simhash_pairs("", documents=empty_docs)
+        assert out.num_rows == 0
+        assert out.schema.names == ["doc_a", "doc_b", "hamming"]
+
+    def test_near_dedup_empty(self, ray_session, empty_docs):
+        from website_indexer_ray.pipelines import textops
+
+        out = textops.near_dedup_keep("", documents=empty_docs)
+        assert out.num_rows == 0
