@@ -406,6 +406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": annops.knn_lsh,
         "knn_ivf": annops.knn_ivf,
         "embedding_dedup": annops.embedding_dedup_pairs,
+        "embedding_dedup_lsh": annops.embedding_dedup_lsh,
         "media_features": multimodal.media_features,
         "media_frame_sample": multimodal.media_frame_sample,
         "media_thumbnails": multimodal.media_thumbnails,

@@ -474,3 +474,23 @@ class TestExchangeOpsEmptyInput:
 
         out = textops.near_dedup_keep("", documents=empty_docs)
         assert out.num_rows == 0
+
+
+class TestEmbeddingDedupLsh:
+    """The LSH scale path for embedding near-dup: candidates from
+    random-hyperplane buckets (actor exchange), exact-cosine verify —
+    precision 1.0 by construction (subset of the exact pairs), recall
+    bounded below."""
+
+    def test_recall_and_precision(self, ray_session):
+        from website_indexer_ray.pipelines import annops
+
+        exact = annops.embedding_dedup_pairs(SF_DIR)
+        lsh = annops.embedding_dedup_lsh(SF_DIR)
+        E = set(zip(exact.column("vec_a").to_pylist(),
+                    exact.column("vec_b").to_pylist()))
+        L = set(zip(lsh.column("vec_a").to_pylist(),
+                    lsh.column("vec_b").to_pylist()))
+        assert L <= E  # exact verify ⇒ no false positives
+        if E:
+            assert len(E & L) / len(E) >= 0.7

@@ -240,6 +240,161 @@ def embedding_dedup_pairs(sf_dir: str, threshold: float = 0.4) -> pa.Table:
     )
 
 
+def embedding_dedup_lsh(
+    sf_dir: str,
+    threshold: float = 0.4,
+    n_tables: int = 16,
+    n_bits: int = 4,
+    seed: int = 13,
+) -> pa.Table:
+    """The 10⁹-vector scale path for embedding near-dup (the exact
+    broadcast variant above stays the oracle-matched baseline):
+    random-hyperplane bucketing generates candidate pairs through a
+    bucket-keyed actor exchange (slim (bucket_key, vec_id) rows only;
+    hot buckets capped + logged — textops' LSH machinery reused), then
+    candidates verify with EXACT cosine via a pair-keyed exchange —
+    the full n×n similarity matrix never exists anywhere. Approximate
+    (bucketing can miss pairs) ⇒ rows-only driver check; recall vs the
+    exact variant asserted in pytest, precision 1.0 by construction
+    (exact verify)."""
+    import pyarrow.compute as pc
+
+    from website_indexer_ray.pipelines.textops import (
+        _split_candidates,
+    )
+    from website_indexer_ray.pipelines.textops import (
+        _bucket_pairs_partition as bucket_pairs,
+    )
+    from website_indexer_ray.state.exchange import hash_exchange
+
+    # Dim from one row-group read, planes broadcast.
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first.column("embedding")[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    planes_ref = ray.put(planes)
+    powers = 1 << np.arange(n_bits)
+
+    def index(batch: pa.Table) -> pa.Table:
+        pl = cached_get(planes_ref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = _embed_matrix(batch)
+        keys, docs = [], []
+        for ti in range(n_tables):
+            buckets = (mat @ pl[ti].T > 0) @ powers
+            keys.append(buckets.astype(np.int64) * n_tables + ti)
+            docs.append(ids)
+        return pa.table(
+            {
+                "bucket_key": pa.array(np.concatenate(keys), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(docs), type=pa.int64()),
+            }
+        )
+
+    ds = read_parquet_parallel(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cand_raw = hash_exchange(
+        ds.map_batches(index, batch_format="pyarrow", batch_size=2048),
+        "bucket_key",
+        bucket_pairs,
+    )
+    empty = pa.table(
+        {
+            "vec_a": pa.array([], type=pa.int64()),
+            "vec_b": pa.array([], type=pa.int64()),
+        }
+    )
+    if cand_raw is None:
+        return empty
+    cand_tbl = _split_candidates(cand_raw, "embedding_dedup_lsh")
+    if cand_tbl.num_rows == 0:
+        return empty
+    cand_tbl = cand_tbl.group_by(["doc_a", "doc_b"]).aggregate([]).select(
+        ["doc_a", "doc_b"]
+    )
+
+    # Exact-cosine verify of candidates: pair map broadcast, one
+    # pair-keyed exchange co-locates both sides.
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for a, b in zip(
+        cand_tbl.column("doc_a").to_pylist(), cand_tbl.column("doc_b").to_pylist()
+    ):
+        by_doc.setdefault(a, []).append((a, b))
+        by_doc.setdefault(b, []).append((a, b))
+    map_ref = ray.put(by_doc)
+    emb_list = pa.list_(pa.float64())
+
+    def emit_sides(batch: pa.Table) -> pa.Table:
+        want = cached_get(map_ref)
+        ids = batch.column("vec_id").to_pylist()
+        mat = _embed_matrix(batch)
+        out_pk, out_id, out_a, out_b, out_e = [], [], [], [], []
+        for i, vid in enumerate(ids):
+            pairs = want.get(vid)
+            if not pairs:
+                continue
+            vec = mat[i].tolist()
+            for a, b in pairs:
+                out_pk.append(a * 1_000_003 + b)
+                out_id.append(vid)
+                out_a.append(a)
+                out_b.append(b)
+                out_e.append(vec)
+        return pa.table(
+            {
+                "pair_key": pa.array(out_pk, type=pa.int64()),
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "doc_a": pa.array(out_a, type=pa.int64()),
+                "doc_b": pa.array(out_b, type=pa.int64()),
+                "embedding": pa.array(out_e, type=emb_list),
+            }
+        )
+
+    def cosine_partition(group: pa.Table) -> pa.Table:
+        sides: dict[tuple[int, int], dict[int, np.ndarray]] = {}
+        for d, a, b, e in zip(
+            group.column("doc_id").to_pylist(),
+            group.column("doc_a").to_pylist(),
+            group.column("doc_b").to_pylist(),
+            group.column("embedding").to_pylist(),
+        ):
+            sides.setdefault((a, b), {})[d] = np.asarray(e, dtype=np.float64)
+        out_a, out_b = [], []
+        for (a, b), docs in sides.items():
+            va, vb = docs.get(a), docs.get(b)
+            if va is None or vb is None:
+                continue
+            denom = max(np.linalg.norm(va) * np.linalg.norm(vb), 1e-300)
+            if float(va @ vb) / denom >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+        return pa.table(
+            {
+                "vec_a": pa.array(out_a, type=pa.int64()),
+                "vec_b": pa.array(out_b, type=pa.int64()),
+            }
+        )
+
+    out = hash_exchange(
+        ds.map_batches(emit_sides, batch_format="pyarrow", batch_size=2048),
+        "pair_key",
+        cosine_partition,
+    )
+    if out is None:
+        return empty
+    import pyarrow.compute as pc2
+
+    return out.take(
+        pc2.sort_indices(
+            out, sort_keys=[("vec_a", "ascending"), ("vec_b", "ascending")]
+        )
+    )
+
+
 # --- IVF approximate variant ----------------------------------------
 
 def _kmeans(mat: np.ndarray, k: int, n_iter: int = 8, seed: int = 5) -> np.ndarray:
