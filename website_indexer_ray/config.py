@@ -65,12 +65,14 @@ class CrawlConfig:
     # Data job launch + actor-pool spin-up that dwarfs the work. At
     # scale only the first/last generations of a crawl are this small;
     # the mass generations always take the distributed path.
-    # Kept small: a wide corpus expands few source rows into tens of
-    # thousands of candidates, so the gate must only catch genuinely
-    # tiny generations (seeds, BFS tails) — a 2k-row listing
-    # generation single-threading its 60k-candidate expansion on the
-    # driver costs more than the job launch it avoids.
-    driver_threshold: int = 256  # source rows for expand+predicate+offer
+    # The driver path must catch only genuinely tiny generations, so
+    # it gates on BOTH source rows and the candidate estimate read
+    # free from the parquet footers (frontier_links leaf num_values):
+    # a wide corpus expands 2k listing rows into 60k candidates, and
+    # single-threading that on the driver costs far more than the job
+    # launch it avoids.
+    driver_threshold: int = 2048  # source rows for expand+predicate+offer
+    driver_candidate_threshold: int = 4096  # est. candidates (footer link count)
     fetch_driver_threshold: int = 256  # claimed rows fetched driver-side
 
     def to_dict(self) -> dict:

@@ -113,6 +113,27 @@ def _dir_num_rows(directory: str) -> int:
     return total
 
 
+def _dir_link_values(directory: str) -> int:
+    """Total frontier_links elements across a records checkpoint —
+    the candidate-count estimate for the adaptive phase-A gate, read
+    from parquet footers only (leaf-column num_values; no data IO)."""
+    total = 0
+    for f in glob.glob(os.path.join(directory, "*.parquet")):
+        md = pq.read_metadata(f)
+        if md.num_row_groups == 0:
+            continue
+        leaf = None
+        for i in range(md.num_columns):
+            if "frontier_links" in md.row_group(0).column(i).path_in_schema:
+                leaf = i
+                break
+        if leaf is None:
+            continue
+        for rg in range(md.num_row_groups):
+            total += md.row_group(rg).column(leaf).num_values
+    return total
+
+
 def _gen_dir(base: str, kind: str, g: int) -> str:
     return os.path.join(base, kind, f"gen={g:05d}")
 
@@ -323,10 +344,14 @@ class CrawlEngine:
             if g == 0
             else _dir_num_rows(prev_records_dir)
         )
+        est_candidates = 0 if g == 0 else _dir_link_values(prev_records_dir)
         pred = PredicateStage(cfg_dict)
         shard_handles = shards
 
-        if n_input <= cfg.driver_threshold:
+        if (
+            n_input <= cfg.driver_threshold
+            and est_candidates <= cfg.driver_candidate_threshold
+        ):
             if g == 0:
                 src = pads.dataset(
                     glob.glob(os.path.join(_gen_dir(self.out, "frontier", 0), "*.parquet"))
