@@ -386,6 +386,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_chain_events": relational.filter_chain_events,
         "window_counts": relational.window_counts,
         "asof_last_order": relational.asof_last_order,
+        "priority_revenue": relational.priority_revenue,
+        "revenue_by_nation": relational.revenue_by_nation,
         "sessionize": relational.sessionize,
         "approx_distinct_users": relational.approx_distinct_users,
         "search_docs_text": relational.search_docs_text,
@@ -596,6 +598,25 @@ def oracle_sql() -> dict[str, str]:
                          WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts)
                    ), -1) AS last_orderkey
             FROM events e ORDER BY event_id
+        """,
+        "priority_revenue": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                       * CAST(ROUND((1-l_discount)*100) AS BIGINT)) AS BIGINT)
+                       AS revenue_c4
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                       * CAST(ROUND((1-l_discount)*100) AS BIGINT)) AS BIGINT)
+                       AS revenue_c4
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
         """,
         "sessionize": """
             WITH d AS (

@@ -494,3 +494,43 @@ class TestEmbeddingDedupLsh:
         assert L <= E  # exact verify ⇒ no false positives
         if E:
             assert len(E & L) / len(E) >= 0.7
+
+
+class TestHashJoins:
+    """Big-big hash join through the keyed exchange (the join class
+    the reference never needs): lineitem ⨝ orders on orderkey, plus
+    the broadcast-small-sides + hash-partition-big-sides combination
+    (revenue by customer nation)."""
+
+    def test_priority_revenue(self, ray_session, con):
+        from website_indexer_ray.pipelines import relational
+
+        out = relational.priority_revenue(SF_DIR)
+        assert_matches_sql(
+            out,
+            con,
+            """SELECT o_orderpriority,
+                      CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                          * CAST(ROUND((1-l_discount)*100) AS BIGINT)) AS BIGINT)
+                          AS revenue_c4
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        )
+
+    def test_revenue_by_nation(self, ray_session, con):
+        from website_indexer_ray.pipelines import relational
+
+        out = relational.revenue_by_nation(SF_DIR)
+        assert_matches_sql(
+            out,
+            con,
+            """SELECT n_name,
+                      CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                          * CAST(ROUND((1-l_discount)*100) AS BIGINT)) AS BIGINT)
+                          AS revenue_c4
+               FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+               GROUP BY n_name ORDER BY n_name""",
+        )

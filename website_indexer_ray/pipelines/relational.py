@@ -458,6 +458,219 @@ def approx_distinct_users(sf_dir: str, p: int = 12) -> pa.Table:
     )
 
 
+def priority_revenue(sf_dir: str) -> pa.Table:
+    """Big-big hash join (lineitem ⨝ orders on orderkey) — the join
+    class the reference never needs, expressed with the engine's keyed
+    exchange: both sides project to slim tagged rows, one
+    orderkey-hashed exchange co-locates each key's rows, and the
+    partition joins + pre-aggregates to (priority, revenue) partials —
+    the driver merges a handful of rows. Revenue in scaled-integer
+    cents⁴ so the DuckDB oracle hashes identically."""
+    from website_indexer_ray.state.exchange import hash_exchange
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def tag_li(b: pa.Table) -> pa.Table:
+        price_c = pc.cast(
+            pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64()
+        )
+        disc_c = pc.cast(
+            pc.round(pc.multiply(pc.subtract(1.0, b.column("l_discount")), 100.0)),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "k": pc.cast(b.column("l_orderkey"), pa.int64()),
+                "revenue_c4": pc.multiply(price_c, disc_c),
+            }
+        )
+        # local combiner: one row per orderkey per batch
+        t = (
+            t.group_by("k").aggregate([("revenue_c4", "sum")])
+            .rename_columns(["k", "revenue_c4"])
+        )
+        return t.append_column(
+            "priority", pa.array([None] * t.num_rows, type=pa.string())
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(b.column("o_orderkey"), pa.int64()),
+                "revenue_c4": pa.array([-1] * b.num_rows, type=pa.int64()),
+                "priority": b.column("o_orderpriority"),
+            }
+        )
+
+    def join_partition(t: pa.Table) -> pa.Table:
+        pri_rows = t.filter(pc.is_valid(t.column("priority")))
+        pri_of = dict(
+            zip(pri_rows.column("k").to_pylist(),
+                pri_rows.column("priority").to_pylist())
+        )
+        li_rows = t.filter(pc.is_null(t.column("priority")))
+        out: dict[str, int] = {}
+        for k, rev in zip(
+            li_rows.column("k").to_pylist(),
+            li_rows.column("revenue_c4").to_pylist(),
+        ):
+            p = pri_of.get(k)
+            if p is not None:
+                out[p] = out.get(p, 0) + rev
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(list(out.keys()), type=pa.string()),
+                "revenue_c4": pa.array(list(out.values()), type=pa.int64()),
+            }
+        )
+
+    partials = hash_exchange(
+        li.map_batches(tag_li, batch_format="pyarrow").union(
+            orders.map_batches(tag_orders, batch_format="pyarrow")
+        ),
+        "k",
+        join_partition,
+    )
+    if partials is None:
+        return pa.table(
+            {
+                "o_orderpriority": pa.array([], type=pa.string()),
+                "revenue_c4": pa.array([], type=pa.int64()),
+            }
+        )
+    out = (
+        partials.group_by("o_orderpriority")
+        .aggregate([("revenue_c4", "sum")])
+        .rename_columns(["o_orderpriority", "revenue_c4"])
+    )
+    return out.take(
+        pc.sort_indices(out, sort_keys=[("o_orderpriority", "ascending")])
+    )
+
+
+def revenue_by_nation(sf_dir: str) -> pa.Table:
+    """TPC-H Q5-flavored: revenue per customer nation — BOTH join
+    strategies in one pipeline: the small sides (nation, customer →
+    custkey→nation-name, bounded dimension tables) broadcast once via
+    ray.put; the big-big lineitem ⨝ orders leg runs through the
+    orderkey-hashed exchange exactly like priority_revenue. At 10⁹
+    customers the broadcast side flips to the same keyed-exchange
+    join — the strategy choice is a size threshold, not a rewrite."""
+    import pyarrow.parquet as pq
+
+    from website_indexer_ray.state.exchange import hash_exchange
+    from website_indexer_ray.util import cached_get
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    n_name = dict(
+        zip(nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist())
+    )
+    cust_nation = {
+        c: n_name[n]
+        for c, n in zip(
+            cust.column("c_custkey").to_pylist(),
+            cust.column("c_nationkey").to_pylist(),
+        )
+    }
+    map_ref = ray.put(cust_nation)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def tag_li(b: pa.Table) -> pa.Table:
+        price_c = pc.cast(
+            pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64()
+        )
+        disc_c = pc.cast(
+            pc.round(pc.multiply(pc.subtract(1.0, b.column("l_discount")), 100.0)),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "k": pc.cast(b.column("l_orderkey"), pa.int64()),
+                "revenue_c4": pc.multiply(price_c, disc_c),
+            }
+        )
+        t = (
+            t.group_by("k").aggregate([("revenue_c4", "sum")])
+            .rename_columns(["k", "revenue_c4"])
+        )
+        return t.append_column(
+            "nation", pa.array([None] * t.num_rows, type=pa.string())
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        cn = cached_get(map_ref)
+        nations = [cn.get(c) for c in b.column("o_custkey").to_pylist()]
+        return pa.table(
+            {
+                "k": pc.cast(b.column("o_orderkey"), pa.int64()),
+                "revenue_c4": pa.array([-1] * b.num_rows, type=pa.int64()),
+                "nation": pa.array(nations, type=pa.string()),
+            }
+        )
+
+    def join_partition(t: pa.Table) -> pa.Table:
+        nat_rows = t.filter(pc.is_valid(t.column("nation")))
+        nat_of = dict(
+            zip(nat_rows.column("k").to_pylist(),
+                nat_rows.column("nation").to_pylist())
+        )
+        li_rows = t.filter(pc.is_null(t.column("nation")))
+        out: dict[str, int] = {}
+        for k, rev in zip(
+            li_rows.column("k").to_pylist(),
+            li_rows.column("revenue_c4").to_pylist(),
+        ):
+            n = nat_of.get(k)
+            if n is not None:
+                out[n] = out.get(n, 0) + rev
+        return pa.table(
+            {
+                "n_name": pa.array(list(out.keys()), type=pa.string()),
+                "revenue_c4": pa.array(list(out.values()), type=pa.int64()),
+            }
+        )
+
+    partials = hash_exchange(
+        li.map_batches(tag_li, batch_format="pyarrow").union(
+            orders.map_batches(tag_orders, batch_format="pyarrow")
+        ),
+        "k",
+        join_partition,
+    )
+    if partials is None:
+        return pa.table(
+            {
+                "n_name": pa.array([], type=pa.string()),
+                "revenue_c4": pa.array([], type=pa.int64()),
+            }
+        )
+    out = (
+        partials.group_by("n_name")
+        .aggregate([("revenue_c4", "sum")])
+        .rename_columns(["n_name", "revenue_c4"])
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("n_name", "ascending")]))
+
+
 def search_docs_text(sf_dir: str, q: str = "spark merge") -> pa.Table:
     """C1 analog over documents: case-insensitive substring search
     (the reference's icontains, crawler/search.py:57-58) vectorized
