@@ -386,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_chain_events": relational.filter_chain_events,
         "window_counts": relational.window_counts,
         "asof_last_order": relational.asof_last_order,
+        "range_join_orders": relational.range_join_orders,
         "priority_revenue": relational.priority_revenue,
         "revenue_by_nation": relational.revenue_by_nation,
         "sessionize": relational.sessionize,
@@ -597,6 +598,14 @@ def oracle_sql() -> dict[str, str]:
                          SELECT max(o_orderdate) FROM orders o2
                          WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts)
                    ), -1) AS last_orderkey
+            FROM events e ORDER BY event_id
+        """,
+        "range_join_orders": """
+            SELECT e.event_id,
+                   CAST((SELECT COUNT(*) FROM orders o
+                         WHERE o.o_custkey = e.user_id
+                           AND o.o_orderdate > e.ts - INTERVAL 30 DAY
+                           AND o.o_orderdate <= e.ts) AS BIGINT) AS n_orders
             FROM events e ORDER BY event_id
         """,
         "priority_revenue": """

@@ -534,3 +534,20 @@ class TestHashJoins:
                JOIN nation ON c_nationkey = n_nationkey
                GROUP BY n_name ORDER BY n_name""",
         )
+
+
+class TestRangeJoin:
+    def test_orders_in_trailing_window(self, ray_session, con):
+        from website_indexer_ray.pipelines import relational
+
+        out = relational.range_join_orders(SF_DIR)
+        assert_matches_sql(
+            out,
+            con,
+            """SELECT e.event_id,
+                      CAST((SELECT COUNT(*) FROM orders o
+                            WHERE o.o_custkey = e.user_id
+                              AND o.o_orderdate > e.ts - INTERVAL 30 DAY
+                              AND o.o_orderdate <= e.ts) AS BIGINT) AS n_orders
+               FROM events e ORDER BY event_id""",
+        )

@@ -321,6 +321,68 @@ def asof_last_order(sf_dir: str) -> pa.Table:
     return tbl.take(pc.sort_indices(tbl, sort_keys=[("event_id", "ascending")]))
 
 
+def range_join_orders(sf_dir: str, days: int = 30) -> pa.Table:
+    """Range join: for every event, the number of the same customer's
+    orders dated in the trailing window (ts - days, ts] — the
+    interval-predicate join class (as-of's sibling), composed the same
+    way: tag both sides into one slim keyed relation, hash-co-partition
+    with ``groupby(key)``, and resolve each partition vectorized
+    (sorted order dates + two searchsorted cuts per event — no per-pair
+    scan). Only the four join columns shuffle."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "key": b.column("o_custkey"),
+                "t": pc.cast(b.column("o_orderdate"), pa.timestamp("us")),
+                "kind": pa.array([0] * n, type=pa.int64()),
+                "event_id": pa.array([-1] * n, type=pa.int64()),
+            }
+        )
+
+    def tag_events(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "key": b.column("user_id"),
+                "t": pc.cast(b.column("ts"), pa.timestamp("us")),
+                "kind": pa.array([1] * n, type=pa.int64()),
+                "event_id": pc.cast(b.column("event_id"), pa.int64()),
+            }
+        )
+
+    unioned = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        events.map_batches(tag_events, batch_format="pyarrow")
+    )
+    window = pd.Timedelta(days=days)
+
+    def count_window(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        odates = np.sort(g.loc[g["kind"] == 0, "t"].to_numpy())
+        ev = g[g["kind"] == 1]
+        ts = ev["t"].to_numpy()
+        hi = np.searchsorted(odates, ts, side="right")
+        lo = np.searchsorted(odates, ts - window, side="right")
+        return pd.DataFrame(
+            {
+                "event_id": ev["event_id"].astype("int64"),
+                "n_orders": (hi - lo).astype("int64"),
+            }
+        )
+
+    out = unioned.groupby("key").map_groups(count_window, batch_format="pandas")
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return tbl.take(pc.sort_indices(tbl, sort_keys=[("event_id", "ascending")]))
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     """Session windows over the event stream: a user's events belong
     to one session until a gap > ``gap_minutes`` (the classic
