@@ -402,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_keep": textops.near_dedup_keep,
         "paragraph_dedup": textops.paragraph_dedup,
         "vocab_top_tokens": textops.vocab_top_tokens,
+        "approx_top_tokens": textops.approx_top_tokens,
         "length_filter": textops.length_filter,
         "simhash_pairs": textops.simhash_pairs,
         "ngram_jaccard_pairs": textops.ngram_jaccard_pairs,

@@ -551,3 +551,30 @@ class TestRangeJoin:
                               AND o.o_orderdate <= e.ts) AS BIGINT) AS n_orders
                FROM events e ORDER BY event_id""",
         )
+
+
+class TestCountMinTopTokens:
+    """Count-Min heavy hitters vs the exact vocabulary: estimates
+    never underestimate (CMS property), and the approximate top-k
+    substantially overlaps the exact top-k."""
+
+    def test_overestimate_and_overlap(self, ray_session, con):
+        from website_indexer_ray.pipelines import textops
+
+        approx = textops.approx_top_tokens(SF_DIR, k=20)
+        exact = textops.vocab_top_tokens(SF_DIR, k=20)
+        true_counts = dict(
+            con.execute(
+                """SELECT token, CAST(COUNT(*) AS BIGINT) FROM (
+                     SELECT unnest(regexp_extract_all(lower(text),
+                         '[a-z0-9]+')) AS token FROM documents)
+                   GROUP BY token"""
+            ).fetchall()
+        )
+        for tok, est in zip(
+            approx.column("token").to_pylist(), approx.column("est_n").to_pylist()
+        ):
+            assert est >= true_counts.get(tok, 0)  # CMS never undercounts
+        A = set(approx.column("token").to_pylist())
+        E = set(exact.column("token").to_pylist())
+        assert len(A & E) / len(E) >= 0.8

@@ -895,6 +895,78 @@ def ngram_jaccard_pairs(
     return minhash_lsh_pairs(sf_dir, jaccard_threshold=threshold, documents=documents)
 
 
+# --- Count-Min heavy hitters ----------------------------------------
+
+def _cms_rows(tokens: dict, width: int, depth: int) -> np.ndarray:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of a token
+    count dict — depth×width int64, rows keyed by salted crc32."""
+    sk = np.zeros((depth, width), dtype=np.int64)
+    for tok, n in tokens.items():
+        b = tok.encode()
+        for d in range(depth):
+            sk[d, crc32(b, d * 0x9E3779B1 & 0xFFFFFFFF) % width] += n
+    return sk
+
+
+def approx_top_tokens(
+    sf_dir: str, k: int = 20, width: int = 4096, depth: int = 4,
+    candidates_per_batch: int = 64,
+) -> pa.Table:
+    """Approximate corpus heavy hitters via Count-Min: each batch emits
+    one serialized sketch (mergeable by addition — the partial) plus
+    its local top tokens as candidates; the driver sums the sketches
+    (depth×width ints, size-independent of the corpus) and ranks the
+    candidate union by estimated count. CMS never underestimates, so
+    true heavy hitters can't be pushed out by sketch error — only
+    over-counted. Approximate ⇒ rows-only driver check; top-k overlap
+    + overestimate bound vs the exact vocab asserted in pytest."""
+    from collections import Counter
+
+    token_re = re.compile(r"[a-z0-9]+")
+    ds = read_documents(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(token_re.findall(t.lower()))
+        top = [t for t, _ in c.most_common(candidates_per_batch)]
+        return pa.table(
+            {
+                "sketch": pa.array(
+                    [_cms_rows(c, width, depth).tobytes()], type=pa.binary()
+                ),
+                "candidates": pa.array([top], type=pa.list_(pa.string())),
+            }
+        )
+
+    parts = _to_table(ds.map_batches(partial, batch_format="pyarrow"))
+    sk = np.zeros((depth, width), dtype=np.int64)
+    cands: set[str] = set()
+    for raw, cand in zip(
+        parts.column("sketch").to_pylist(), parts.column("candidates").to_pylist()
+    ):
+        sk += np.frombuffer(raw, dtype=np.int64).reshape(depth, width)
+        cands.update(cand)
+
+    def estimate(tok: str) -> int:
+        b = tok.encode()
+        return int(
+            min(
+                sk[d, crc32(b, d * 0x9E3779B1 & 0xFFFFFFFF) % width]
+                for d in range(depth)
+            )
+        )
+
+    ranked = sorted(((estimate(t), t) for t in cands), key=lambda x: (-x[0], x[1]))
+    top = ranked[:k]
+    return pa.table(
+        {
+            "token": pa.array([t for _, t in top], type=pa.string()),
+            "est_n": pa.array([n for n, _ in top], type=pa.int64()),
+        }
+    )
+
+
 # --- helpers ---------------------------------------------------------
 
 _PARTIAL_DRIVER_MAX = 200_000
