@@ -93,3 +93,12 @@ class TestExitStatusMapping:
         assert _classify_crawl_exception(socket.gaierror()) == 4
         assert _classify_crawl_exception(TimeoutError()) == 4
         assert _classify_crawl_exception(ValueError()) == 1
+
+    def test_file_io_errors_not_downgraded(self):
+        from website_indexer_ray.__main__ import (
+            _classify_crawl_exception,
+            map_exit_status,
+        )
+
+        assert map_exit_status(_classify_crawl_exception(PermissionError())) == 3
+        assert map_exit_status(_classify_crawl_exception(FileNotFoundError())) == 3

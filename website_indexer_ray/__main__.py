@@ -51,8 +51,12 @@ def _classify_crawl_exception(exc: BaseException) -> int:
 
     if isinstance(exc, ssl.SSLError):
         return 5
-    if isinstance(exc, (ConnectionError, socket.gaierror, socket.timeout, TimeoutError, OSError)):
+    if isinstance(
+        exc, (ConnectionError, socket.gaierror, socket.timeout, TimeoutError)
+    ):
         return 4
+    if isinstance(exc, OSError):
+        return 3  # file I/O — wpull keeps this one nonzero
     return 1  # generic error — NOT downgraded
 
 
