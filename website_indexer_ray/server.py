@@ -213,12 +213,19 @@ class ViewerHandler(BaseHTTPRequestHandler):
         )
         nav = ""
         if page["num_pages"] > 1:
+            base = {
+                **({"search_type": search_type} if search_type else {}),
+                **({"q": q} if q else {}),
+                "format": "html",
+            }
             n = page["page_number"]
             if n > 1:
-                nav += f'<a href="/?page={n - 1}">Previous</a> '
+                nav += (
+                    f'<a href="/?{urlencode({**base, "page": n - 1})}">Previous</a> '
+                )
             nav += f'Page {n} of {page["num_pages"]}'
             if n < page["num_pages"]:
-                nav += f' <a href="/?page={n + 1}">Next</a>'
+                nav += f' <a href="/?{urlencode({**base, "page": n + 1})}">Next</a>'
         return f'{form}{summary}<ul class="m-list">{items}</ul><nav>{nav}</nav>'
 
     def _page_detail(self, qs: dict):
