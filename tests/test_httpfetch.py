@@ -206,3 +206,40 @@ class TestHttpRobots:
             pc.equal(records.column("record_type"), "robots_excluded")
         )
         assert f"{start}child/" in excluded.column("url").to_pylist()
+
+
+class TestCliNetworkCrawl:
+    """The full user storyline the reference supports, via the CLI
+    with no corpus: real-network crawl of the sample site, then the
+    query surface over the checkpoint."""
+
+    def test_crawl_then_query(self, ray_session, server, tmp_path, capsys):
+        import json
+
+        from website_indexer_ray.__main__ import main
+
+        host, port = server
+        out = str(tmp_path / "cli_net_crawl")
+        rc = main(
+            [
+                "crawl",
+                "--start-url", f"http://{host}/",
+                "--out", out,
+                "--politeness-wait", "0",
+                "--no-random-wait",
+            ]
+        )
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["status"] == "Finished"
+        assert summary["pages"] == 3
+        # external example.com/example.org are unreachable here (no
+        # host_map through the CLI): network-level status-0 errors are
+        # recorded, never fail the run (plugin.py:283-304 semantics).
+        assert summary["errors"] >= 1
+
+        rc = main(["query", "--out", out, "--search-type", "title",
+                   "--q", "Sample"])
+        assert rc == 0
+        page = json.loads(capsys.readouterr().out)
+        assert page["count"] == 3
