@@ -308,3 +308,34 @@ class TestManageCrawls:
         # Started (c5); delete c1 (old finished) and c4 (stale started).
         assert deleted == ["c1", "c4"]
         assert sorted(os.listdir(root)) == ["c2", "c3", "c5"]
+
+
+class TestCompaction:
+    """manage.compact_crawl: per-generation records consolidate into
+    records-compact/ with a _SUCCESS commit; every reader prefers the
+    compacted layout and results are identical."""
+
+    def test_compact_preserves_queries(self, ray_session, tmp_path):
+        from website_indexer_ray.fixtures.gen import SAMPLE_START_URL, sample_site_corpus
+        from website_indexer_ray.pipelines.engine import CrawlEngine, CrawlResult
+
+        corpus, seeds = sample_site_corpus()
+        cfg = CrawlConfig(start_url=SAMPLE_START_URL, n_seen_shards=2,
+                          fetch_concurrency=2)
+        out = str(tmp_path / "to_compact")
+        CrawlEngine(cfg, out).run(corpus, seeds)
+        before = query.search_pages(CrawlResult(out).records_table())
+
+        info = manage.compact_crawl(out, target_partitions=2)
+        assert info["n_compacted_files"] <= info["n_source_files"]
+
+        res = CrawlResult(out)
+        after = query.search_pages(res.records_table())
+        assert after.equals(before)
+        # gen dirs hold only lineage manifests now
+        import glob as g
+
+        assert not g.glob(f"{out}/records/gen=*/*.parquet")
+        assert g.glob(f"{out}/records/gen=*/_SUCCESS")
+        # Dataset path prefers the compacted files too
+        assert res.ray_records(columns=["url"]).count() == info["n_rows"]

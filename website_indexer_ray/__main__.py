@@ -210,6 +210,12 @@ def cmd_manage(args) -> int:
     if args.action == "list":
         for c in manage.list_crawls(args.root):
             print(json.dumps({k: v for k, v in c.items() if not k.startswith("_")} | {"name": c["_name"]}))
+    elif args.action == "compact":
+        _ray_ready()
+        import os as _os
+
+        info = manage.compact_crawl(_os.path.join(args.root, args.name))
+        print(json.dumps({"compacted": args.name, **info}))
     elif args.action == "delete":
         manage.delete_crawl(args.root, args.name, dry_run=args.dry_run)
         print(json.dumps({"deleted": args.name, "dry_run": args.dry_run}))
@@ -272,7 +278,7 @@ def main(argv=None) -> int:
     sv.set_defaults(fn=cmd_serve)
 
     m = sub.add_parser("manage")
-    m.add_argument("action", choices=["list", "delete", "clean"])
+    m.add_argument("action", choices=["list", "delete", "clean", "compact"])
     m.add_argument("--root", required=True)
     m.add_argument("--name")
     m.add_argument("--keep", type=int, default=1)

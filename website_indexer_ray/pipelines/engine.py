@@ -753,17 +753,24 @@ class CrawlResult:
         self.out = out_dir
         self.crawl_id = crawl_id
 
-    def records_dataset(self, columns: list[str] | None = None) -> pads.Dataset:
-        return pads.dataset(
-            sorted(glob.glob(os.path.join(self.out, "records", "gen=*", "*.parquet")))
+    def _records_paths(self) -> list[str]:
+        """Compacted layout (manage.compact_crawl) when its _SUCCESS
+        manifest exists, else the per-generation checkpoint."""
+        compact = os.path.join(self.out, "records-compact")
+        if os.path.exists(os.path.join(compact, "_SUCCESS")):
+            return sorted(glob.glob(os.path.join(compact, "*.parquet")))
+        return sorted(
+            glob.glob(os.path.join(self.out, "records", "gen=*", "*.parquet"))
         )
+
+    def records_dataset(self, columns: list[str] | None = None) -> pads.Dataset:
+        return pads.dataset(self._records_paths())
 
     def records_table(self, columns: list[str] | None = None) -> pa.Table:
         return self.records_dataset().to_table(columns=columns)
 
     def ray_records(self, columns: list[str] | None = None):
-        paths = sorted(glob.glob(os.path.join(self.out, "records", "gen=*", "*.parquet")))
-        return ray.data.read_parquet(paths, columns=columns)
+        return ray.data.read_parquet(self._records_paths(), columns=columns)
 
     def lineage_table(self) -> pa.Table:
         return pq.read_table(os.path.join(self.out, "lineage.parquet"))

@@ -58,6 +58,53 @@ def delete_crawl(root: str, name: str, dry_run: bool = False) -> bool:
     return True
 
 
+def compact_crawl(out_dir: str, target_partitions: int | None = None) -> dict:
+    """Compact a finished crawl's per-generation records checkpoint
+    into a consolidated ``records-compact/`` directory — at 10¹⁰-URL
+    scale a crawl leaves thousands of generations × shards of small
+    files, and every downstream read pays the per-file open cost.
+
+    Streaming: the generations are read as one Dataset and written
+    back re-blocked (no driver materialization); the compacted copy is
+    committed via a ``_SUCCESS`` manifest and the per-generation dirs
+    are then dropped. ``CrawlResult`` readers prefer the compacted
+    layout when its manifest exists, so a crawl interrupted
+    mid-compaction keeps serving from the untouched per-generation
+    checkpoint (atomic swap semantics without a rename barrier).
+    """
+    import glob as _glob
+
+    import ray
+    import ray.data
+
+    from website_indexer_ray.pipelines.engine import CrawlResult
+
+    result = CrawlResult(out_dir)
+    paths = sorted(
+        _glob.glob(os.path.join(out_dir, "records", "gen=*", "*.parquet"))
+    )
+    if not paths:
+        raise FileNotFoundError(f"no records checkpoint under {out_dir}")
+    compact_dir = os.path.join(out_dir, "records-compact")
+    shutil.rmtree(compact_dir, ignore_errors=True)
+    ds = ray.data.read_parquet(paths)
+    n_rows = ds.count()
+    if target_partitions:
+        ds = ds.repartition(target_partitions)
+    ds.write_parquet(compact_dir)
+    with open(os.path.join(compact_dir, "_SUCCESS"), "w") as f:
+        json.dump({"n_rows": n_rows, "n_source_files": len(paths)}, f)
+    for d in _glob.glob(os.path.join(out_dir, "records", "gen=*")):
+        for p in _glob.glob(os.path.join(d, "*.parquet")):
+            os.remove(p)  # keep the _SUCCESS lineage manifests
+    n_files = len(_glob.glob(os.path.join(compact_dir, "*.parquet")))
+    return {
+        "n_rows": n_rows,
+        "n_source_files": len(paths),
+        "n_compacted_files": n_files,
+    }
+
+
 def clean_crawls(root: str, keep: int = 1, dry_run: bool = False) -> list[str]:
     """Retention: drop non-latest Started crawls and all but the
     newest ``keep`` per completed status (manage_crawls.py:41-62)."""
