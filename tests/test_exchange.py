@@ -61,3 +61,16 @@ class TestHashExchange:
         b = hash_exchange(make_ds(50), "k", lambda t: t, n_reducers=4)
         assert a.num_rows == 100
         assert b.num_rows == 50  # no chunks leaked from the prior call
+
+    def test_dead_reducer_retries_on_fresh_pool(self, ray_session):
+        """Kill a pooled reducer, then exchange: the first attempt
+        fails on the dead actor, the pool is evicted, and the retry
+        completes on fresh actors."""
+        import ray as _ray
+
+        from website_indexer_ray.state.exchange import _pool
+
+        shards = _pool(4)
+        _ray.kill(shards[0])
+        out = hash_exchange(make_ds(1000), "k", lambda t: t, n_reducers=4)
+        assert out.num_rows == 1000

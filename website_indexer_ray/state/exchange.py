@@ -85,9 +85,46 @@ def hash_exchange(ds, key_col: str, fn, n_reducers: int = 8) -> pa.Table | None:
 
     The routing job streams: map tasks push slices to shards and block
     on the acks (backpressure), so no task holds more than one batch.
+
+    A dead reducer (node loss, OOM kill) fails the exchange once; the
+    stale pool is evicted and the exchange re-runs on fresh actors —
+    reduce state lives only within one exchange, so the retry is a
+    clean replay.
     """
     with _POOL_LOCK:
-        return _hash_exchange_locked(ds, key_col, fn, n_reducers)
+        try:
+            return _hash_exchange_locked(ds, key_col, fn, n_reducers)
+        except Exception as exc:
+            if not _is_actor_death(exc):
+                raise
+            _evict_pool(n_reducers)
+            return _hash_exchange_locked(ds, key_col, fn, n_reducers)
+
+
+def _is_actor_death(exc: BaseException) -> bool:
+    """Actor loss surfaces as RayActorError directly (driver-side
+    calls) or wrapped in RayTaskError when a route task's ack fails."""
+    if isinstance(exc, ray.exceptions.RayActorError):
+        return True
+    name = type(exc).__name__
+    if name in ("RayActorError", "ActorDiedError", "ActorUnavailableError"):
+        return True
+    return "ActorDiedError" in str(exc) or "RayActorError" in str(exc)
+
+
+def _evict_pool(n_reducers: int) -> None:
+    try:
+        cluster = ray.get_runtime_context().gcs_address
+    except Exception:
+        cluster = None
+    shards = _POOLS.pop((cluster, n_reducers), None)
+    # Kill the survivors too — an evicted pool must release its CPU
+    # reservations or the replacement can starve on small clusters.
+    for s in shards or []:
+        try:
+            ray.kill(s)
+        except Exception:
+            pass
 
 
 def _hash_exchange_locked(ds, key_col: str, fn, n_reducers: int) -> pa.Table | None:
