@@ -496,3 +496,39 @@ class TestSeedBatchLineage:
         gens = [r["generation"] for r in lin]
         assert gens == sorted(set(gens))  # exactly one row per generation
         assert set(r["seed_batch"] for r in lin) == {0}
+
+
+class TestSameDomainPriority:
+    """Priority frontier (north_star: BFS depth + same-domain
+    priority): with prioritize_same_domain the budgeted claim takes
+    every start-host candidate before any external one; off (the
+    default), claims follow plain canonical URL order — externals
+    like ext0.example sort first lexicographically."""
+
+    def _crawl(self, tmp_path, tag, **cfg_kw):
+        from website_indexer_ray.fixtures.gen import generate_corpus
+
+        corpus, seeds = generate_corpus(n_pages=60, seed=42)
+        cfg = CrawlConfig(
+            start_url=START_URL, n_seen_shards=2, fetch_concurrency=2,
+            max_pages=12, **cfg_kw,
+        )
+        return run_engine(corpus, seeds, cfg, str(tmp_path / tag))
+
+    def test_priority_orders_internal_first(self, ray_session, tmp_path):
+        from website_indexer_ray.functions.urls import hostname_with_port
+
+        start_host = hostname_with_port(START_URL)
+
+        res = self._crawl(tmp_path, "prio", prioritize_same_domain=True)
+        rec = res.records_table().to_pylist()
+        # the whole 12-URL budget goes to start-host URLs
+        assert all(r["host"] == start_host for r in rec)
+
+        res2 = self._crawl(tmp_path, "plain")
+        rec2 = res2.records_table().to_pylist()
+        # default canonical order lets lexicographically-early external
+        # hosts (ext*.example < test.example) into the same budget
+        n_ext = sum(1 for r in rec2 if r["host"] != start_host)
+        assert n_ext > 0
+        assert len(rec) == len(rec2)  # identical budget spend

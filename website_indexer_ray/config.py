@@ -50,6 +50,11 @@ class CrawlConfig:
     host_map: dict | None = None
 
     # Engine knobs.
+    # Priority frontier (north_star: BFS depth + same-domain priority):
+    # within the generation barrier, budgeted claims take start-host
+    # URLs before external ones. Off by default — the reference's
+    # wpull order is plain BFS, and the oracle-equality tests pin that.
+    prioritize_same_domain: bool = False
     canonical_profile: str = "reference"
     n_seen_shards: int = 8
     seen_shard_capacity: int = 1 << 16

@@ -679,11 +679,19 @@ class CrawlEngine:
         — the collection is bounded by n_shards x remaining even when
         the pending set is vastly larger than the budget."""
         remaining = max(0, self.cfg.max_pages - total_requested)
+        priority_host = (
+            hostname_with_port(self.cfg.start_url)
+            if self.cfg.prioritize_same_domain
+            else None
+        )
         rows = (
             [
                 r
                 for chunk in ray.get(
-                    [s.pending_topk.remote(remaining) for s in shards]
+                    [
+                        s.pending_topk.remote(remaining, priority_host)
+                        for s in shards
+                    ]
                 )
                 for r in chunk
             ]
@@ -693,7 +701,10 @@ class CrawlEngine:
         ray.get([s.clear_pending.remote() for s in shards])
         if not rows or remaining == 0:
             return FRONTIER_WITH_METHOD.empty_table()
-        rows.sort(key=lambda r: r["url"])
+        if priority_host is not None:
+            rows.sort(key=lambda r: (r["host"] != priority_host, r["url"]))
+        else:
+            rows.sort(key=lambda r: r["url"])
         kept_rows = rows[:remaining]
         kept = pa.Table.from_pylist(kept_rows, schema=FRONTIER_WITH_METHOD)
         seen_state.claim_batch(

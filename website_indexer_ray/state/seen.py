@@ -83,13 +83,25 @@ class SeenShard:
         df = self._pending_df()
         return df.to_dict("records") if df is not None else []
 
-    def pending_topk(self, k: int) -> list[dict]:
-        """First ``k`` pending candidates in canonical (sorted-URL)
-        order — the budgeted-claim path fetches only each shard's
-        budget-sized prefix, so the driver never holds more than
-        n_shards x budget rows however large the pending set is."""
+    def pending_topk(self, k: int, priority_host: str | None = None) -> list[dict]:
+        """First ``k`` pending candidates in claim order — the
+        budgeted-claim path fetches only each shard's budget-sized
+        prefix, so the driver never holds more than n_shards x budget
+        rows however large the pending set is. Default order is
+        canonical sorted-URL; with ``priority_host`` the start host's
+        URLs rank first (the same-domain priority frontier) — the
+        shard prefix must use the driver's merge order or the k-way
+        merge would starve priority rows past the prefix."""
         df = self._pending_df()
-        return df.head(k).to_dict("records") if df is not None else []
+        if df is None:
+            return []
+        if priority_host is not None:
+            df = (
+                df.assign(_ext=df["host"] != priority_host)
+                .sort_values(["_ext", "url"], kind="mergesort")
+                .drop(columns="_ext")
+            )
+        return df.head(k).to_dict("records")
 
     def clear_pending(self) -> None:
         self.pending_chunks = []
