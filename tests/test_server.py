@@ -173,3 +173,42 @@ class TestHTMLRendering:
         )
         assert "search_type=title" in html and "q=child" in html
         assert "page=1" in html and "page=3" in html
+
+
+class TestSlimServingMemory:
+    """The serving process never holds the html column in memory: html
+    searches and page-detail html come from streamed/filtered
+    checkpoint reads."""
+
+    def test_state_excludes_html(self, base_url):
+        # reach into the live handler's state through a fresh one
+        pass  # structural check below uses ViewerState directly
+
+    def test_viewer_state_slim(self, ray_session, tmp_path):
+        from website_indexer_ray.config import CrawlConfig
+        from website_indexer_ray.fixtures.gen import (
+            SAMPLE_START_URL,
+            sample_site_corpus,
+        )
+        from website_indexer_ray.pipelines.engine import CrawlEngine
+        from website_indexer_ray.server import ViewerState
+
+        corpus, seeds = sample_site_corpus()
+        cfg = CrawlConfig(start_url=SAMPLE_START_URL, n_seen_shards=2,
+                          fetch_concurrency=2)
+        out = str(tmp_path / "slim_crawl")
+        CrawlEngine(cfg, out).run(corpus, seeds)
+        state = ViewerState(out)
+        assert "html" not in state.records.schema.names
+        assert state.html_matching_urls("o-sample") == {
+            "http://localhost:8000/"
+        }
+        assert "Sample homepage" in state.page_html("http://localhost:8000/")
+
+    def test_html_search_still_works(self, base_url):
+        _s, _h, body = get(f"{base_url}/?search_type=html&q=o-sample")
+        assert json.loads(body)["count"] == 1
+
+    def test_detail_still_carries_html(self, base_url):
+        _s, _h, body = get(f"{base_url}/page/?url=http://localhost:8000/")
+        assert "o-sample" in json.loads(body)["html"]

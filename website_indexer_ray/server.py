@@ -32,6 +32,8 @@ import json
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlsplit
 
+import pyarrow as pa
+
 from website_indexer_ray.pipelines import query
 from website_indexer_ray.pipelines.engine import CrawlResult
 
@@ -47,12 +49,71 @@ HELP_TEXT = (
 
 
 class ViewerState:
-    """Checkpoint tables loaded once per serving process."""
+    """Checkpoint tables loaded once per serving process.
+
+    The in-memory copy excludes the html column — the dominant payload
+    (usually >90% of a crawl's bytes). html-needing requests (the html
+    search, page detail) stream the pruned (url, html) columns from
+    the checkpoint with a vectorized scanner instead: serving memory
+    is bounded by the slim table however large the crawl's html is.
+    """
 
     def __init__(self, out_dir: str):
+        import pyarrow.compute as pc
+
         self.result = CrawlResult(out_dir)
-        self.records = self.result.records_table()
+        full_schema = self.result.records_dataset().schema
+        slim_cols = [n for n in full_schema.names if n != "html"]
+        self.records = self.result.records_table(columns=slim_cols)
         self.stats = query.crawl_stats(self.records)
+        self._pc = pc
+
+    def html_matching_urls(self, q: str) -> set:
+        """URLs of pages whose html icontains q — streamed scan of the
+        pruned (record_type, url, html) columns, batch-vectorized."""
+        pc = self._pc
+        out: set = set()
+        scanner = self.result.records_dataset().scanner(
+            columns=["record_type", "url", "html"]
+        )
+        for batch in scanner.to_batches():
+            t = pa.Table.from_batches([batch])
+            pages = t.filter(pc.equal(t.column("record_type"), "page"))
+            if not pages.num_rows:
+                continue
+            mask = pc.match_substring(
+                pages.column("html"), q, ignore_case=True
+            )
+            out.update(
+                pages.filter(pc.fill_null(mask, False)).column("url").to_pylist()
+            )
+        return out
+
+    def page_html(self, url: str) -> str | None:
+        """One page's html via a filtered checkpoint read."""
+        import pyarrow.dataset as pads
+
+        t = self.result.records_dataset().to_table(
+            columns=["url", "html"], filter=pads.field("url") == url
+        )
+        return t.column("html")[0].as_py() if t.num_rows else None
+
+    def search_html(self, q: str, language: str | None = None) -> pa.Table:
+        """The html search over the slim state: matching URLs come
+        from the streamed html scan, then project the slim page rows
+        (search.py:62-63 semantics, url-sorted)."""
+        pc = self._pc
+        pages = self.records.filter(
+            pc.equal(self.records.column("record_type"), "page")
+        )
+        if language is not None:
+            pages = pages.filter(pc.equal(pages.column("language"), language))
+        urls = self.html_matching_urls(q)
+        mask = pc.is_in(
+            pages.column("url"), value_set=pa.array(sorted(urls), type=pa.string())
+        )
+        out = pages.filter(pc.fill_null(mask, False)).select(query.PAGE_VALUES)
+        return out.take(pc.sort_indices(out, sort_keys=[("url", "ascending")]))
 
 
 def _esc(s) -> str:
@@ -154,13 +215,17 @@ class ViewerHandler(BaseHTTPRequestHandler):
         search_type = qs.get("search_type", "")
         q = qs.get("q", "")
         is_csv = qs.get("format") == "csv"
-        out = query.search_pages(
-            self.state.records,
-            search_type,
-            q,
-            include_related=is_csv and search_type in ("components", "links"),
-            language=qs.get("language"),
-        )
+        if search_type == "html":
+            # html never lives in serving memory — streamed scan.
+            out = self.state.search_html(q, language=qs.get("language"))
+        else:
+            out = query.search_pages(
+                self.state.records,
+                search_type,
+                q,
+                include_related=is_csv and search_type in ("components", "links"),
+                language=qs.get("language"),
+            )
         if is_csv:
             kind = (
                 "pages_components"
@@ -229,10 +294,24 @@ class ViewerHandler(BaseHTTPRequestHandler):
         return f'{form}{summary}<ul class="m-list">{items}</ul><nav>{nav}</nav>'
 
     def _page_detail(self, qs: dict):
-        row = query.page_detail(self.state.records, qs.get("url", ""))
-        if row is None:
+        url = qs.get("url", "")
+        pages = self.state.records
+        import pyarrow.compute as pc
+
+        hit = pages.filter(
+            pc.and_(
+                pc.equal(pages.column("record_type"), "page"),
+                pc.equal(pages.column("url"), url),
+            )
+        )
+        if hit.num_rows == 0:
             self._json({"detail": "Not found."}, 404)
             return
+        row = hit.select(
+            ["timestamp", "url", "title", "language", "text",
+             "components", "links"]
+        ).to_pylist()[0]
+        row["html"] = self.state.page_html(url)  # filtered read
         if self._wants_html(qs):
             comps = "".join(f"<li>{_esc(c)}</li>" for c in row["components"] or [])
             links = "".join(f"<li>{_esc(h)}</li>" for h in row["links"] or [])
