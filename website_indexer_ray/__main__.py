@@ -127,7 +127,12 @@ def cmd_query(args) -> int:
     from website_indexer_ray.pipelines import query
     from website_indexer_ray.pipelines.engine import CrawlResult
 
-    records = CrawlResult(args.out).records_table()
+    result = CrawlResult(args.out)
+    # Prune the dominant html column unless this search needs it.
+    cols = None
+    if args.search_type != "html":
+        cols = [n for n in result.records_dataset().schema.names if n != "html"]
+    records = result.records_table(columns=cols)
     out = query.search_pages(
         records, args.search_type, args.q, include_related=args.format == "csv"
     )
@@ -166,7 +171,9 @@ def cmd_list(args) -> int:
     from website_indexer_ray.pipelines import query
     from website_indexer_ray.pipelines.engine import CrawlResult
 
-    records = CrawlResult(args.out).records_table()
+    result = CrawlResult(args.out)
+    cols = [n for n in result.records_dataset().schema.names if n != "html"]
+    records = result.records_table(columns=cols)
     if args.kind == "components":
         table = query.list_components(records)
     elif args.kind == "errors":
