@@ -173,3 +173,32 @@ class TestRobots:
         cache.allowed("https://a.example/1")
         cache.allowed("https://a.example/2")
         assert len(calls) == 1
+
+
+class TestHostBudgetReserveN:
+    """The batched politeness RPC: one reserve_n call hands out n
+    consecutive wait-spaced slots, and later calls continue the same
+    schedule — the per-host rate cap holds across batches/actors."""
+
+    def test_slot_spacing_and_continuity(self, ray_session):
+        import ray as _ray
+
+        from website_indexer_ray.state.politeness import HostBudget
+
+        b = HostBudget.remote(wait=0.5)
+        delays = _ray.get(b.reserve_n.remote("h", 4))
+        assert delays[0] == 0.0
+        for i, d in enumerate(delays):
+            assert abs(d - i * 0.5) < 0.05
+        nxt = _ray.get(b.reserve_n.remote("h", 1))[0]
+        assert nxt > 1.8  # continues after the 4 reserved slots
+        other = _ray.get(b.reserve_n.remote("other-host", 1))[0]
+        assert other == 0.0  # budgets are per host
+
+    def test_zero_wait_is_free(self, ray_session):
+        import ray as _ray
+
+        from website_indexer_ray.state.politeness import HostBudget
+
+        b = HostBudget.remote(wait=0.0)
+        assert _ray.get(b.reserve_n.remote("h", 3)) == [0.0, 0.0, 0.0]
