@@ -90,3 +90,64 @@ def test_hostname_with_port_default_ports_dropped(path):
 @given(st.text(min_size=0, max_size=100))
 def test_url_hash_stable(s):
     assert url_hash(s) == url_hash(s) == xxh64(s)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(
+                [
+                    "https://test.example/{}/",
+                    "https://test.example/{}.pdf",
+                    "https://test.example/list/?page={}",
+                    "https://test.example/list/?page={}&x=1",
+                    "https://test.example/external-site/?ext_url=https%3A%2F%2Fe{}.example%2F",
+                    "https://ext{}.example/",
+                    "https://www.facebook.com/dialog/share?u={}",
+                ]
+            ),
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=6),  # depth
+            st.booleans(),  # external parent
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_predicate_vectorized_equals_rowwise(rows_spec):
+    """Property: the vectorized PredicateStage.__call__ accepts exactly
+    the (url, method) set process_rows does, over arbitrary mixes of
+    every rule-triggering URL shape."""
+    import pyarrow as pa
+
+    from website_indexer_ray.config import CrawlConfig
+    from website_indexer_ray.schemas import FRONTIER_SCHEMA
+    from website_indexer_ray.stages.predicates import PredicateStage
+
+    cfg = CrawlConfig(
+        start_url="https://test.example/",
+        depth=4,
+        head_url_patterns=(r"^https://ext1\.example/.*",),
+    )
+    rows = []
+    for i, (tmpl, n, depth, ext_parent) in enumerate(rows_spec):
+        url = tmpl.format(n)
+        rows.append(
+            {
+                "url": url,
+                "url_hash": i,
+                "host": hostname_with_port(url),
+                "depth": depth,
+                "parent_url": "https://test.example/",
+                "parent_host": "ext9.example" if ext_parent else "test.example",
+                "root_url": "https://test.example/",
+                "generation": 1,
+                "seed_batch": 0,
+            }
+        )
+    st_obj = PredicateStage(cfg)
+    batch = pa.Table.from_pylist(rows, schema=FRONTIER_SCHEMA)
+    vec = sorted((r["url"], r["method"]) for r in st_obj(batch).to_pylist())
+    ref = sorted((r["url"], r["method"]) for r in st_obj.process_rows(rows))
+    assert vec == ref
