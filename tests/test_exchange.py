@@ -74,3 +74,20 @@ class TestHashExchange:
         _ray.kill(shards[0])
         out = hash_exchange(make_ds(1000), "k", lambda t: t, n_reducers=4)
         assert out.num_rows == 1000
+
+    def test_concurrent_exchanges_serialize_cleanly(self, ray_session):
+        """Two exchanges racing on the shared pool must not interleave
+        chunks — the pool lock serializes them; both results exact."""
+        import threading
+
+        results = {}
+
+        def run(name, n):
+            results[name] = hash_exchange(
+                make_ds(n), "k", lambda t: t, n_reducers=4
+            ).num_rows
+
+        t1 = threading.Thread(target=run, args=("a", 3000))
+        t2 = threading.Thread(target=run, args=("b", 1200))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        assert results == {"a": 3000, "b": 1200}
