@@ -578,3 +578,21 @@ class TestCountMinTopTokens:
         A = set(approx.column("token").to_pylist())
         E = set(exact.column("token").to_pylist())
         assert len(A & E) / len(E) >= 0.8
+
+
+class TestLengthFilter:
+    def test_matches_sql_and_bounds(self, ray_session, con):
+        from website_indexer_ray.pipelines import textops
+
+        out = textops.length_filter(SF_DIR, min_tokens=20, max_tokens=1000)
+        assert_matches_sql(
+            out,
+            con,
+            r"""SELECT doc_id FROM documents
+                WHERE length(regexp_extract_all(text, '\w+|[^\w\s]'))
+                      BETWEEN 20 AND 1000
+                ORDER BY doc_id""",
+        )
+        # tight bounds actually filter
+        narrow = textops.length_filter(SF_DIR, min_tokens=0, max_tokens=5)
+        assert narrow.num_rows < out.num_rows
