@@ -22,7 +22,7 @@ import pytest
 
 from website_indexer_ray.config import CrawlConfig
 from website_indexer_ray.pipelines import query
-from website_indexer_ray.pipelines.engine import CrawlEngine
+from website_indexer_ray.pipelines.engine import CrawlEngine, CrawlResult
 from website_indexer_ray.schemas import SEEDS_SCHEMA
 from website_indexer_ray.stages.httpfetch import HttpFetcher
 
@@ -243,3 +243,40 @@ class TestCliNetworkCrawl:
         assert rc == 0
         page = json.loads(capsys.readouterr().out)
         assert page["count"] == 3
+
+
+class TestNetworkCrawlResume:
+    """Lossless resume over the real fetcher: a crawl capped at one
+    generation resumes to the same final tables as an uninterrupted
+    network crawl."""
+
+    def test_partial_then_resume(self, ray_session, server, tmp_path):
+        host, port = server
+        start = f"http://{host}/"
+        host_map = {
+            "example.com": ("http", "127.0.0.1", port),
+            "example.org": ("http", "127.0.0.1", port),
+        }
+        seeds = pa.Table.from_pylist(
+            [{"url": start, "seed_batch": 0}], schema=SEEDS_SCHEMA
+        )
+
+        full_cfg = CrawlConfig(
+            start_url=start, n_seen_shards=2, fetch_concurrency=2,
+            host_map=host_map,
+        )
+        full = CrawlEngine(full_cfg, str(tmp_path / "net_full")).run(None, seeds)
+
+        part_cfg = CrawlConfig(
+            start_url=start, n_seen_shards=2, fetch_concurrency=2,
+            host_map=host_map, max_generations=1,
+        )
+        out = str(tmp_path / "net_resume")
+        CrawlEngine(part_cfg, out).run(None, seeds)
+        partial_pages = query.search_pages(CrawlResult(out).records_table())
+        assert partial_pages.num_rows < 3  # genuinely interrupted
+
+        resumed = CrawlEngine(full_cfg, out).run(None, seeds, resume=True)
+        key = lambda t: sorted(t.to_pylist(), key=lambda r: r["url"])
+        assert key(resumed.records_table()) == key(full.records_table())
+        assert resumed.seen_table().equals(full.seen_table())
