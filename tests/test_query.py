@@ -339,3 +339,23 @@ class TestCompaction:
         assert g.glob(f"{out}/records/gen=*/_SUCCESS")
         # Dataset path prefers the compacted files too
         assert res.ray_records(columns=["url"]).count() == info["n_rows"]
+
+
+class TestCsvTitleStrip:
+    """The reference strips the CFPB title suffix in every list
+    serialization, CSV included (viewer/serializers.py:27-35)."""
+
+    def test_csv_bytes_after_strip(self):
+        import pyarrow as pa
+
+        table = pa.table(
+            {
+                "timestamp": [None],
+                "url": ["https://x/"],
+                "title": ["About us | Consumer Financial Protection Bureau"],
+                "language": ["en"],
+            }
+        )
+        _name, data = query.to_csv_bytes(query.strip_title_suffix(table), "pages")
+        assert b"About us" in data
+        assert b"Consumer Financial Protection Bureau" not in data

@@ -142,7 +142,9 @@ def cmd_query(args) -> int:
             if args.search_type == "components"
             else "pages_links" if args.search_type == "links" else "pages"
         )
-        _name, data = query.to_csv_bytes(out, kind)
+        # suffix strip applies to CSV serializations too
+        # (viewer/serializers.py:27-35)
+        _name, data = query.to_csv_bytes(query.strip_title_suffix(out), kind)
         sys.stdout.buffer.write(data)
     else:
         page = query.paginate(query.strip_title_suffix(out), args.page)

@@ -232,7 +232,9 @@ class ViewerHandler(BaseHTTPRequestHandler):
                 if search_type == "components"
                 else "pages_links" if search_type == "links" else "pages"
             )
-            self._csv(out, kind)
+            # The reference strips the title suffix in EVERY list
+            # serialization, CSV included (serializers.py:27-35).
+            self._csv(query.strip_title_suffix(out), kind)
             return
         page = query.paginate(query.strip_title_suffix(out), int(qs.get("page", 1)))
         page["results_summary"] = query.results_summary(
