@@ -212,3 +212,22 @@ class TestSlimServingMemory:
     def test_detail_still_carries_html(self, base_url):
         _s, _h, body = get(f"{base_url}/page/?url=http://localhost:8000/")
         assert "o-sample" in json.loads(body)["html"]
+
+
+class TestPaginationLinks:
+    """DRF pagination payload parity: next/previous URLs alongside
+    num_pages/page_number (viewer/pagination.py:5-16)."""
+
+    def test_single_page_has_null_links(self, base_url):
+        _s, _h, body = get(f"{base_url}/")
+        page = json.loads(body)
+        assert page["next"] is None and page["previous"] is None
+        assert page["num_pages"] == 1 and page["page_number"] == 1
+
+    def test_multi_page_links(self, base_url):
+        from website_indexer_ray.server import ViewerHandler
+
+        page = {"page_number": 2, "num_pages": 3}
+        ViewerHandler._add_page_links(page, "/", {"q": "x", "page": "2"})
+        assert page["previous"] == "/?q=x&page=1"
+        assert page["next"] == "/?q=x&page=3"

@@ -240,10 +240,27 @@ class ViewerHandler(BaseHTTPRequestHandler):
         page["results_summary"] = query.results_summary(
             page["count"], search_type, q
         )
+        self._add_page_links(page, "/", qs)
         if self._wants_html(qs):
             self._html(self._render_search(page, search_type, q))
             return
         self._json(page)
+
+    @staticmethod
+    def _add_page_links(page: dict, path: str, qs: dict) -> None:
+        """DRF PageNumberPagination's next/previous URL fields
+        (viewer/pagination.py:5-16 wraps them with num_pages/
+        page_number, which query.paginate already provides)."""
+        from urllib.parse import urlencode
+
+        params = {k: v for k, v in qs.items() if k != "page"}
+        n, num = page["page_number"], page["num_pages"]
+        page["next"] = (
+            f"{path}?{urlencode({**params, 'page': n + 1})}" if n < num else None
+        )
+        page["previous"] = (
+            f"{path}?{urlencode({**params, 'page': n - 1})}" if n > 1 else None
+        )
 
     def _render_search(self, page: dict, search_type: str, q: str) -> str:
         """HTML equivalent of the viewer's search page
@@ -353,7 +370,9 @@ class ViewerHandler(BaseHTTPRequestHandler):
         if qs.get("format") == "csv":
             self._csv(table, kind)
         else:
-            self._json(query.paginate(table, int(qs.get("page", 1))))
+            page = query.paginate(table, int(qs.get("page", 1)))
+            self._add_page_links(page, f"/{kind}/", qs)
+            self._json(page)
 
 
 def make_server(out_dir: str, port: int = 0) -> ThreadingHTTPServer:
