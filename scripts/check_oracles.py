@@ -61,6 +61,17 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    if not only:
+        # entry() smoke (the driver checks this separately): must run
+        # and yield >=0 rows with a stable schema.
+        ds = e.entry()
+        n = ds.count() if hasattr(ds, "count") else len(ds)
+        schema = (
+            ds.schema().names if hasattr(ds, "schema") and callable(ds.schema)
+            else list(ds.columns)
+        )
+        print(f"entry: rows={n} schema={schema}")
+
     qs = e.queries()
     oracles = e.oracle_sql()
     n_fail = 0
