@@ -532,3 +532,23 @@ class TestSameDomainPriority:
         n_ext = sum(1 for r in rec2 if r["host"] != start_host)
         assert n_ext > 0
         assert len(rec) == len(rec2)  # identical budget spend
+
+
+class TestDocsArtifact:
+    """write_docs_table materializes the interleaved-span docs table
+    (BASELINE input_hint shape) as a crawl artifact via the Lance
+    seam; contents equal the on-demand projection."""
+
+    def test_docs_written_and_equal(self, ray_session, tmp_path):
+        corpus, seeds = sample_site_corpus()
+        cfg = CrawlConfig(
+            start_url=SAMPLE_START_URL, n_seen_shards=2,
+            fetch_concurrency=2, write_docs_table=True,
+        )
+        res = run_engine(corpus, seeds, cfg, str(tmp_path / "docs_artifact"))
+        docs_ds = res.ray_docs()
+        rows = sorted(docs_ds.take_all(), key=lambda r: r["doc_id"])
+        expected = docs_table_from_records(res.records_table()).to_pylist()
+        expected.sort(key=lambda r: r["doc_id"])
+        assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in expected]
+        assert [r["spans"] for r in rows] == [r["spans"] for r in expected]

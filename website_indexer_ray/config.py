@@ -63,6 +63,11 @@ class CrawlConfig:
     fetch_num_cpus: float = 1.0
     simulate_latency: bool = False
     salt_partitions: int = 1  # >1 ⇒ hot-host salting + shared HostBudget
+    # Materialize the interleaved-span docs table (north_star output
+    # shape) as a crawl artifact at finalize — one streaming
+    # projection job over the records checkpoint, written through the
+    # Lance seam (sources/lance_io).
+    write_docs_table: bool = False
     max_generations: int = 64
     # Adaptive execution: generations whose input is below these row
     # thresholds run driver-side (pure-Python over the same stage

@@ -293,6 +293,8 @@ class CrawlEngine:
                 if gen_accepted == 0:
                     break
 
+            if cfg.write_docs_table:
+                self._write_docs_table()
             self._finalize("Finished", None, status_path, cfg_dict, t_start)
         except Exception:
             self._finalize(
@@ -301,6 +303,22 @@ class CrawlEngine:
             raise
 
         return CrawlResult(self.out, self.crawl_id)
+
+    def _write_docs_table(self) -> None:
+        """Stream the interleaved-span docs projection (the
+        BASELINE.json input_hint shape) from the records checkpoint
+        into a ``docs/`` artifact via the Lance seam — pruned columns
+        in, list<struct> spans out, no driver materialization."""
+        from website_indexer_ray.functions.spans import (
+            DOC_SOURCE_COLUMNS,
+            docs_table_from_records,
+        )
+        from website_indexer_ray.sources import lance_io
+
+        docs = CrawlResult(self.out, self.crawl_id).ray_records(
+            columns=DOC_SOURCE_COLUMNS
+        ).map_batches(docs_table_from_records, batch_format="pyarrow")
+        lance_io.write_records(docs, os.path.join(self.out, "docs"))
 
     # ---- one generation --------------------------------------------
     def _run_generation(
@@ -782,6 +800,20 @@ class CrawlResult:
 
     def ray_records(self, columns: list[str] | None = None):
         return ray.data.read_parquet(self._records_paths(), columns=columns)
+
+    def ray_docs(self):
+        """The materialized interleaved-docs artifact (docs/ — written
+        when CrawlConfig.write_docs_table), through the Lance seam."""
+        from website_indexer_ray.sources import lance_io
+
+        path = os.path.join(self.out, "docs")
+        if not (os.path.isdir(path) or os.path.isdir(path + ".lance")):
+            raise FileNotFoundError(
+                f"{path}: crawl was run without write_docs_table"
+            )
+        return lance_io.read_records(
+            path if os.path.isdir(path) else path + ".lance"
+        )
 
     def lineage_table(self) -> pa.Table:
         return pq.read_table(os.path.join(self.out, "lineage.parquet"))
