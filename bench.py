@@ -80,8 +80,18 @@ def _ray_up(num_cpus: int):
 
     import ray.data as rd
 
+    def _warm_task(b):
+        # Pre-import the op modules too: a long-lived cluster's worker
+        # processes have them loaded; a fresh sandbox session would
+        # otherwise pay the import inside the first timed op.
+        import website_indexer_ray.pipelines.annops  # noqa: F401
+        import website_indexer_ray.pipelines.textops  # noqa: F401
+
+        _time.sleep(0.2)
+        return b
+
     rd.range(num_cpus * 16, override_num_blocks=num_cpus * 16).map_batches(
-        lambda b: (_time.sleep(0.2), b)[1], num_cpus=0.25
+        _warm_task, num_cpus=0.25
     ).materialize()
 
     # Warm the reducer-actor pool the keyed exchanges use
