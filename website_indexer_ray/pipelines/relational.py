@@ -11,7 +11,7 @@ associative; integer addition is).
 
 from __future__ import annotations
 
-import pandas as pd
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -263,12 +263,17 @@ def asof_last_order(sf_dir: str) -> pa.Table:
 
     A custom wide operator Ray Data lacks, composed per the guide:
     tag both sides into one slim (key, time, kind, payload) relation,
-    hash-co-partition with ``groupby(key)``, and resolve each
-    partition with a vectorized sort + forward-fill inside
-    ``map_groups`` — the single shuffle moves only the four join
-    columns, never the wide source rows. Partitioning assumption:
-    one customer's history fits a group (salt the key with a time
-    bucket if a key ever doesn't)."""
+    hash-co-partition through the actor-reducer exchange
+    (state/exchange.py — NOT sort-based groupby+map_groups, which pays
+    a Python call and a pandas conversion per key), and resolve each
+    whole partition in ONE vectorized pass: lexsort by
+    (key, t, kind, orderkey), forward-fill the last order position
+    with ``np.maximum.accumulate``, and invalidate fills that cross a
+    key boundary by comparing against each row's group-start index.
+    Only the four slim join columns shuffle, never the wide source
+    rows. Partitioning assumption: one partition (all rows of the keys
+    hashing to it) fits a reducer's heap — size ``n_reducers`` up, not
+    the algorithm, as key volume grows."""
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
@@ -305,19 +310,49 @@ def asof_last_order(sf_dir: str) -> pa.Table:
         events.map_batches(tag_events, batch_format="pyarrow")
     )
 
-    def fill(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["t", "kind", "orderkey"], kind="mergesort")
-        last = g["orderkey"].where(g["kind"] == 0).ffill()
-        ev = g["kind"] == 1
-        return pd.DataFrame(
+    def resolve(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        key = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t.column("t").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        ts = ts.view(np.int64)
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        ev_id = t.column("event_id").to_numpy(zero_copy_only=False)
+        okey = t.column("orderkey").to_numpy(zero_copy_only=False)
+        # one lexsort for ALL keys in the partition: orders before
+        # events at equal t (kind asc), max orderkey last within a tie
+        order = np.lexsort((okey, kind, ts, key))
+        key_s, kind_s = key[order], kind[order]
+        ev_s, ok_s = ev_id[order], okey[order]
+        pos = np.arange(len(key_s), dtype=np.int64)
+        last_order_pos = np.where(kind_s == 0, pos, np.int64(-1))
+        np.maximum.accumulate(last_order_pos, out=last_order_pos)
+        grp_first = np.ones(len(key_s), dtype=bool)
+        grp_first[1:] = key_s[1:] != key_s[:-1]
+        grp_start = np.maximum.accumulate(np.where(grp_first, pos, np.int64(0)))
+        # a fill from before this key's first row is another customer's
+        valid = last_order_pos >= grp_start
+        filled = np.where(
+            valid, ok_s[np.clip(last_order_pos, 0, None)], np.int64(-1)
+        )
+        mask = kind_s == 1
+        return pa.table(
             {
-                "event_id": g.loc[ev, "event_id"].astype("int64"),
-                "last_orderkey": last[ev].fillna(-1).astype("int64"),
+                "event_id": pa.array(ev_s[mask], type=pa.int64()),
+                "last_orderkey": pa.array(filled[mask], type=pa.int64()),
             }
         )
 
-    out = unioned.groupby("key").map_groups(fill, batch_format="pandas")
-    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    from website_indexer_ray.state.exchange import hash_exchange
+
+    tbl = hash_exchange(unioned, "key", resolve)
+    if tbl is None:
+        return pa.table(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "last_orderkey": pa.array([], type=pa.int64()),
+            }
+        )
     return tbl.take(pc.sort_indices(tbl, sort_keys=[("event_id", "ascending")]))
 
 
@@ -326,9 +361,14 @@ def range_join_orders(sf_dir: str, days: int = 30) -> pa.Table:
     orders dated in the trailing window (ts - days, ts] — the
     interval-predicate join class (as-of's sibling), composed the same
     way: tag both sides into one slim keyed relation, hash-co-partition
-    with ``groupby(key)``, and resolve each partition vectorized
-    (sorted order dates + two searchsorted cuts per event — no per-pair
-    scan). Only the four join columns shuffle."""
+    through the actor-reducer exchange, and resolve each whole
+    partition in ONE vectorized pass — every event expands to two
+    probe rows (window end at ts, window start at ts-days), one
+    lexsort interleaves probes with the order rows, and an order-count
+    cumsum read off at each probe position gives `count(t' <= X)`;
+    hi-probe minus lo-probe is the trailing-window count. No per-key
+    Python call, no per-pair scan; only the slim join columns
+    shuffle."""
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
     )
@@ -361,25 +401,77 @@ def range_join_orders(sf_dir: str, days: int = 30) -> pa.Table:
     unioned = orders.map_batches(tag_orders, batch_format="pyarrow").union(
         events.map_batches(tag_events, batch_format="pyarrow")
     )
-    window = pd.Timedelta(days=days)
+    window_us = np.int64(days) * 86_400_000_000
 
-    def count_window(g: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
+    def resolve(t: pa.Table) -> pa.Table:
+        key = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t.column("t").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        ts = ts.view(np.int64)
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        ev_id = t.column("event_id").to_numpy(zero_copy_only=False)
 
-        odates = np.sort(g.loc[g["kind"] == 0, "t"].to_numpy())
-        ev = g[g["kind"] == 1]
-        ts = ev["t"].to_numpy()
-        hi = np.searchsorted(odates, ts, side="right")
-        lo = np.searchsorted(odates, ts - window, side="right")
-        return pd.DataFrame(
+        is_order = kind == 0
+        okey, ots = key[is_order], ts[is_order]
+        ekey, ets = key[~is_order], ts[~is_order]
+        eid = ev_id[~is_order].astype(np.int64)
+        n_ev = len(ekey)
+        # two probes per event: count(t' <= ts) and count(t' <= ts-w)
+        pkey = np.concatenate([okey, ekey, ekey])
+        pts = np.concatenate([ots, ets, ets - window_us])
+        probe = np.concatenate(
+            [
+                np.zeros(len(okey), dtype=np.int8),
+                np.ones(2 * n_ev, dtype=np.int8),
+            ]
+        )
+        sign = np.concatenate(
+            [
+                np.zeros(len(okey), dtype=np.int64),
+                np.ones(n_ev, dtype=np.int64),
+                -np.ones(n_ev, dtype=np.int64),
+            ]
+        )
+        ev_idx = np.concatenate(
+            [
+                np.zeros(len(okey), dtype=np.int64),
+                np.arange(n_ev, dtype=np.int64),
+                np.arange(n_ev, dtype=np.int64),
+            ]
+        )
+        # orders sort before probes at equal (key, t) → probe sees
+        # `count(t' <= X)` (searchsorted side="right" semantics)
+        order = np.lexsort((probe, pts, pkey))
+        key_s = pkey[order]
+        probe_s = probe[order]
+        sign_s = sign[order]
+        ev_idx_s = ev_idx[order]
+        pos = np.arange(len(key_s), dtype=np.int64)
+        cum = np.cumsum(probe_s == 0)  # inclusive order count
+        grp_first = np.ones(len(key_s), dtype=bool)
+        grp_first[1:] = key_s[1:] != key_s[:-1]
+        grp_start = np.maximum.accumulate(np.where(grp_first, pos, np.int64(0)))
+        base = cum[grp_start] - (probe_s[grp_start] == 0)
+        within = cum - base  # orders of this key at or before this row
+        counts = np.zeros(n_ev, dtype=np.int64)
+        pm = probe_s == 1
+        np.add.at(counts, ev_idx_s[pm], sign_s[pm] * within[pm])
+        return pa.table(
             {
-                "event_id": ev["event_id"].astype("int64"),
-                "n_orders": (hi - lo).astype("int64"),
+                "event_id": pa.array(eid, type=pa.int64()),
+                "n_orders": pa.array(counts, type=pa.int64()),
             }
         )
 
-    out = unioned.groupby("key").map_groups(count_window, batch_format="pandas")
-    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    from website_indexer_ray.state.exchange import hash_exchange
+
+    tbl = hash_exchange(unioned, "key", resolve)
+    if tbl is None:
+        return pa.table(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "n_orders": pa.array([], type=pa.int64()),
+            }
+        )
     return tbl.take(pc.sort_indices(tbl, sort_keys=[("event_id", "ascending")]))
 
 
@@ -387,27 +479,55 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     """Session windows over the event stream: a user's events belong
     to one session until a gap > ``gap_minutes`` (the classic
     streaming sessionization, expressed per the engine's rule for
-    keyed stateful windows: hash-co-partition on the key with
-    ``groupby(user_id)``, then a vectorized sort + gap-diff inside
-    ``map_groups``). Returns per-user (n_sessions, n_events)."""
+    keyed stateful windows: hash-co-partition on user_id through the
+    actor-reducer exchange, then ONE vectorized pass per partition —
+    lexsort by (user, ts), session starts where the user changes or
+    the gap-diff exceeds the threshold, per-user sums via bincount
+    over the run index). Returns per-user (n_sessions, n_events)."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
     )
-    gap = pd.Timedelta(minutes=gap_minutes)
+    gap_us = np.int64(gap_minutes) * 60_000_000
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        new_session = g["ts"].diff().isna() | (g["ts"].diff() > gap)
-        return pd.DataFrame(
+    def resolve(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        ts = ts.view(np.int64)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s = uid[order], ts[order]
+        new_user = np.ones(len(uid_s), dtype=bool)
+        new_user[1:] = uid_s[1:] != uid_s[:-1]
+        dt = np.empty(len(ts_s), dtype=np.int64)
+        dt[0] = 0
+        dt[1:] = ts_s[1:] - ts_s[:-1]
+        new_session = new_user | (dt > gap_us)
+        ui = np.cumsum(new_user) - 1  # dense per-user run index
+        users = uid_s[new_user]
+        return pa.table(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_sessions": [int(new_session.sum())],
-                "n_events": [len(g)],
+                "user_id": pa.array(users, type=pa.int64()),
+                "n_sessions": pa.array(
+                    np.bincount(ui, weights=new_session).astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "n_events": pa.array(
+                    np.bincount(ui).astype(np.int64), type=pa.int64()
+                ),
             }
         )
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    from website_indexer_ray.state.exchange import hash_exchange
+
+    tbl = hash_exchange(ds, "user_id", resolve)
+    if tbl is None:
+        return pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "n_sessions": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+            }
+        )
     return tbl.take(pc.sort_indices(tbl, sort_keys=[("user_id", "ascending")]))
 
 
