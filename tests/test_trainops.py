@@ -159,6 +159,21 @@ class TestTextOps:
         kept = textops.near_dedup_keep("", jaccard_threshold=0.5, documents=docs)
         assert kept.column("doc_id").to_pylist() == [0, 3]
 
+    def test_near_dedup_keep_ds_matches_table_form(self, ray_session):
+        """The streaming dataset form (broadcast drop-set + map_batches
+        filter, nothing O(corpus) on the driver) returns exactly the
+        same kept set as the table-returning driver form."""
+        from website_indexer_ray.pipelines import textops
+
+        sf = "/root/testdata/sf0.001"
+        tbl = textops.near_dedup_keep(sf)
+        ds = textops.near_dedup_keep_ds(sf)
+        got = sorted(
+            v for b in ds.iter_batches(batch_format="pyarrow")
+            for v in b.column("doc_id").to_pylist()
+        )
+        assert got == tbl.column("doc_id").to_pylist()
+
     def test_simhash_pairs_hamming(self, ray_session):
         from website_indexer_ray.pipelines import textops
 

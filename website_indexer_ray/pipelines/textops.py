@@ -686,28 +686,12 @@ def paragraph_dedup(sf_dir: str) -> pa.Table:
     return tbl.take(pc.sort_indices(tbl, sort_keys=[("doc_id", "ascending")]))
 
 
-def near_dedup_keep(
-    sf_dir: str, jaccard_threshold: float = 0.5, documents: pa.Table | None = None
-) -> pa.Table:
-    """The applied form of near-duplicate detection: MinHash-LSH pairs
-    → connected components (union-find) → keep min(doc_id) per
-    component. This is what a training-data pipeline actually runs —
-    the kept-document list. The union-find runs on the pair list
-    (orders of magnitude smaller than the corpus); at 10^10 docs the
-    components step becomes iterative label propagation over the pair
-    table, same contract."""
-    if documents is not None:
-        doc_ids = documents.column("doc_id").to_pylist()
-    else:
-        import pyarrow.parquet as pq
-
-        doc_ids = (
-            pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-            .column("doc_id")
-            .to_pylist()
-        )
-    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold, documents=documents)
-
+def _dropped_from_pairs(pairs: pa.Table) -> np.ndarray:
+    """Union-find over the near-dup pair list → the doc_ids to DROP
+    (everything but min(doc_id) per connected component). The pair
+    list is orders of magnitude smaller than the corpus, so this runs
+    on the driver; at 10^10 docs the components step becomes iterative
+    label propagation over the pair table, same contract."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -725,9 +709,52 @@ def near_dedup_keep(
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
 
-    dropped = {d for d in parent if find(d) != d}
-    kept = sorted(d for d in doc_ids if d not in dropped)
-    return pa.table({"doc_id": pa.array(kept, type=pa.int64())})
+    return np.array(
+        sorted(d for d in parent if find(d) != d), dtype=np.int64
+    )
+
+
+def near_dedup_keep_ds(
+    sf_dir: str, jaccard_threshold: float = 0.5
+) -> "ray.data.Dataset":
+    """Dataset-returning form of near-duplicate removal: MinHash-LSH
+    pairs → union-find components → drop-set broadcast once via
+    ``ray.put`` → kept doc_ids emitted as a streaming ``map_batches``
+    filter. Nothing O(corpus) ever lands on the driver — consume with
+    ``write_parquet`` or feed the next stage."""
+    from website_indexer_ray.util import cached_get
+
+    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold)
+    dropped_ref = ray.put(_dropped_from_pairs(pairs))
+    ds = read_documents(sf_dir, columns=["doc_id"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dropped = cached_get(dropped_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = ~np.isin(ids, dropped, assume_unique=False)
+        return pa.table({"doc_id": pa.array(ids[mask], type=pa.int64())})
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def near_dedup_keep(
+    sf_dir: str, jaccard_threshold: float = 0.5, documents: pa.Table | None = None
+) -> pa.Table:
+    """The applied form of near-duplicate detection: MinHash-LSH pairs
+    → connected components (union-find) → keep min(doc_id) per
+    component. This is what a training-data pipeline actually runs —
+    the kept-document list. The driver-query contract wants a table,
+    so the streamed kept ids are collected at the end; production
+    pipelines use ``near_dedup_keep_ds`` and sink it instead."""
+    if documents is not None:
+        # in-memory corpus variant (crawl output): filter the given
+        # table directly — it is already driver-resident by contract.
+        pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold, documents=documents)
+        dropped = _dropped_from_pairs(pairs)
+        ids = documents.column("doc_id").to_numpy(zero_copy_only=False)
+        kept = np.sort(ids[~np.isin(ids, dropped)])
+        return pa.table({"doc_id": pa.array(kept, type=pa.int64())})
+    return _collect_sorted(near_dedup_keep_ds(sf_dir, jaccard_threshold), "doc_id")
 
 
 # --- SimHash near-dup -----------------------------------------------
