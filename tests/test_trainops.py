@@ -159,6 +159,29 @@ class TestTextOps:
         kept = textops.near_dedup_keep("", jaccard_threshold=0.5, documents=docs)
         assert kept.column("doc_id").to_pylist() == [0, 3]
 
+    def test_re2_kernel_counts_match_python_re(self, ray_session):
+        """The vectorized counting trio uses Arrow's RE2 kernels; pin
+        kernel counts == Python re.findall counts for every pattern on
+        the real test corpus (guards the RE2-vs-re \\w/\\b divergence
+        on whatever characters the corpus actually contains)."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from website_indexer_ray.pipelines import textops
+
+        texts = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+        ).column("text")
+        for py_re, pat in [
+            (textops._TOKEN_RE, textops._TOKEN_PAT),
+            (textops._WORD_RE, textops._WORD_PAT),
+            (textops._PUNCT_RE, textops._PUNCT_PAT),
+            (textops._STOP_RE, textops._STOP_PAT),
+        ]:
+            kernel = pc.count_substring_regex(texts, pat).to_pylist()
+            python = [len(py_re.findall(t)) for t in texts.to_pylist()]
+            assert kernel == python, pat
+
     def test_near_dedup_keep_ds_matches_table_form(self, ray_session):
         """The streaming dataset form (broadcast drop-set + map_batches
         filter, nothing O(corpus) on the driver) returns exactly the

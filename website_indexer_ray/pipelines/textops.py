@@ -114,14 +114,31 @@ def exact_dedup(sf_dir: str) -> pa.Table:
 
 
 # --- token counting / quality scoring -------------------------------
+# Vectorized with Arrow's RE2 kernels (pc.count_substring_regex) —
+# the same regex engine the DuckDB oracles run, and no per-row Python.
+# The module-level _TOKEN_RE/_WORD_RE/... Python regexes are kept as
+# the reference semantics; a pytest pins kernel == re.findall counts
+# on the test corpus.
+
+_TOKEN_PAT = r"\w+|[^\w\s]"  # BPE-ish: words + punct singles
+_WORD_PAT = r"\S+"
+_PUNCT_PAT = r"[^\w\s]"
+_STOP_PAT = r"\b(the|a|and|of|to|in|is)\b"
+
+
+def _count_re(col: pa.ChunkedArray, pat: str) -> pa.ChunkedArray:
+    return pc.cast(pc.count_substring_regex(col, pat), pa.int64())
+
 
 def token_count(sf_dir: str) -> pa.Table:
     ds = read_documents(sf_dir)
 
     def count(batch: pa.Table) -> pa.Table:
-        n = [len(_TOKEN_RE.findall(t)) for t in batch.column("text").to_pylist()]
         return pa.table(
-            {"doc_id": batch.column("doc_id"), "n_tokens": pa.array(n, type=pa.int64())}
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": _count_re(batch.column("text"), _TOKEN_PAT),
+            }
         )
 
     return _collect_sorted(ds.map_batches(count, batch_format="pyarrow"), "doc_id")
@@ -134,22 +151,24 @@ def quality_score(sf_dir: str) -> pa.Table:
     ds = read_documents(sf_dir)
 
     def score(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n_chars = [len(t) for t in texts]
-        n_words = [len(_WORD_RE.findall(t)) for t in texts]
-        n_punct = [len(_PUNCT_RE.findall(t)) for t in texts]
-        n_stop = [len(_STOP_RE.findall(t)) for t in texts]
-        stop_permille = [
-            (1000 * s) // w if w else 0 for s, w in zip(n_stop, n_words)
-        ]
+        text = batch.column("text")
+        n_words = _count_re(text, _WORD_PAT)
+        n_stop = _count_re(text, _STOP_PAT)
+        denom = pc.max_element_wise(n_words, pa.scalar(1, type=pa.int64()))
+        stop_permille = pc.if_else(
+            pc.equal(n_words, 0),
+            pa.scalar(0, type=pa.int64()),
+            # non-negative ints: Arrow integer divide == Python //
+            pc.divide(pc.multiply(n_stop, pa.scalar(1000, type=pa.int64())), denom),
+        )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "n_chars": pa.array(n_chars, type=pa.int64()),
-                "n_words": pa.array(n_words, type=pa.int64()),
-                "n_punct": pa.array(n_punct, type=pa.int64()),
-                "n_stop": pa.array(n_stop, type=pa.int64()),
-                "stop_permille": pa.array(stop_permille, type=pa.int64()),
+                "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+                "n_words": n_words,
+                "n_punct": _count_re(text, _PUNCT_PAT),
+                "n_stop": n_stop,
+                "stop_permille": stop_permille,
             }
         )
 
@@ -545,18 +564,17 @@ def length_filter(
     sf_dir: str, min_tokens: int = 20, max_tokens: int = 1000
 ) -> pa.Table:
     """Token-count document filter (the standard cleaning gate: drop
-    too-short and too-long documents). Pure per-batch predicate —
-    tokenize, count, filter — emitting only kept doc_ids."""
+    too-short and too-long documents). Pure per-batch vectorized
+    predicate — count tokens with the RE2 kernel, mask, filter —
+    emitting only kept doc_ids."""
     ds = read_documents(sf_dir)
 
     def keep(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        kept = [
-            d
-            for d, t in zip(ids, batch.column("text").to_pylist())
-            if min_tokens <= len(_TOKEN_RE.findall(t)) <= max_tokens
-        ]
-        return pa.table({"doc_id": pa.array(kept, type=pa.int64())})
+        n = _count_re(batch.column("text"), _TOKEN_PAT)
+        mask = pc.and_(
+            pc.greater_equal(n, min_tokens), pc.less_equal(n, max_tokens)
+        )
+        return pa.table({"doc_id": batch.column("doc_id").filter(mask)})
 
     return _collect_sorted(ds.map_batches(keep, batch_format="pyarrow"), "doc_id")
 
