@@ -159,6 +159,35 @@ class TestTextOps:
         kept = textops.near_dedup_keep("", jaccard_threshold=0.5, documents=docs)
         assert kept.column("doc_id").to_pylist() == [0, 3]
 
+    def test_write_forms_match_table_forms(self, ray_session, tmp_path):
+        """Sink variants stream to partitioned parquet with no driver
+        concat; re-reading the checkpoint dir must reproduce the
+        table form exactly — for a map-only op (token_count) and a
+        double-exchange op (paragraph_dedup)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from website_indexer_ray.pipelines import textops
+
+        sf = "/root/testdata/sf0.001"
+
+        def read_sorted(d):
+            t = pq.read_table(str(d)).combine_chunks()
+            return t.take(
+                pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])
+            ).combine_chunks()
+
+        textops.token_count_write(sf, str(tmp_path / "tc"))
+        assert read_sorted(tmp_path / "tc").equals(
+            textops.token_count(sf).combine_chunks()
+        )
+
+        textops.paragraph_dedup_write(sf, str(tmp_path / "pd"))
+        assert read_sorted(tmp_path / "pd").equals(
+            textops.paragraph_dedup(sf).combine_chunks()
+        )
+
     def test_re2_kernel_counts_match_python_re(self, ray_session):
         """The vectorized counting trio uses Arrow's RE2 kernels; pin
         kernel counts == Python re.findall counts for every pattern on

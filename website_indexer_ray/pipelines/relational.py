@@ -59,11 +59,13 @@ def agg_lineitem(sf_dir: str) -> pa.Table:
                 "n": pa.array([1] * batch.num_rows, type=pa.int64()),
             }
         )
-        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-            [("qty", "sum"), ("price_c", "sum"), ("revenue_c4", "sum"), ("n", "sum")]
-        )
-        return g.rename_columns(
-            ["l_returnflag", "l_linestatus", "qty", "price_c", "revenue_c4", "n"]
+        from website_indexer_ray.util import agg_named
+
+        return agg_named(
+            t,
+            ["l_returnflag", "l_linestatus"],
+            [("qty", "sum"), ("price_c", "sum"), ("revenue_c4", "sum"), ("n", "sum")],
+            ["l_returnflag", "l_linestatus", "qty", "price_c", "revenue_c4", "n"],
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
@@ -110,10 +112,10 @@ def top_revenue_orders(sf_dir: str, k: int = 10) -> pa.Table:
                 "revenue_c4": pc.multiply(price_c, disc_c),
             }
         )
-        return (
-            t.group_by("l_orderkey")
-            .aggregate([("revenue_c4", "sum")])
-            .rename_columns(["l_orderkey", "revenue_c4"])
+        from website_indexer_ray.util import agg_named
+
+        return agg_named(
+            t, "l_orderkey", [("revenue_c4", "sum")], ["l_orderkey", "revenue_c4"]
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
@@ -121,11 +123,13 @@ def top_revenue_orders(sf_dir: str, k: int = 10) -> pa.Table:
     # table — so the combine runs on the driver. At 10^9+ key
     # cardinality this flips to a hash-partitioned groupby; top-k
     # itself never needs a full sort (per-partition top-k, then merge).
-    merged = (
-        _to_table(partials)
-        .group_by("l_orderkey")
-        .aggregate([("revenue_c4", "sum")])
-        .rename_columns(["l_orderkey", "revenue_c4"])
+    from website_indexer_ray.util import agg_named
+
+    merged = agg_named(
+        _to_table(partials),
+        "l_orderkey",
+        [("revenue_c4", "sum")],
+        ["l_orderkey", "revenue_c4"],
     )
     order = pc.sort_indices(
         merged,
@@ -155,10 +159,10 @@ def status_counts(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        return (
-            batch.group_by("event_type")
-            .aggregate([([], "count_all")])
-            .rename_columns(["event_type", "n"])
+        from website_indexer_ray.util import agg_named
+
+        return agg_named(
+            batch, "event_type", [([], "count_all")], ["event_type", "n"]
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
@@ -236,10 +240,13 @@ def window_counts(sf_dir: str) -> pa.Table:
                 "n": pa.array([1] * batch.num_rows, type=pa.int64()),
             }
         )
-        return (
-            t.group_by(["window_start", "event_type"])
-            .aggregate([("value_c", "sum"), ("n", "sum")])
-            .rename_columns(["window_start", "event_type", "value_c", "n"])
+        from website_indexer_ray.util import agg_named
+
+        return agg_named(
+            t,
+            ["window_start", "event_type"],
+            [("value_c", "sum"), ("n", "sum")],
+            ["window_start", "event_type", "value_c", "n"],
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
@@ -673,10 +680,9 @@ def priority_revenue(sf_dir: str) -> pa.Table:
             }
         )
         # local combiner: one row per orderkey per batch
-        t = (
-            t.group_by("k").aggregate([("revenue_c4", "sum")])
-            .rename_columns(["k", "revenue_c4"])
-        )
+        from website_indexer_ray.util import agg_named
+
+        t = agg_named(t, "k", [("revenue_c4", "sum")], ["k", "revenue_c4"])
         return t.append_column(
             "priority", pa.array([None] * t.num_rows, type=pa.string())
         )
@@ -726,10 +732,13 @@ def priority_revenue(sf_dir: str) -> pa.Table:
                 "revenue_c4": pa.array([], type=pa.int64()),
             }
         )
-    out = (
-        partials.group_by("o_orderpriority")
-        .aggregate([("revenue_c4", "sum")])
-        .rename_columns(["o_orderpriority", "revenue_c4"])
+    from website_indexer_ray.util import agg_named
+
+    out = agg_named(
+        partials,
+        "o_orderpriority",
+        [("revenue_c4", "sum")],
+        ["o_orderpriority", "revenue_c4"],
     )
     return out.take(
         pc.sort_indices(out, sort_keys=[("o_orderpriority", "ascending")])
@@ -790,10 +799,9 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
                 "revenue_c4": pc.multiply(price_c, disc_c),
             }
         )
-        t = (
-            t.group_by("k").aggregate([("revenue_c4", "sum")])
-            .rename_columns(["k", "revenue_c4"])
-        )
+        from website_indexer_ray.util import agg_named
+
+        t = agg_named(t, "k", [("revenue_c4", "sum")], ["k", "revenue_c4"])
         return t.append_column(
             "nation", pa.array([None] * t.num_rows, type=pa.string())
         )
@@ -845,10 +853,10 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
                 "revenue_c4": pa.array([], type=pa.int64()),
             }
         )
-    out = (
-        partials.group_by("n_name")
-        .aggregate([("revenue_c4", "sum")])
-        .rename_columns(["n_name", "revenue_c4"])
+    from website_indexer_ray.util import agg_named
+
+    out = agg_named(
+        partials, "n_name", [("revenue_c4", "sum")], ["n_name", "revenue_c4"]
     )
     return out.take(pc.sort_indices(out, sort_keys=[("n_name", "ascending")]))
 

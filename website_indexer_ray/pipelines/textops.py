@@ -84,13 +84,15 @@ def exact_dedup(sf_dir: str) -> pa.Table:
             }
         )
 
-    def partial_min(batch: pa.Table) -> pa.Table:
-        return (
-            add_hash(batch)
-            .group_by("text_hash")
-            .aggregate([("doc_id", "min")])
-            .rename_columns(["text_hash", "doc_id"])
+    from website_indexer_ray.util import agg_named
+
+    def min_per_hash(t: pa.Table) -> pa.Table:
+        return agg_named(
+            t, "text_hash", [("doc_id", "min")], ["text_hash", "doc_id"]
         )
+
+    def partial_min(batch: pa.Table) -> pa.Table:
+        return min_per_hash(add_hash(batch))
 
     partials = ds.map_batches(partial_min, batch_format="pyarrow")
     # Partials are one row per (hash, batch). Adaptive final merge:
@@ -98,18 +100,9 @@ def exact_dedup(sf_dir: str) -> pa.Table:
     # min-merge runs as a text_hash-keyed hash exchange (each reducer
     # partition owns its hashes, so its local min IS the global min).
     merged = _merge_partials_adaptive(
-        partials,
-        key="text_hash",
-        reduce_fn=lambda t: t.group_by("text_hash")
-        .aggregate([("doc_id", "min")])
-        .rename_columns(["text_hash", "doc_id"]),
+        partials, key="text_hash", reduce_fn=min_per_hash
     )
-    tbl = (
-        merged.group_by("text_hash")
-        .aggregate([("doc_id", "min")])
-        .rename_columns(["text_hash", "doc_id"])
-        .select(["doc_id"])
-    )
+    tbl = min_per_hash(merged).select(["doc_id"])
     return tbl.take(pc.sort_indices(tbl, sort_keys=[("doc_id", "ascending")]))
 
 
@@ -130,7 +123,7 @@ def _count_re(col: pa.ChunkedArray, pat: str) -> pa.ChunkedArray:
     return pc.cast(pc.count_substring_regex(col, pat), pa.int64())
 
 
-def token_count(sf_dir: str) -> pa.Table:
+def _token_count_mapped(sf_dir: str):
     ds = read_documents(sf_dir)
 
     def count(batch: pa.Table) -> pa.Table:
@@ -141,13 +134,21 @@ def token_count(sf_dir: str) -> pa.Table:
             }
         )
 
-    return _collect_sorted(ds.map_batches(count, batch_format="pyarrow"), "doc_id")
+    return ds.map_batches(count, batch_format="pyarrow")
 
 
-def quality_score(sf_dir: str) -> pa.Table:
-    """Integer-valued quality signals (length, punctuation, stopword
-    density) — integers on purpose so the SQL oracle hashes
-    identically (no float-association drift)."""
+def token_count(sf_dir: str) -> pa.Table:
+    return _collect_sorted(_token_count_mapped(sf_dir), "doc_id")
+
+
+def token_count_write(sf_dir: str, out_dir: str) -> None:
+    """Sink form: stream per-doc token counts straight to partitioned
+    parquet — no driver concat (the table form exists for the driver
+    query contract only)."""
+    _token_count_mapped(sf_dir).write_parquet(out_dir)
+
+
+def _quality_score_mapped(sf_dir: str):
     ds = read_documents(sf_dir)
 
     def score(batch: pa.Table) -> pa.Table:
@@ -172,7 +173,18 @@ def quality_score(sf_dir: str) -> pa.Table:
             }
         )
 
-    return _collect_sorted(ds.map_batches(score, batch_format="pyarrow"), "doc_id")
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def quality_score(sf_dir: str) -> pa.Table:
+    """Integer-valued quality signals (length, punctuation, stopword
+    density) — integers on purpose so the SQL oracle hashes
+    identically (no float-association drift)."""
+    return _collect_sorted(_quality_score_mapped(sf_dir), "doc_id")
+
+
+def quality_score_write(sf_dir: str, out_dir: str) -> None:
+    _quality_score_mapped(sf_dir).write_parquet(out_dir)
 
 
 # --- language ID (heuristic; no SQL oracle) -------------------------
@@ -217,10 +229,17 @@ class LangIdStage:
         )
 
 
-def lang_id(sf_dir: str) -> pa.Table:
+def _lang_id_mapped(sf_dir: str):
     ds = read_documents(sf_dir)
-    out = ds.map_batches(LangIdStage(), batch_format="pyarrow")
-    return _collect_sorted(out, "doc_id")
+    return ds.map_batches(LangIdStage(), batch_format="pyarrow")
+
+
+def lang_id(sf_dir: str) -> pa.Table:
+    return _collect_sorted(_lang_id_mapped(sf_dir), "doc_id")
+
+
+def lang_id_write(sf_dir: str, out_dir: str) -> None:
+    _lang_id_mapped(sf_dir).write_parquet(out_dir)
 
 
 # --- document fingerprinting (winnowing; no SQL oracle) -------------
@@ -560,9 +579,9 @@ def _verify_pairs_jaccard(
     return out if out is not None else _EMPTY_PAIRS.empty_table()
 
 
-def length_filter(
+def _length_filter_mapped(
     sf_dir: str, min_tokens: int = 20, max_tokens: int = 1000
-) -> pa.Table:
+):
     """Token-count document filter (the standard cleaning gate: drop
     too-short and too-long documents). Pure per-batch vectorized
     predicate — count tokens with the RE2 kernel, mask, filter —
@@ -576,7 +595,21 @@ def length_filter(
         )
         return pa.table({"doc_id": batch.column("doc_id").filter(mask)})
 
-    return _collect_sorted(ds.map_batches(keep, batch_format="pyarrow"), "doc_id")
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def length_filter(
+    sf_dir: str, min_tokens: int = 20, max_tokens: int = 1000
+) -> pa.Table:
+    return _collect_sorted(
+        _length_filter_mapped(sf_dir, min_tokens, max_tokens), "doc_id"
+    )
+
+
+def length_filter_write(
+    sf_dir: str, out_dir: str, min_tokens: int = 20, max_tokens: int = 1000
+) -> None:
+    _length_filter_mapped(sf_dir, min_tokens, max_tokens).write_parquet(out_dir)
 
 
 def vocab_top_tokens(sf_dir: str, k: int = 100) -> pa.Table:
@@ -607,33 +640,27 @@ def vocab_top_tokens(sf_dir: str, k: int = 100) -> pa.Table:
             }
         )
 
+    from website_indexer_ray.util import agg_named
+
     partials = _merge_partials_adaptive(
         ds.map_batches(partial, batch_format="pyarrow"),
         key="token_hash",
-        reduce_fn=lambda t: t.group_by(["token", "token_hash"])
-        .aggregate([("n", "sum")])
-        .rename_columns(["token", "token_hash", "n"]),
+        reduce_fn=lambda t: agg_named(
+            t,
+            ["token", "token_hash"],
+            [("n", "sum")],
+            ["token", "token_hash", "n"],
+        ),
     )
-    merged = (
-        partials.group_by("token")
-        .aggregate([("n", "sum")])
-        .rename_columns(["token", "n"])
-    )
+    merged = agg_named(partials, "token", [("n", "sum")], ["token", "n"])
     order = pc.sort_indices(
         merged, sort_keys=[("n", "descending"), ("token", "ascending")]
     )
     return merged.take(order.slice(0, k))
 
 
-def paragraph_dedup(sf_dir: str) -> pa.Table:
-    """Paragraph-level exact dedup stats: per document, how many of
-    its '. '-delimited segments also appear elsewhere in the corpus
-    (boilerplate detection — the segment-granularity member of the
-    dedup family). Fully in-dataset: explode to (doc_id, seg_hash)
-    rows per batch, ``groupby(seg_hash)`` marks each occurrence of a
-    corpus-duplicated segment, ``groupby(doc_id)`` sums the per-doc
-    stats. Only 8-byte hash rows shuffle, never segment text, and
-    nothing lands on the driver but the final per-doc table."""
+def _paragraph_exploded(sf_dir: str):
+    """documents → (doc_id, seg_hash) rows, one per '. '-segment."""
     ds = read_documents(sf_dir)
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -651,57 +678,109 @@ def paragraph_dedup(sf_dir: str) -> pa.Table:
             }
         )
 
-    from website_indexer_ray.state.exchange import hash_exchange
+    return ds.map_batches(explode, batch_format="pyarrow")
 
-    def mark_partition(group: pa.Table) -> pa.Table:
-        """One seg_hash hash partition: a row is a duplicate segment
-        iff its seg_hash occurs more than once corpus-wide — all of a
-        hash's rows are co-located here, so the global count is a
-        vectorized run-length over the sorted partition. Emits per-doc
-        PARTIAL sums (the combiner) so the final doc_id exchange moves
-        one row per (doc, partition)."""
-        h = group.column("seg_hash").to_numpy(zero_copy_only=False)
-        d = group.column("doc_id").to_numpy(zero_copy_only=False)
-        order = np.argsort(h, kind="stable")
-        hs = h[order]
-        bounds = np.flatnonzero(np.diff(hs)) + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [len(hs)]))
-        sizes = ends - starts
-        dup_flag = np.repeat((sizes > 1).astype(np.int64), sizes)
-        partial = (
-            pa.table(
-                {
-                    "doc_id": pa.array(d[order], type=pa.int64()),
-                    "n": pa.array(np.ones(len(d), dtype=np.int64)),
-                    "dup": pa.array(dup_flag, type=pa.int64()),
-                }
-            )
-            .group_by("doc_id")
-            .aggregate([("n", "sum"), ("dup", "sum")])
-        )
-        return partial.rename_columns(["doc_id", "n", "dup"])
 
-    partials = hash_exchange(
-        ds.map_batches(explode, batch_format="pyarrow"), "seg_hash", mark_partition
-    )
-    if partials is None:
-        return pa.table(
+def _paragraph_mark_partition(group: pa.Table) -> pa.Table:
+    """One seg_hash hash partition: a row is a duplicate segment
+    iff its seg_hash occurs more than once corpus-wide — all of a
+    hash's rows are co-located here, so the global count is a
+    vectorized run-length over the sorted partition. Emits per-doc
+    PARTIAL sums (the combiner) so the final doc_id merge moves
+    one row per (doc, partition)."""
+    from website_indexer_ray.util import agg_named
+
+    h = group.column("seg_hash").to_numpy(zero_copy_only=False)
+    d = group.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    bounds = np.flatnonzero(np.diff(hs)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(hs)]))
+    sizes = ends - starts
+    dup_flag = np.repeat((sizes > 1).astype(np.int64), sizes)
+    return agg_named(
+        pa.table(
             {
-                "doc_id": pa.array([], type=pa.int64()),
-                "n_paragraphs": pa.array([], type=pa.int64()),
-                "n_dup_paragraphs": pa.array([], type=pa.int64()),
+                "doc_id": pa.array(d[order], type=pa.int64()),
+                "n": pa.array(np.ones(len(d), dtype=np.int64)),
+                "dup": pa.array(dup_flag, type=pa.int64()),
             }
-        )
-    # Final merge over the partials (≤ one row per doc per reducer —
-    # the same shrink-then-merge contract as vocab_top_tokens; at
-    # 10^10 docs this flips to a hash-partitioned groupby).
-    tbl = (
-        partials.group_by("doc_id")
-        .aggregate([("n", "sum"), ("dup", "sum")])
-        .rename_columns(["doc_id", "n_paragraphs", "n_dup_paragraphs"])
+        ),
+        "doc_id",
+        [("n", "sum"), ("dup", "sum")],
+        ["doc_id", "n", "dup"],
+    )
+
+
+_PARA_EMPTY = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_paragraphs", pa.int64()),
+        ("n_dup_paragraphs", pa.int64()),
+    ]
+)
+
+
+def _paragraph_final_merge(partials: pa.Table) -> pa.Table:
+    from website_indexer_ray.util import agg_named
+
+    tbl = agg_named(
+        partials,
+        "doc_id",
+        [("n", "sum"), ("dup", "sum")],
+        ["doc_id", "n_paragraphs", "n_dup_paragraphs"],
     )
     return tbl.take(pc.sort_indices(tbl, sort_keys=[("doc_id", "ascending")]))
+
+
+def paragraph_dedup(sf_dir: str) -> pa.Table:
+    """Paragraph-level exact dedup stats: per document, how many of
+    its '. '-delimited segments also appear elsewhere in the corpus
+    (boilerplate detection — the segment-granularity member of the
+    dedup family). Explode to (doc_id, seg_hash) rows per batch, one
+    seg_hash-keyed exchange marks corpus-duplicated segments and
+    combines to per-doc partials, a final per-doc merge sums them.
+    Only 8-byte hash rows shuffle, never segment text."""
+    from website_indexer_ray.state.exchange import hash_exchange
+
+    partials = hash_exchange(
+        _paragraph_exploded(sf_dir), "seg_hash", _paragraph_mark_partition
+    )
+    if partials is None:
+        return _PARA_EMPTY.empty_table()
+    # Final merge over the partials (≤ one row per doc per reducer —
+    # the same shrink-then-merge contract as vocab_top_tokens; the
+    # write form runs it as a second keyed exchange instead).
+    return _paragraph_final_merge(partials)
+
+
+def paragraph_dedup_write(sf_dir: str, out_dir: str) -> None:
+    """Sink form for O(corpus)-row output: BOTH exchanges land in
+    partitioned parquet — the seg_hash exchange sinks per-doc partials
+    to a staging dir, a second doc_id-keyed exchange merges them and
+    sinks the final per-doc stats. Nothing O(docs) ever concatenates
+    on the driver; each partition is one resumable file."""
+    import ray.data as rd
+
+    from website_indexer_ray.state.exchange import hash_exchange
+
+    staging = out_dir.rstrip("/") + ".partials"
+    hash_exchange(
+        _paragraph_exploded(sf_dir),
+        "seg_hash",
+        _paragraph_mark_partition,
+        sink_dir=staging,
+    )
+    import os
+
+    if not (os.path.isdir(staging) and os.listdir(staging)):
+        os.makedirs(out_dir, exist_ok=True)
+        return
+    hash_exchange(
+        rd.read_parquet(staging), "doc_id", _paragraph_final_merge,
+        sink_dir=out_dir,
+    )
 
 
 def _dropped_from_pairs(pairs: pa.Table) -> np.ndarray:
@@ -922,9 +1001,13 @@ def simhash_pairs(
         )
     out = tbl.filter(pc.greater_equal(tbl.column("doc_a"), 0))
     # Dedup pairs that collided in several bands (slim pair list).
-    out = (
-        out.group_by(["doc_a", "doc_b"]).aggregate([("hamming", "min")])
-        .rename_columns(["doc_a", "doc_b", "hamming"])
+    from website_indexer_ray.util import agg_named
+
+    out = agg_named(
+        out,
+        ["doc_a", "doc_b"],
+        [("hamming", "min")],
+        ["doc_a", "doc_b", "hamming"],
     )
     return out.take(
         pc.sort_indices(out, sort_keys=[("doc_a", "ascending"), ("doc_b", "ascending")])

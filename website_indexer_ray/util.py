@@ -23,6 +23,19 @@ _SMALL_INPUT_BYTES = 256 << 20  # only override blocks below 256 MB
 _BROADCAST_CACHE: dict = {}
 
 
+def agg_named(tbl, keys, aggs, out_names):
+    """``tbl.group_by(keys).aggregate(aggs)`` with NAME-based output
+    selection: pyarrow's key/aggregate column ordering is not
+    contractual across releases, so positional ``rename_columns`` on
+    the result can silently swap key and value columns. Select the
+    generated names (``{col}_{fn}``, keys as-is) explicitly, then
+    rename to ``out_names`` in that order."""
+    g = tbl.group_by(keys).aggregate(aggs)
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    gen = keys + [f"{c}_{f}" if c else f for c, f in aggs]
+    return g.select(gen).rename_columns(out_names)
+
+
 def cached_get(ref):
     """ray.get with a per-worker-process cache: Ray reuses worker
     processes across tasks/jobs, so a broadcast object (query matrix,
