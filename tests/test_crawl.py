@@ -552,3 +552,28 @@ class TestDocsArtifact:
         expected.sort(key=lambda r: r["doc_id"])
         assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in expected]
         assert [r["spans"] for r in rows] == [r["spans"] for r in expected]
+
+    def test_docs_artifact_failure_keeps_crawl_finished(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        """The artifact is derived from the already-finalized records
+        checkpoint — a write failure must not demote the crawl to
+        Failed; it lands as a status warning instead."""
+        import json
+
+        from website_indexer_ray.sources import lance_io
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated artifact sink failure")
+
+        monkeypatch.setattr(lance_io, "write_records", boom)
+        corpus, seeds = sample_site_corpus()
+        cfg = CrawlConfig(
+            start_url=SAMPLE_START_URL, n_seen_shards=2,
+            fetch_concurrency=2, write_docs_table=True,
+        )
+        res = run_engine(corpus, seeds, cfg, str(tmp_path / "docs_fail"))
+        with open(f"{tmp_path}/docs_fail/crawl.json") as f:
+            status = json.load(f)
+        assert status["status"] == "Finished"
+        assert "simulated artifact sink failure" in status["warnings"]["docs_artifact"]

@@ -86,6 +86,49 @@ class TestHttpFetcher:
         )
         assert (status, ctype, loc, body) == (0, "", None, None)
 
+    def test_slow_drip_bounded_by_session_timeout(self):
+        """A server dribbling bytes faster than read_timeout but
+        forever must be cut off at session_timeout (wpull --timeout
+        whole-response semantics), not extended per chunk."""
+        import socket
+        import time
+
+        srv = socket.socket()
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        port = srv.getsockname()[1]
+        stop = threading.Event()
+
+        def drip():
+            conn, _ = srv.accept()
+            conn.recv(65536)
+            conn.sendall(
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Content-Length: 1000000\r\n\r\n"
+            )
+            while not stop.is_set():
+                try:
+                    conn.sendall(b"x")
+                except OSError:
+                    break
+                time.sleep(0.2)
+            conn.close()
+
+        t = threading.Thread(target=drip, daemon=True)
+        t.start()
+        try:
+            f = HttpFetcher(read_timeout=30.0, session_timeout=1.0)
+            t0 = time.monotonic()
+            status, _ct, _loc, body, _d = f.fetch(
+                f"http://127.0.0.1:{port}/slow", "GET"
+            )
+            elapsed = time.monotonic() - t0
+            assert status == 0  # recorded as a network-level failure
+            assert elapsed < 5.0, f"slow-drip ran {elapsed:.1f}s"
+        finally:
+            stop.set()
+            srv.close()
+
     def test_host_map_rewires_socket(self, server):
         _, port = server
         f = HttpFetcher(host_map={"example.com": ("http", "127.0.0.1", port)})

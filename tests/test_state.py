@@ -195,6 +195,57 @@ class TestHostBudgetReserveN:
         other = _ray.get(b.reserve_n.remote("other-host", 1))[0]
         assert other == 0.0  # budgets are per host
 
+    def test_robots_excluded_rows_consume_no_slots(self, ray_session):
+        """Rows the robots check filters out never reach the fetch, so
+        they must not be charged politeness slots — otherwise hosts
+        with many excluded URLs accumulate phantom next_ok delay that
+        permanently over-throttles later batches."""
+        import pyarrow as pa
+        import ray as _ray
+
+        from website_indexer_ray.config import CrawlConfig
+        from website_indexer_ray.stages.fetch import FetchParseStage
+        from website_indexer_ray.state.politeness import HostBudget
+
+        host = "h.example"
+        page = "<html><head><title>t</title></head><body></body></html>"
+        corpus = {
+            f"http://{host}/robots.txt": (
+                200, "text/plain", None,
+                "User-agent: *\nDisallow: /blocked/\n", 0,
+            ),
+            f"http://{host}/ok": (200, "text/html", None, page, 0),
+        }
+        cfg = CrawlConfig(
+            start_url=f"http://{host}/", respect_robots=True,
+            politeness_wait=0.5,
+        )
+        budget = HostBudget.remote(wait=0.5)
+        stage = FetchParseStage(corpus, cfg, budget_handle=budget)
+        rows = [
+            dict(
+                url=u, host=host, parent_url=None, url_hash=i,
+                generation=0, depth=0, seed_batch=0, method="GET",
+            )
+            for i, u in enumerate(
+                [f"http://{host}/ok"]
+                + [f"http://{host}/blocked/{j}" for j in range(3)]
+            )
+        ]
+        out = stage(pa.Table.from_pylist(rows))
+        types = dict(
+            zip(out.column("url").to_pylist(),
+                out.column("record_type").to_pylist())
+        )
+        assert types[f"http://{host}/ok"] == "page"
+        assert all(
+            t == "robots_excluded" for u, t in types.items() if "/blocked/" in u
+        )
+        # only ONE slot was consumed: the next reservation starts one
+        # wait after the fetched row, not four waits later
+        nxt = _ray.get(budget.reserve_n.remote(host, 1))[0]
+        assert nxt < 1.0, f"phantom slots charged: next delay {nxt}"
+
     def test_zero_wait_is_free(self, ray_session):
         import ray as _ray
 

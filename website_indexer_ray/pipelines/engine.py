@@ -293,8 +293,6 @@ class CrawlEngine:
                 if gen_accepted == 0:
                     break
 
-            if cfg.write_docs_table:
-                self._write_docs_table()
             self._finalize("Finished", None, status_path, cfg_dict, t_start)
         except Exception:
             self._finalize(
@@ -302,7 +300,27 @@ class CrawlEngine:
             )
             raise
 
+        # The opt-in docs artifact is derived entirely from the
+        # already-finalized records checkpoint — a failure here must
+        # not demote an otherwise-complete crawl to Failed. Record it
+        # as a status warning instead; the artifact is reproducible
+        # from the checkpoint at any time.
+        if cfg.write_docs_table:
+            try:
+                self._write_docs_table()
+            except Exception:
+                self._record_status_warning(
+                    status_path, "docs_artifact", traceback.format_exc()
+                )
+
         return CrawlResult(self.out, self.crawl_id)
+
+    def _record_status_warning(self, status_path, key, message) -> None:
+        with open(status_path) as f:
+            status = json.load(f)
+        status.setdefault("warnings", {})[key] = message
+        with open(status_path, "w") as f:
+            json.dump(status, f)
 
     def _write_docs_table(self) -> None:
         """Stream the interleaved-span docs projection (the

@@ -152,13 +152,22 @@ class FetchParseStage:
     # --- per-batch --------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()
+        # Robots verdicts first: excluded rows never reach the fetch,
+        # so they must not consume politeness slots — reserving for
+        # them would advance the host's next_ok by wait×n and
+        # permanently over-throttle hosts with many excluded URLs.
+        allowed = [
+            self.robots is None or self.robots.allowed(r["url"]) for r in rows
+        ]
         if self.budget is not None and rows:
             # One reserve_n RPC per (host, batch) instead of a blocking
             # actor round-trip per row; slots are wall-clock targets
             # relative to the reservation time.
             from collections import Counter
 
-            counts = Counter(r["host"] for r in rows)
+            counts = Counter(
+                r["host"] for r, ok in zip(rows, allowed) if ok
+            )
             futs = {
                 h: self.budget.reserve_n.remote(h, c) for h, c in counts.items()
             }
@@ -166,13 +175,13 @@ class FetchParseStage:
             self._slot_t0 = t0
             self._slots = {h: iter(ray.get(f)) for h, f in futs.items()}
         out: list[dict] = []
-        for row in rows:
-            out.append(self._process(row))
+        for row, ok in zip(rows, allowed):
+            out.append(self._process(row, robots_allowed=ok))
         if not out:
             return RECORDS_SCHEMA.empty_table()
         return pa.Table.from_pylist(out, schema=RECORDS_SCHEMA)
 
-    def _process(self, row: dict) -> dict:
+    def _process(self, row: dict, robots_allowed: bool = True) -> dict:
         url = row["url"]
         host = row["host"]
         method = row.get("method") or "GET"
@@ -201,7 +210,7 @@ class FetchParseStage:
             "frontier_links": None,
         }
 
-        if self.robots is not None and not self.robots.allowed(url):
+        if not robots_allowed:
             rec["record_type"] = "robots_excluded"
             return rec
 

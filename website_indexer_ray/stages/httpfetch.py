@@ -110,10 +110,24 @@ class HttpFetcher:
                     and any(ctype.startswith(p) for p in body_prefixes)
                 ):
                     chunks = []
+                    # wpull --timeout semantics: the WHOLE response is
+                    # bounded by session_timeout. read1 issues at most
+                    # ONE socket recv per call (resp.read would loop
+                    # recv until the full chunk arrives, letting a
+                    # slow-drip server reset the timeout forever), so
+                    # the deadline check runs between every recv, and
+                    # each recv's socket timeout is capped at the
+                    # remaining session budget.
+                    deadline = t0 + self.session_timeout
                     while True:
-                        if time.monotonic() - t0 > self.session_timeout:
+                        remaining = deadline - time.monotonic()
+                        if remaining <= 0:
                             raise TimeoutError("session timeout")
-                        chunk = resp.read(65536)
+                        if conn.sock is not None:
+                            conn.sock.settimeout(
+                                min(self.read_timeout, remaining)
+                            )
+                        chunk = resp.read1(65536)
                         if not chunk:
                             break
                         chunks.append(chunk)
