@@ -79,6 +79,25 @@ class TestReferenceFixtureIngest:
         ]
         assert errors.column("status_code").to_pylist() == [404]
 
+    def test_ingest_export_ingest_fixpoint(self):
+        """Round-trip starting from the REFERENCE's own dumpdata file:
+        load → dump → load reaches a fixpoint — the second ingest is
+        row-identical to the first (record types, payloads, dimension
+        lists, timestamps all survive the wire format)."""
+        first = load_fixture(REF_FIXTURE)
+        second = load_fixture(dump_fixture(first))
+
+        def canon(tbl):
+            t = tbl.select(sorted(tbl.schema.names))
+            return t.take(
+                pc.sort_indices(
+                    t,
+                    sort_keys=[("record_type", "ascending"), ("url", "ascending")],
+                )
+            ).to_pylist()
+
+        assert canon(first) == canon(second)
+
     def test_reference_search_semantics_over_ingested_fixture(self):
         records = load_fixture(REF_FIXTURE)
         out = query.search_pages(records, "components", "o-sample")

@@ -47,3 +47,38 @@ class TestLanceSeam:
     def test_real_lance_write(self, small_ds, tmp_path):
         info = lance_io.write_records(small_ds, str(tmp_path / "records"))
         assert info["format"] == "lance"
+
+    @pytest.mark.skipif(
+        not lance_io.lance_available(), reason="lance not installed here"
+    )
+    def test_lance_roundtrip_matches_parquet_fallback(
+        self, small_ds, tmp_path, monkeypatch
+    ):
+        """CONTRACT: when the lance package IS present, the seam's
+        Lance write/read must return byte-identical rows to the
+        Parquet fallback — the engine and query layers never branch on
+        format, so any divergence (schema coercion, row order
+        guarantees, column pruning behavior) is a seam bug. Skipped in
+        this container (no lance); fails loudly wherever lance exists."""
+        lance_info = lance_io.write_records(small_ds, str(tmp_path / "l"))
+        assert lance_info["format"] == "lance"
+        monkeypatch.setattr(lance_io, "HAVE_LANCE", False)
+        pq_info = lance_io.write_records(small_ds, str(tmp_path / "p"))
+        assert pq_info["format"] == "parquet"
+        via_pq = sorted(
+            lance_io.read_records(pq_info["path"]).take_all(),
+            key=lambda r: r["url"],
+        )
+        monkeypatch.setattr(lance_io, "HAVE_LANCE", True)
+        via_lance = sorted(
+            lance_io.read_records(lance_info["path"]).take_all(),
+            key=lambda r: r["url"],
+        )
+        assert via_lance == via_pq
+        # pruned reads agree too
+        lp = lance_io.read_records(lance_info["path"], columns=["url"])
+        pp = lance_io.read_records(pq_info["path"], columns=["url"])
+        assert lp.schema().names == pp.schema().names
+        assert sorted(r["url"] for r in lp.take_all()) == sorted(
+            r["url"] for r in pp.take_all()
+        )
