@@ -164,6 +164,23 @@ class TestHashExchange:
             if os.path.exists(marker):
                 os.remove(marker)
 
+    def test_peak_bytes_instrumentation(self, ray_session):
+        """Reducers track their accumulated-partition high-water mark
+        (the scale-stress evidence for 'one partition fits a reducer
+        heap'); peaks survive finish/reset until reset_peak."""
+        import ray as _ray
+
+        from website_indexer_ray.state.exchange import _pool
+
+        shards = _pool(4)
+        _ray.get([s.reset_peak.remote() for s in shards])
+        out = hash_exchange(make_ds(5000), "k", lambda t: t, n_reducers=4)
+        assert out.num_rows == 5000
+        peaks = _ray.get([s.peak_bytes.remote() for s in _pool(4)])
+        assert sum(peaks) > 0
+        # all 5000 16-byte rows passed through the four partitions
+        assert sum(peaks) >= 5000 * 16
+
     def test_sink_dir_writes_partitioned_parquet(self, ray_session, tmp_path):
         """sink_dir form: one parquet file per non-empty partition,
         nothing returned to the driver; files re-read equal the

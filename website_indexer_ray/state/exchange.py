@@ -69,9 +69,14 @@ class ReduceShard:
 
     def __init__(self):
         self.chunks: list[pa.Table] = []
+        self._bytes = 0
+        self._peak = 0  # max accumulated partition bytes (survives reset)
 
     def add(self, tbl: pa.Table) -> int:
         self.chunks.append(tbl)
+        self._bytes += tbl.nbytes
+        if self._bytes > self._peak:
+            self._peak = self._bytes
         return tbl.num_rows
 
     def finish(self, fn):
@@ -79,7 +84,17 @@ class ReduceShard:
             return None
         tbl = pa.concat_tables(self.chunks).combine_chunks()
         self.chunks = []
+        self._bytes = 0
         return fn(tbl)
+
+    def peak_bytes(self) -> int:
+        """High-water mark of accumulated partition bytes — the
+        number that must fit a reducer's heap (scale-stress evidence;
+        scripts/stress_exchange.py)."""
+        return self._peak
+
+    def reset_peak(self) -> None:
+        self._peak = 0
 
     def finish_to_parquet(self, fn, path: str) -> int:
         """Reduce and write this partition's result to ``path`` —
@@ -96,6 +111,7 @@ class ReduceShard:
 
     def reset(self) -> None:
         self.chunks = []
+        self._bytes = 0
 
 
 # Free pools per (cluster, size). An exchange POPS a pool (lease),
