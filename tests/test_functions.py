@@ -184,6 +184,127 @@ class TestParsePage:
         assert page.language == "en"
         assert page.text is None
 
+    def test_pathological_deep_nesting_no_recursion_error(self):
+        """lxml (C) handles arbitrary nesting depth; the stdlib
+        reimplementation must too — 5000 unclosed-div-deep documents
+        appear in real crawls and must not RecursionError a fetch
+        task (walkers are explicit-stack, not recursive)."""
+        deep = (
+            '<html lang="en"><head><title>Deep</title></head><body>'
+            + "<div>" * 5000 + "x" + "</div>" * 5000
+            + '<a href="/l">L</a><img src="/i.png"></body></html>'
+        )
+        p = parse_page(deep, "example.com")
+        assert p.title == "Deep"
+        assert p.text == "xL"
+        assert p.links == ["/l"]
+        assert p.media == ["/i.png"]
+
+    def test_title_is_document_order_first(self):
+        """lxml's .find('.//title') is pre-order DFS: a deeper but
+        earlier title beats a shallower later one; first of several
+        titles wins; a title inside body still counts."""
+        p = parse_page(
+            "<html><body><div><title>DeepEarly</title></div>"
+            "<title>ShallowLate</title>x</body></html>",
+            "e.com",
+        )
+        assert p.title == "DeepEarly"
+        p = parse_page(
+            "<html><head><title>One</title><title>Two</title></head>"
+            "<body>x</body></html>",
+            "e.com",
+        )
+        assert p.title == "One"
+
+    def test_title_leading_text_only(self):
+        """lxml title_tag.text is the text BEFORE the first child
+        element (parser.py:73-74): <title>A<b>B</b></title> -> 'A'."""
+        p = parse_page(
+            "<html><head><title>A<b>B</b></title></head><body>t</body></html>",
+            "e.com",
+        )
+        assert p.title == "A"
+
+    def test_script_style_content_excluded_even_with_markup_inside(self):
+        """script/style are CDATA to the HTML parser and dropped from
+        the cleaned body (parser.py:138-146) — markup-looking content
+        inside them must not leak into text, links, or components."""
+        p = parse_page(
+            '<html><head><title>T</title>'
+            '<script>var x = "<p>fake</p> <a href=/ghost>g</a>";</script>'
+            "</head><body>"
+            '<script>document.write("<div class=\'m-ghost\'>no</div>")</script>'
+            "visible"
+            "<style>.o-phantom { color: red }</style>"
+            "</body></html>",
+            "e.com",
+        )
+        assert p.text == "visible"
+        assert p.links == []
+        assert p.components == []
+
+    def test_comments_with_markup_ignored(self):
+        p = parse_page(
+            "<html><head><title>T</title></head><body>"
+            '<!-- <p>ghost</p> <a href="/x">g</a> --><div class="m-real">c</div>'
+            "</body></html>",
+            "e.com",
+        )
+        assert p.text == "c"
+        assert p.links == []
+        assert p.components == ["m-real"]
+
+    def test_unquoted_and_singlequoted_attrs_normalize(self):
+        """The component regex runs over the SERIALIZED body
+        (parser.py:117-120), so source quoting style is irrelevant
+        once the serializer normalizes to double quotes."""
+        p = parse_page(
+            "<html><head><title>T</title></head><body>"
+            "<div class=m-unquoted>a</div>"
+            "<div class='o-single  extra'>b</div>"
+            "</body></html>",
+            "e.com",
+        )
+        assert p.components == ["m-unquoted", "o-single"]
+
+    def test_entities_decoded_like_lxml(self):
+        """Named/numeric character references decode in text; unknown
+        entities pass through verbatim."""
+        p = parse_page(
+            "<html><head><title>T</title></head><body>"
+            "&amp; &#65; &lt;notatag&gt; &unknown;</body></html>",
+            "e.com",
+        )
+        assert p.text == "& A <notatag> &unknown;"
+
+    def test_misnesting_and_stray_close_tags_recover(self):
+        p = parse_page(
+            "<html><head><title>T</title></head><body>"
+            "</b><b><i>bi</b></i><br><p>one<p>two</body></html>",
+            "e.com",
+        )
+        assert p.title == "T"
+        assert "bi" in p.text and "one" in p.text and "two" in p.text
+
+    def test_duplicate_attributes_first_wins(self):
+        p = parse_page(
+            "<html><head><title>T</title></head><body>"
+            '<div class="m-first" class="m-second">x</div></body></html>',
+            "e.com",
+        )
+        assert p.components == ["m-first"]
+
+    def test_uppercase_tags_and_nonascii_text(self):
+        p = parse_page(
+            '<HTML LANG="en"><HEAD><TITLE>T</TITLE></HEAD><BODY>'
+            "café 中文 text</BODY></HTML>",
+            "e.com",
+        )
+        assert p.title == "T"
+        assert p.language == "en"
+        assert p.text == "café 中文 text"
+
     def test_malformed_html_still_parses(self):
         """Stands in for the soupparser fallback (parser.py:125-130)."""
         page = parse_page(

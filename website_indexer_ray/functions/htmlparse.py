@@ -63,6 +63,17 @@ class Element:
 
     def __init__(self, tag: str, attrs: list[tuple[str, str | None]]):
         self.tag = tag
+        # lxml/libxml2 keeps only the FIRST of duplicate attributes;
+        # html.parser reports all of them — dedupe at construction so
+        # serialization (which the component regex runs over) matches.
+        if len(attrs) > 1:
+            seen: set[str] = set()
+            deduped = []
+            for k, v in attrs:
+                if k not in seen:
+                    seen.add(k)
+                    deduped.append((k, v))
+            attrs = deduped
         self.attrs = attrs
         self.children: list[Element | str] = []
 
@@ -134,14 +145,17 @@ def parse_tree(html: str) -> Element:
 
 
 def _find_first(el: Element, tag: str) -> Element | None:
-    stack = [el]
+    """First matching descendant in DOCUMENT order (lxml's
+    ``.find(".//tag")`` is pre-order DFS — a deeper-but-earlier match
+    beats a shallower later one)."""
+    stack = [c for c in reversed(el.children) if isinstance(c, Element)]
     while stack:
-        node = stack.pop(0)
-        for child in node.children:
-            if isinstance(child, Element):
-                if child.tag == tag:
-                    return child
-                stack.append(child)
+        node = stack.pop()
+        if node.tag == tag:
+            return node
+        stack.extend(
+            c for c in reversed(node.children) if isinstance(c, Element)
+        )
     return None
 
 
@@ -156,29 +170,44 @@ def _leading_text(el: Element) -> str | None:
     return "".join(parts) if parts else None
 
 
+# All tree walkers below use explicit stacks, not recursion: lxml (C)
+# handles arbitrarily deep documents, and real-world pathological HTML
+# (thousands of unclosed <div>s) must not RecursionError a fetch task.
+
+
 def _text_content(el: Element, out: list[str]) -> None:
-    for child in el.children:
-        if isinstance(child, str):
-            out.append(child)
+    stack: list = list(reversed(el.children))
+    while stack:
+        node = stack.pop()
+        if isinstance(node, str):
+            out.append(node)
         else:
-            _text_content(child, out)
+            stack.extend(reversed(node.children))
 
 
 def _serialize(el: Element, out: list[str]) -> None:
-    attrs = []
-    for k, v in el.attrs:
-        if v is None:
-            attrs.append(f" {k}")
-        else:
-            attrs.append(f' {k}="{escape(v, quote=True)}"')
-    out.append(f"<{el.tag}{''.join(attrs)}>")
-    for child in el.children:
-        if isinstance(child, str):
-            out.append(escape(child, quote=False))
-        else:
-            _serialize(child, out)
-    if el.tag not in _VOID:
-        out.append(f"</{el.tag}>")
+    stack: list[tuple[str, object]] = [("open", el)]
+    while stack:
+        op, node = stack.pop()
+        if op == "text":
+            out.append(escape(node, quote=False))
+            continue
+        if op == "close":
+            out.append(f"</{node.tag}>")
+            continue
+        attrs = []
+        for k, v in node.attrs:
+            if v is None:
+                attrs.append(f" {k}")
+            else:
+                attrs.append(f' {k}="{escape(v, quote=True)}"')
+        out.append(f"<{node.tag}{''.join(attrs)}>")
+        if node.tag not in _VOID:
+            stack.append(("close", node))
+        for child in reversed(node.children):
+            stack.append(
+                ("text", child) if isinstance(child, str) else ("open", child)
+            )
 
 
 def serialize(el: Element) -> str:
@@ -195,10 +224,16 @@ def _clean_body(body: Element) -> list[str]:
     order — these become ``media`` spans.
     """
     media: list[str] = []
-
-    def recurse(el: Element) -> None:
-        kept: list[Element | str] = []
-        for child in el.children:
+    # Simulated recursion frames (element, child iterator, kept list)
+    # so img srcs land in the SAME interleaved document order the
+    # recursive form produced — media order feeds span `ord` columns.
+    stack: list[tuple[Element, object, list]] = [
+        (body, iter(body.children), [])
+    ]
+    while stack:
+        el, it, kept = stack[-1]
+        descended = False
+        for child in it:
             if isinstance(child, str):
                 kept.append(child)
                 continue
@@ -210,22 +245,27 @@ def _clean_body(body: Element) -> list[str]:
                     if src:
                         media.append(src)
                 continue
-            recurse(child)
             kept.append(child)
-        el.children = kept
-
-    recurse(body)
+            stack.append((child, iter(child.children), []))
+            descended = True
+            break
+        if not descended:
+            el.children = kept
+            stack.pop()
     return media
 
 
 def _iter_a_hrefs(el: Element, out: list[str]) -> None:
-    for child in el.children:
-        if isinstance(child, Element):
-            if child.tag == "a":
-                href = child.attr("href")
-                if href is not None:
-                    out.append(href)
-            _iter_a_hrefs(child, out)
+    stack = [c for c in reversed(el.children) if isinstance(c, Element)]
+    while stack:
+        node = stack.pop()
+        if node.tag == "a":
+            href = node.attr("href")
+            if href is not None:
+                out.append(href)
+        stack.extend(
+            c for c in reversed(node.children) if isinstance(c, Element)
+        )
 
 
 def unwrap_external_site(hrefs: list[str], internal_link_host: str) -> list[str]:
