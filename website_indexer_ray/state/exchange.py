@@ -240,6 +240,13 @@ def _run_exchange(
     ).materialize()
     if sink_dir is not None:
         os.makedirs(sink_dir, exist_ok=True)
+        # An exchange is all-or-nothing: clear stale part files from
+        # any previous attempt (a prior run with a different reducer
+        # count would otherwise leave orphan partitions mixed in).
+        import glob as _glob
+
+        for stale in _glob.glob(os.path.join(sink_dir, "part-*.parquet")):
+            os.remove(stale)
         ray.get(
             [
                 s.finish_to_parquet.remote(
