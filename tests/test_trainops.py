@@ -173,7 +173,12 @@ class TestTextOps:
         sf = "/root/testdata/sf0.001"
 
         def read_sorted(d):
-            t = pq.read_table(str(d)).combine_chunks()
+            import glob
+
+            files = sorted(glob.glob(f"{d}/**/*.parquet", recursive=True))
+            t = pa.concat_tables(
+                [pq.read_table(f) for f in files]
+            ).combine_chunks()
             return t.take(
                 pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])
             ).combine_chunks()
@@ -187,6 +192,45 @@ class TestTextOps:
         assert read_sorted(tmp_path / "pd").equals(
             textops.paragraph_dedup(sf).combine_chunks()
         )
+
+    def test_paragraph_dedup_write_resumes_from_manifests(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        """Both sink exchanges commit _SUCCESS; a re-run skips every
+        committed stage (never re-reads the documents), and a fully
+        committed out_dir returns immediately."""
+        from website_indexer_ray.pipelines import textops
+
+        sf = "/root/testdata/sf0.001"
+        out = str(tmp_path / "pd")
+        expected = textops.paragraph_dedup(sf)
+        textops.paragraph_dedup_write(sf, out)
+        assert (tmp_path / "pd" / "_SUCCESS").exists()
+
+        def boom(*a, **k):
+            raise AssertionError("source re-read on resume")
+
+        monkeypatch.setattr(textops, "_paragraph_exploded", boom)
+        # fully committed -> immediate no-op
+        textops.paragraph_dedup_write(sf, out)
+        # staging committed but final stage lost -> only stage 2 re-runs
+        import os
+        import shutil
+
+        shutil.rmtree(out)
+        textops.paragraph_dedup_write(sf, out)
+        assert os.path.exists(os.path.join(out, "_SUCCESS"))
+        import glob
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        got = pa.concat_tables(
+            [pq.read_table(f) for f in sorted(glob.glob(f"{out}/part-*.parquet"))]
+        )
+        got = got.take(pc.sort_indices(got, sort_keys=[("doc_id", "ascending")]))
+        assert got.combine_chunks().equals(expected.combine_chunks())
 
     def test_re2_kernel_counts_match_python_re(self, ray_session):
         """The vectorized counting trio uses Arrow's RE2 kernels; pin

@@ -760,25 +760,36 @@ def paragraph_dedup_write(sf_dir: str, out_dir: str) -> None:
     partitioned parquet — the seg_hash exchange sinks per-doc partials
     to a staging dir, a second doc_id-keyed exchange merges them and
     sinks the final per-doc stats. Nothing O(docs) ever concatenates
-    on the driver; each partition is one resumable file."""
-    import ray.data as rd
-
-    from website_indexer_ray.state.exchange import hash_exchange
-
-    staging = out_dir.rstrip("/") + ".partials"
-    hash_exchange(
-        _paragraph_exploded(sf_dir),
-        "seg_hash",
-        _paragraph_mark_partition,
-        sink_dir=staging,
-    )
+    on the driver; each partition is one file, each exchange commits a
+    ``_SUCCESS`` manifest, and a resumed run skips every committed
+    stage (the crawl checkpoints' resume protocol)."""
+    import glob
     import os
 
-    if not (os.path.isdir(staging) and os.listdir(staging)):
+    import ray.data as rd
+
+    from website_indexer_ray.state.exchange import hash_exchange, sink_committed
+
+    if sink_committed(out_dir):
+        return
+    staging = out_dir.rstrip("/") + ".partials"
+    if not sink_committed(staging):
+        hash_exchange(
+            _paragraph_exploded(sf_dir),
+            "seg_hash",
+            _paragraph_mark_partition,
+            sink_dir=staging,
+        )
+    if not glob.glob(os.path.join(staging, "part-*.parquet")):
         os.makedirs(out_dir, exist_ok=True)
+        open(os.path.join(out_dir, "_SUCCESS"), "w").close()
         return
     hash_exchange(
-        rd.read_parquet(staging), "doc_id", _paragraph_final_merge,
+        rd.read_parquet(
+            sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+        ),
+        "doc_id",
+        _paragraph_final_merge,
         sink_dir=out_dir,
     )
 

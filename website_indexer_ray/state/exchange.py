@@ -240,11 +240,15 @@ def _run_exchange(
     ).materialize()
     if sink_dir is not None:
         os.makedirs(sink_dir, exist_ok=True)
-        # An exchange is all-or-nothing: clear stale part files from
-        # any previous attempt (a prior run with a different reducer
-        # count would otherwise leave orphan partitions mixed in).
+        # An exchange is all-or-nothing: clear stale part files (and
+        # any stale manifest) from a previous attempt — a prior run
+        # with a different reducer count would otherwise leave orphan
+        # partitions mixed in.
         import glob as _glob
 
+        success = os.path.join(sink_dir, "_SUCCESS")
+        if os.path.exists(success):
+            os.remove(success)
         for stale in _glob.glob(os.path.join(sink_dir, "part-*.parquet")):
             os.remove(stale)
         ray.get(
@@ -255,6 +259,11 @@ def _run_exchange(
                 for i, s in enumerate(shards)
             ]
         )
+        # Commit manifest — the same protocol as the crawl generation
+        # checkpoints: readers/resumers treat the dir as complete only
+        # when _SUCCESS exists.
+        with open(success, "w") as f:
+            f.write("")
         return None
     outs = [
         t
@@ -264,3 +273,10 @@ def _run_exchange(
     if not outs:
         return None
     return pa.concat_tables(outs).combine_chunks()
+
+
+def sink_committed(sink_dir: str) -> bool:
+    """True iff a previous ``hash_exchange(..., sink_dir=)`` completed
+    here — multi-stage write pipelines use this to skip finished
+    exchanges on resume."""
+    return os.path.exists(os.path.join(sink_dir, "_SUCCESS"))
