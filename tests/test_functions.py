@@ -184,6 +184,38 @@ class TestParsePage:
         assert page.language == "en"
         assert page.text is None
 
+    def test_fuzz_parse_never_crashes(self):
+        """lxml-grade robustness: arbitrary byte soup (markup
+        fragments, stray brackets, entities, control chars, unicode)
+        must never raise — malformed real-world HTML lands on every
+        fetch task."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        markup_bits = st.sampled_from(
+            [
+                "<", ">", "</", "/>", "<!", "<!--", "-->", "<![CDATA[",
+                "]]>", "&", "&#", "&#x", ";", '"', "'", "=",
+                "<div", "<p>", "</p>", "<script>", "</script>",
+                "<title>", "</title>", "<a href=", "class=", "\x00",
+                "\n", " ", "é", "中", "<html lang=", "<body>", "&amp",
+            ]
+        )
+        soup = st.lists(
+            st.one_of(markup_bits, st.text(max_size=8)), max_size=40
+        ).map("".join)
+
+        @settings(max_examples=300, deadline=None)
+        @given(html=soup)
+        def run(html):
+            page = parse_page(html, "example.com")
+            # contract: never raises; fields are typed or None
+            assert page.title is None or isinstance(page.title, str)
+            assert isinstance(page.links, list)
+            assert isinstance(page.components, list)
+
+        run()
+
     def test_pathological_deep_nesting_no_recursion_error(self):
         """lxml (C) handles arbitrary nesting depth; the stdlib
         reimplementation must too — 5000 unclosed-div-deep documents

@@ -263,6 +263,137 @@ def window_counts(sf_dir: str) -> pa.Table:
     )
 
 
+# --- keyed-window partition bodies ----------------------------------
+# Module-level pure functions (pa.Table -> pa.Table) so they are
+# property-testable without Ray and picklable into the exchange's
+# reducer actors. Each resolves EVERY key in its partition in one
+# vectorized pass — no per-key Python call anywhere.
+
+
+def _asof_resolve(t: pa.Table) -> pa.Table:
+    key = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = t.column("t").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    ts = ts.view(np.int64)
+    kind = t.column("kind").to_numpy(zero_copy_only=False)
+    ev_id = t.column("event_id").to_numpy(zero_copy_only=False)
+    okey = t.column("orderkey").to_numpy(zero_copy_only=False)
+    # one lexsort for ALL keys in the partition: orders before
+    # events at equal t (kind asc), max orderkey last within a tie
+    order = np.lexsort((okey, kind, ts, key))
+    key_s, kind_s = key[order], kind[order]
+    ev_s, ok_s = ev_id[order], okey[order]
+    pos = np.arange(len(key_s), dtype=np.int64)
+    last_order_pos = np.where(kind_s == 0, pos, np.int64(-1))
+    np.maximum.accumulate(last_order_pos, out=last_order_pos)
+    grp_first = np.ones(len(key_s), dtype=bool)
+    grp_first[1:] = key_s[1:] != key_s[:-1]
+    grp_start = np.maximum.accumulate(np.where(grp_first, pos, np.int64(0)))
+    # a fill from before this key's first row is another customer's
+    valid = last_order_pos >= grp_start
+    filled = np.where(valid, ok_s[np.clip(last_order_pos, 0, None)], np.int64(-1))
+    mask = kind_s == 1
+    return pa.table(
+        {
+            "event_id": pa.array(ev_s[mask], type=pa.int64()),
+            "last_orderkey": pa.array(filled[mask], type=pa.int64()),
+        }
+    )
+
+
+def _range_resolve(window_us: int, t: pa.Table) -> pa.Table:
+    key = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = t.column("t").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    ts = ts.view(np.int64)
+    kind = t.column("kind").to_numpy(zero_copy_only=False)
+    ev_id = t.column("event_id").to_numpy(zero_copy_only=False)
+
+    is_order = kind == 0
+    okey, ots = key[is_order], ts[is_order]
+    ekey, ets = key[~is_order], ts[~is_order]
+    eid = ev_id[~is_order].astype(np.int64)
+    n_ev = len(ekey)
+    # two probes per event: count(t' <= ts) and count(t' <= ts-w)
+    pkey = np.concatenate([okey, ekey, ekey])
+    pts = np.concatenate([ots, ets, ets - np.int64(window_us)])
+    probe = np.concatenate(
+        [np.zeros(len(okey), dtype=np.int8), np.ones(2 * n_ev, dtype=np.int8)]
+    )
+    sign = np.concatenate(
+        [
+            np.zeros(len(okey), dtype=np.int64),
+            np.ones(n_ev, dtype=np.int64),
+            -np.ones(n_ev, dtype=np.int64),
+        ]
+    )
+    ev_idx = np.concatenate(
+        [
+            np.zeros(len(okey), dtype=np.int64),
+            np.arange(n_ev, dtype=np.int64),
+            np.arange(n_ev, dtype=np.int64),
+        ]
+    )
+    # orders sort before probes at equal (key, t) → probe sees
+    # `count(t' <= X)` (searchsorted side="right" semantics)
+    order = np.lexsort((probe, pts, pkey))
+    key_s = pkey[order]
+    probe_s = probe[order]
+    sign_s = sign[order]
+    ev_idx_s = ev_idx[order]
+    pos = np.arange(len(key_s), dtype=np.int64)
+    cum = np.cumsum(probe_s == 0)  # inclusive order count
+    grp_first = np.ones(len(key_s), dtype=bool)
+    grp_first[1:] = key_s[1:] != key_s[:-1]
+    grp_start = np.maximum.accumulate(np.where(grp_first, pos, np.int64(0)))
+    base = cum[grp_start] - (probe_s[grp_start] == 0)
+    within = cum - base  # orders of this key at or before this row
+    counts = np.zeros(n_ev, dtype=np.int64)
+    pm = probe_s == 1
+    np.add.at(counts, ev_idx_s[pm], sign_s[pm] * within[pm])
+    return pa.table(
+        {
+            "event_id": pa.array(eid, type=pa.int64()),
+            "n_orders": pa.array(counts, type=pa.int64()),
+        }
+    )
+
+
+def _session_resolve(gap_us: int, t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "n_sessions": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+            }
+        )
+    uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    ts = ts.view(np.int64)
+    eid = t.column("event_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, ts, uid))
+    uid_s, ts_s = uid[order], ts[order]
+    new_user = np.ones(len(uid_s), dtype=bool)
+    new_user[1:] = uid_s[1:] != uid_s[:-1]
+    dt = np.empty(len(ts_s), dtype=np.int64)
+    dt[0] = 0
+    dt[1:] = ts_s[1:] - ts_s[:-1]
+    new_session = new_user | (dt > np.int64(gap_us))
+    ui = np.cumsum(new_user) - 1  # dense per-user run index
+    users = uid_s[new_user]
+    return pa.table(
+        {
+            "user_id": pa.array(users, type=pa.int64()),
+            "n_sessions": pa.array(
+                np.bincount(ui, weights=new_session).astype(np.int64),
+                type=pa.int64(),
+            ),
+            "n_events": pa.array(
+                np.bincount(ui).astype(np.int64), type=pa.int64()
+            ),
+        }
+    )
+
+
 def asof_last_order(sf_dir: str) -> pa.Table:
     """As-of join: for every event, the latest order of the same
     customer at or before the event time (ties on order date broken by
@@ -317,42 +448,9 @@ def asof_last_order(sf_dir: str) -> pa.Table:
         events.map_batches(tag_events, batch_format="pyarrow")
     )
 
-    def resolve(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        key = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
-        ts = t.column("t").to_numpy(zero_copy_only=False).astype("datetime64[us]")
-        ts = ts.view(np.int64)
-        kind = t.column("kind").to_numpy(zero_copy_only=False)
-        ev_id = t.column("event_id").to_numpy(zero_copy_only=False)
-        okey = t.column("orderkey").to_numpy(zero_copy_only=False)
-        # one lexsort for ALL keys in the partition: orders before
-        # events at equal t (kind asc), max orderkey last within a tie
-        order = np.lexsort((okey, kind, ts, key))
-        key_s, kind_s = key[order], kind[order]
-        ev_s, ok_s = ev_id[order], okey[order]
-        pos = np.arange(len(key_s), dtype=np.int64)
-        last_order_pos = np.where(kind_s == 0, pos, np.int64(-1))
-        np.maximum.accumulate(last_order_pos, out=last_order_pos)
-        grp_first = np.ones(len(key_s), dtype=bool)
-        grp_first[1:] = key_s[1:] != key_s[:-1]
-        grp_start = np.maximum.accumulate(np.where(grp_first, pos, np.int64(0)))
-        # a fill from before this key's first row is another customer's
-        valid = last_order_pos >= grp_start
-        filled = np.where(
-            valid, ok_s[np.clip(last_order_pos, 0, None)], np.int64(-1)
-        )
-        mask = kind_s == 1
-        return pa.table(
-            {
-                "event_id": pa.array(ev_s[mask], type=pa.int64()),
-                "last_orderkey": pa.array(filled[mask], type=pa.int64()),
-            }
-        )
-
     from website_indexer_ray.state.exchange import hash_exchange
 
-    tbl = hash_exchange(unioned, "key", resolve)
+    tbl = hash_exchange(unioned, "key", _asof_resolve)
     if tbl is None:
         return pa.table(
             {
@@ -408,70 +506,13 @@ def range_join_orders(sf_dir: str, days: int = 30) -> pa.Table:
     unioned = orders.map_batches(tag_orders, batch_format="pyarrow").union(
         events.map_batches(tag_events, batch_format="pyarrow")
     )
-    window_us = np.int64(days) * 86_400_000_000
+    window_us = int(days) * 86_400_000_000
 
-    def resolve(t: pa.Table) -> pa.Table:
-        key = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
-        ts = t.column("t").to_numpy(zero_copy_only=False).astype("datetime64[us]")
-        ts = ts.view(np.int64)
-        kind = t.column("kind").to_numpy(zero_copy_only=False)
-        ev_id = t.column("event_id").to_numpy(zero_copy_only=False)
-
-        is_order = kind == 0
-        okey, ots = key[is_order], ts[is_order]
-        ekey, ets = key[~is_order], ts[~is_order]
-        eid = ev_id[~is_order].astype(np.int64)
-        n_ev = len(ekey)
-        # two probes per event: count(t' <= ts) and count(t' <= ts-w)
-        pkey = np.concatenate([okey, ekey, ekey])
-        pts = np.concatenate([ots, ets, ets - window_us])
-        probe = np.concatenate(
-            [
-                np.zeros(len(okey), dtype=np.int8),
-                np.ones(2 * n_ev, dtype=np.int8),
-            ]
-        )
-        sign = np.concatenate(
-            [
-                np.zeros(len(okey), dtype=np.int64),
-                np.ones(n_ev, dtype=np.int64),
-                -np.ones(n_ev, dtype=np.int64),
-            ]
-        )
-        ev_idx = np.concatenate(
-            [
-                np.zeros(len(okey), dtype=np.int64),
-                np.arange(n_ev, dtype=np.int64),
-                np.arange(n_ev, dtype=np.int64),
-            ]
-        )
-        # orders sort before probes at equal (key, t) → probe sees
-        # `count(t' <= X)` (searchsorted side="right" semantics)
-        order = np.lexsort((probe, pts, pkey))
-        key_s = pkey[order]
-        probe_s = probe[order]
-        sign_s = sign[order]
-        ev_idx_s = ev_idx[order]
-        pos = np.arange(len(key_s), dtype=np.int64)
-        cum = np.cumsum(probe_s == 0)  # inclusive order count
-        grp_first = np.ones(len(key_s), dtype=bool)
-        grp_first[1:] = key_s[1:] != key_s[:-1]
-        grp_start = np.maximum.accumulate(np.where(grp_first, pos, np.int64(0)))
-        base = cum[grp_start] - (probe_s[grp_start] == 0)
-        within = cum - base  # orders of this key at or before this row
-        counts = np.zeros(n_ev, dtype=np.int64)
-        pm = probe_s == 1
-        np.add.at(counts, ev_idx_s[pm], sign_s[pm] * within[pm])
-        return pa.table(
-            {
-                "event_id": pa.array(eid, type=pa.int64()),
-                "n_orders": pa.array(counts, type=pa.int64()),
-            }
-        )
+    from functools import partial
 
     from website_indexer_ray.state.exchange import hash_exchange
 
-    tbl = hash_exchange(unioned, "key", resolve)
+    tbl = hash_exchange(unioned, "key", partial(_range_resolve, window_us))
     if tbl is None:
         return pa.table(
             {
@@ -494,39 +535,13 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
     )
-    gap_us = np.int64(gap_minutes) * 60_000_000
+    gap_us = int(gap_minutes) * 60_000_000
 
-    def resolve(t: pa.Table) -> pa.Table:
-        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        ts = t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
-        ts = ts.view(np.int64)
-        eid = t.column("event_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts, uid))
-        uid_s, ts_s = uid[order], ts[order]
-        new_user = np.ones(len(uid_s), dtype=bool)
-        new_user[1:] = uid_s[1:] != uid_s[:-1]
-        dt = np.empty(len(ts_s), dtype=np.int64)
-        dt[0] = 0
-        dt[1:] = ts_s[1:] - ts_s[:-1]
-        new_session = new_user | (dt > gap_us)
-        ui = np.cumsum(new_user) - 1  # dense per-user run index
-        users = uid_s[new_user]
-        return pa.table(
-            {
-                "user_id": pa.array(users, type=pa.int64()),
-                "n_sessions": pa.array(
-                    np.bincount(ui, weights=new_session).astype(np.int64),
-                    type=pa.int64(),
-                ),
-                "n_events": pa.array(
-                    np.bincount(ui).astype(np.int64), type=pa.int64()
-                ),
-            }
-        )
+    from functools import partial
 
     from website_indexer_ray.state.exchange import hash_exchange
 
-    tbl = hash_exchange(ds, "user_id", resolve)
+    tbl = hash_exchange(ds, "user_id", partial(_session_resolve, gap_us))
     if tbl is None:
         return pa.table(
             {
