@@ -1,0 +1,208 @@
+"""The flagship composite training-data pipeline: documents →
+cleaned, deduplicated corpus, checkpointed at every stage.
+
+This is what a user of the engine actually runs over a raw 100-TB
+document dump: one streaming cleaning pass (token-length gate +
+language ID — pure per-batch predicates, no global state), exact
+dedup, MinHash-LSH near-dedup, and a final keep pass — composed from
+the textops operators with the engine's resume protocol:
+
+  out_dir/
+    filtered/_SUCCESS + filtered/documents.parquet/   (stage 1)
+    kept/_SUCCESS     + kept/documents.parquet/       (stage 3)
+    stats.parquet                                      (lineage)
+
+Scale shape (the part that matters at 10^10 docs):
+  - stage 1 streams map_batches → write_parquet, nothing on the driver;
+  - both dedup stages broadcast only their DROP sets (∝ duplicate
+    count, not corpus size) via one ``ray.put`` each — the exact-dup
+    drop list comes off a content-hash exchange that emits only
+    non-minimum members of duplicate groups, the near-dup drop list
+    off the slim LSH pair list's union-find;
+  - a resumed run skips every stage whose ``_SUCCESS`` exists.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from website_indexer_ray.pipelines.textops import (
+    _TOKEN_PAT,
+    _content_hash64,
+    _count_re,
+    _dropped_from_pairs,
+    LangIdStage,
+    minhash_lsh_pairs,
+    normalize_text,
+    read_documents,
+)
+from website_indexer_ray.state.exchange import hash_exchange
+from website_indexer_ray.util import cached_get
+
+
+def _committed(stage_dir: str) -> bool:
+    return os.path.exists(os.path.join(stage_dir, "_SUCCESS"))
+
+
+def _commit(stage_dir: str) -> None:
+    open(os.path.join(stage_dir, "_SUCCESS"), "w").close()
+
+
+def _dir_rows(data_dir: str) -> int:
+    """Row count from parquet footers only — never reads data pages."""
+    total = 0
+    for root, _dirs, files in os.walk(data_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
+def exact_dedup_dropped(sf_dir: str) -> np.ndarray:
+    """doc_ids to DROP under exact (normalized-text) dedup: every
+    non-minimum member of a duplicate group. Output size ∝ number of
+    duplicates, never corpus size — only (hash, doc_id) pairs shuffle
+    and only duplicate ids return."""
+    ds = read_documents(sf_dir)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = [
+            _content_hash64(normalize_text(t)) & 0x7FFFFFFFFFFFFFFF
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "text_hash": pa.array(hashes, type=pa.int64()),
+                "doc_id": batch.column("doc_id"),
+            }
+        )
+
+    def non_min_members(t: pa.Table) -> pa.Table:
+        h = t.column("text_hash").to_numpy(zero_copy_only=False)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, h))
+        hs, ds_ = h[order], d[order]
+        grp_first = np.ones(len(hs), dtype=bool)
+        grp_first[1:] = hs[1:] != hs[:-1]
+        # sorted by (hash, doc_id): the first row of each group is the
+        # min doc_id (the keeper); everything else is dropped
+        dropped = ds_[~grp_first]
+        return pa.table({"doc_id": pa.array(dropped, type=pa.int64())})
+
+    out = hash_exchange(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        "text_hash",
+        non_min_members,
+    )
+    if out is None:
+        return np.array([], dtype=np.int64)
+    return np.sort(out.column("doc_id").to_numpy(zero_copy_only=False))
+
+
+def curate_corpus(
+    sf_dir: str,
+    out_dir: str,
+    min_tokens: int = 20,
+    max_tokens: int = 1000,
+    langs: tuple[str, ...] = ("en",),
+    jaccard_threshold: float = 0.5,
+) -> pa.Table:
+    """Run the full curation pipeline; returns the per-stage lineage
+    table (stage, n_docs). Re-running resumes from the last committed
+    stage."""
+    filtered_dir = os.path.join(out_dir, "filtered")
+    filtered_data = os.path.join(filtered_dir, "documents.parquet")
+    kept_dir = os.path.join(out_dir, "kept")
+    kept_data = os.path.join(kept_dir, "documents.parquet")
+
+    n_input = _dir_rows(os.path.join(sf_dir, "documents.parquet")) or (
+        pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+        if os.path.isfile(os.path.join(sf_dir, "documents.parquet"))
+        else 0
+    )
+
+    # ---- stage 1: streaming clean (length gate + language ID) ------
+    if not _committed(filtered_dir):
+        os.makedirs(filtered_dir, exist_ok=True)
+        lang_stage = LangIdStage()
+        lang_set = frozenset(langs)
+
+        def clean(batch: pa.Table) -> pa.Table:
+            n = _count_re(batch.column("text"), _TOKEN_PAT)
+            mask = pc.and_(
+                pc.greater_equal(n, min_tokens), pc.less_equal(n, max_tokens)
+            )
+            batch = batch.filter(mask)
+            if batch.num_rows == 0:
+                return batch
+            preds = lang_stage(batch)
+            keep = pc.is_in(
+                preds.column("lang_pred"),
+                value_set=pa.array(sorted(lang_set), type=pa.string()),
+            )
+            return batch.filter(keep)
+
+        read_documents(sf_dir).map_batches(
+            clean, batch_format="pyarrow"
+        ).write_parquet(filtered_data)
+        _commit(filtered_dir)
+
+    n_cleaned = _dir_rows(filtered_data)
+
+    # ---- stages 2+3: dedup drop sets + final keep pass --------------
+    n_after_exact = n_cleaned
+    n_kept = _dir_rows(kept_data) if _committed(kept_dir) else None
+    if n_kept is None:
+        if n_cleaned == 0:
+            os.makedirs(kept_dir, exist_ok=True)
+            os.makedirs(kept_data, exist_ok=True)
+            _commit(kept_dir)
+            n_kept = 0
+        else:
+            dropped_exact = exact_dedup_dropped(filtered_dir)
+            n_after_exact = n_cleaned - len(dropped_exact)
+            pairs = minhash_lsh_pairs(filtered_dir, jaccard_threshold)
+            # near-dup union-find over survivors only: pairs touching
+            # an exact-dropped doc must not drop its keeper twin
+            if len(dropped_exact) and pairs.num_rows:
+                a = pairs.column("doc_a").to_numpy(zero_copy_only=False)
+                b = pairs.column("doc_b").to_numpy(zero_copy_only=False)
+                alive = ~np.isin(a, dropped_exact) & ~np.isin(b, dropped_exact)
+                pairs = pairs.filter(pa.array(alive))
+            dropped_near = _dropped_from_pairs(pairs)
+            dropped = np.union1d(dropped_exact, dropped_near)
+            dropped_ref = ray.put(dropped)
+
+            def keep(batch: pa.Table) -> pa.Table:
+                dr = cached_get(dropped_ref)
+                ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array(~np.isin(ids, dr)))
+
+            os.makedirs(kept_dir, exist_ok=True)
+            ray.data.read_parquet(filtered_data).map_batches(
+                keep, batch_format="pyarrow"
+            ).write_parquet(kept_data)
+            _commit(kept_dir)
+            n_kept = n_cleaned - len(dropped)
+    else:
+        # resumed: recompute only the cheap exact-drop count for stats
+        n_after_exact = None
+
+    stages = ["input", "cleaned", "after_exact_dedup", "kept"]
+    counts = [n_input, n_cleaned, n_after_exact, n_kept]
+    rows = [(s, c) for s, c in zip(stages, counts) if c is not None]
+    stats = pa.table(
+        {
+            "stage": pa.array([r[0] for r in rows], type=pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], type=pa.int64()),
+        }
+    )
+    pq.write_table(stats, os.path.join(out_dir, "stats.parquet"))
+    return stats
