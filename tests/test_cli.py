@@ -10,6 +10,21 @@ from website_indexer_ray.__main__ import main
 from website_indexer_ray.fixtures.gen import generate_corpus
 
 
+def test_cli_curate(ray_session, tmp_path, capsys):
+    rc = main(
+        [
+            "curate",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "curated"),
+        ]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["input"] == 500
+    assert 0 < stats["kept"] <= stats["cleaned"] <= stats["input"]
+    assert (tmp_path / "curated" / "kept" / "_SUCCESS").exists()
+
+
 def test_cli_crawl_query_manage(ray_session, tmp_path, capsys):
     corpus, seeds = generate_corpus(n_pages=30, seed=42)
     pq.write_table(corpus, str(tmp_path / "corpus.parquet"))

@@ -191,6 +191,34 @@ def cmd_list(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Run the composite training-data curation pipeline
+    (pipelines/curate.py): clean → exact dedup → near dedup → kept
+    corpus, checkpointed per stage and resumable."""
+    _ray_ready()
+    from website_indexer_ray.pipelines.curate import curate_corpus
+
+    stats = curate_corpus(
+        args.sf_dir,
+        args.out,
+        min_tokens=args.min_tokens,
+        max_tokens=args.max_tokens,
+        langs=tuple(args.langs.split(",")),
+        jaccard_threshold=args.jaccard,
+    )
+    print(
+        json.dumps(
+            dict(
+                zip(
+                    stats.column("stage").to_pylist(),
+                    stats.column("n_docs").to_pylist(),
+                )
+            )
+        )
+    )
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Run the viewer HTTP server over a crawl checkpoint
     (server.py — the reference viewer's endpoint surface)."""
@@ -285,6 +313,15 @@ def main(argv=None) -> int:
     sv.add_argument("--out", required=True)
     sv.add_argument("--port", type=int, default=8000)
     sv.set_defaults(fn=cmd_serve)
+
+    cu = sub.add_parser("curate")
+    cu.add_argument("--sf-dir", required=True)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--min-tokens", type=int, default=20)
+    cu.add_argument("--max-tokens", type=int, default=1000)
+    cu.add_argument("--langs", default="en")
+    cu.add_argument("--jaccard", type=float, default=0.5)
+    cu.set_defaults(fn=cmd_curate)
 
     m = sub.add_parser("manage")
     m.add_argument("action", choices=["list", "delete", "clean", "compact"])
