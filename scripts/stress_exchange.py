@@ -11,7 +11,9 @@ volume scales 10x, pair volume stays at its natural level) while a
 planted family of true near-dups per 100 docs keeps the pair path
 exercised. No external data.
 
-Usage: python scripts/stress_exchange.py [sf_dir] [replicas]
+Usage: python scripts/stress_exchange.py [sf_dir] [replicas] [filler_tokens]
+(filler_tokens=24 reproduces the dup-heavy worst case; default 150 is
+the natural-pair-volume regime)
 Prints one JSON line per op and a summary line.
 """
 
@@ -31,7 +33,7 @@ STRESS_DIR = "/tmp/wir_stress_sf1"
 REPLICA_STRIDE = 10_000_000
 
 
-def build_corpus(sf_dir: str, replicas: int) -> str:
+def build_corpus(sf_dir: str, replicas: int, filler_tokens: int = 150) -> str:
     src = pq.read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
@@ -55,7 +57,8 @@ def build_corpus(sf_dir: str, replicas: int) -> str:
                 # dup-heavy worst case, measured once and recorded in
                 # BASELINE.md: 148k pairs, 123 MB hot reducers, 17.7s.)
                 filler = " ".join(
-                    f"uniq{k}x{(d * 31 + j * 17 + k) % 99991}" for j in range(150)
+                    f"uniq{k}x{(d * 31 + j * 17 + k) % 99991}"
+                    for j in range(filler_tokens)
                 )
                 out_txt.append(t + " " + filler)
     os.makedirs(STRESS_DIR, exist_ok=True)
@@ -76,6 +79,7 @@ def build_corpus(sf_dir: str, replicas: int) -> str:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    filler_tokens = int(sys.argv[3]) if len(sys.argv) > 3 else 150
 
     import ray
 
@@ -90,7 +94,7 @@ def main() -> None:
 
     DataContext.get_current().enable_progress_bars = False
 
-    stress_dir = build_corpus(sf_dir, replicas)
+    stress_dir = build_corpus(sf_dir, replicas, filler_tokens)
     n_docs = pq.read_metadata(
         os.path.join(stress_dir, "documents.parquet")
     ).num_rows

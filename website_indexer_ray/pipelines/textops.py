@@ -501,6 +501,7 @@ def _verify_pairs_jaccard(
     one keyed exchange co-locates both sides of each pair, where the
     exact Jaccard is computed. Raw text never moves, and the driver
     only ever holds the candidate pair list."""
+    n_reducers = 8
     by_doc: dict[int, list[tuple[int, int]]] = {}
     for da, db in zip(
         cand_tbl.column("doc_a").to_pylist(), cand_tbl.column("doc_b").to_pylist()
@@ -510,8 +511,14 @@ def _verify_pairs_jaccard(
     map_ref = ray.put(by_doc)
 
     shingle_list = pa.list_(pa.uint64())
+    id_list = pa.list_(pa.int64())
 
     def emit_sides(batch: pa.Table) -> pa.Table:
+        """One row per (doc, target partition): a doc participating in
+        P pairs ships its shingle set once per PARTITION its pairs
+        hash to, not once per pair — under heavy duplication (the
+        dup-clique worst case) that bounds routed bytes by
+        O(docs × n_reducers) instead of O(pairs)."""
         from website_indexer_ray.util import cached_get
 
         want = cached_get(map_ref)
@@ -523,44 +530,59 @@ def _verify_pairs_jaccard(
             if not pairs:
                 continue
             sh = _shingle_hashes(text).tolist()
+            by_shard: dict[int, tuple[list, list]] = {}
             for da, db in pairs:
-                out_pk.append(da * 1_000_003 + db)
+                shard = (da * 1_000_003 + db) % n_reducers
+                slot = by_shard.setdefault(shard, ([], []))
+                slot[0].append(da)
+                slot[1].append(db)
+            for shard, (das, dbs) in by_shard.items():
+                out_pk.append(shard)
                 out_id.append(doc_id)
-                out_a.append(da)
-                out_b.append(db)
+                out_a.append(das)
+                out_b.append(dbs)
                 out_sh.append(sh)
         return pa.table(
             {
                 "pair_key": pa.array(out_pk, type=pa.int64()),
                 "doc_id": pa.array(out_id, type=pa.int64()),
-                "doc_a": pa.array(out_a, type=pa.int64()),
-                "doc_b": pa.array(out_b, type=pa.int64()),
+                "doc_a": pa.array(out_a, type=id_list),
+                "doc_b": pa.array(out_b, type=id_list),
                 "shingles": pa.array(out_sh, type=shingle_list),
             }
         )
 
     def jaccard_partition(group: pa.Table) -> pa.Table:
-        """One pair-key hash partition: both sides of each pair are
-        co-located; compute the exact Jaccard per unique pair."""
-        sides: dict[tuple[int, int], dict[int, set]] = {}
-        for d, da, db, sh in zip(
+        """One hash partition: every pair routed here has BOTH sides'
+        shingle rows co-located (the row's shard key derives from the
+        pair). Build each doc's set once, then verify each unique
+        pair."""
+        sh_of: dict[int, set] = {}
+        pair_lists = []
+        for d, das, dbs, sh in zip(
             group.column("doc_id").to_pylist(),
             group.column("doc_a").to_pylist(),
             group.column("doc_b").to_pylist(),
             group.column("shingles").to_pylist(),
         ):
-            sides.setdefault((da, db), {})[d] = set(sh)
+            sh_of[d] = set(sh)
+            pair_lists.append((das, dbs))
+        done: set[tuple[int, int]] = set()
         out_a, out_b, out_j = [], [], []
-        for (da, db), docs in sides.items():
-            sa, sb = docs.get(da), docs.get(db)
-            if sa is None or sb is None:
-                continue
-            union = len(sa | sb)
-            j = len(sa & sb) / union if union else 0.0
-            if j >= jaccard_threshold:
-                out_a.append(da)
-                out_b.append(db)
-                out_j.append(int(j * 1000))
+        for das, dbs in pair_lists:
+            for da, db in zip(das, dbs):
+                if (da, db) in done:
+                    continue
+                sa, sb = sh_of.get(da), sh_of.get(db)
+                if sa is None or sb is None:
+                    continue
+                done.add((da, db))
+                union = len(sa | sb)
+                j = len(sa & sb) / union if union else 0.0
+                if j >= jaccard_threshold:
+                    out_a.append(da)
+                    out_b.append(db)
+                    out_j.append(int(j * 1000))
         return pa.table(
             {
                 "doc_a": pa.array(out_a, type=pa.int64()),
@@ -575,6 +597,7 @@ def _verify_pairs_jaccard(
         docs_ds.map_batches(emit_sides, batch_format="pyarrow"),
         "pair_key",
         jaccard_partition,
+        n_reducers=n_reducers,
     )
     return out if out is not None else _EMPTY_PAIRS.empty_table()
 
