@@ -318,7 +318,11 @@ def embedding_dedup_lsh(
     )
 
     # Exact-cosine verify of candidates: pair map broadcast, one
-    # pair-keyed exchange co-locates both sides.
+    # keyed exchange co-locates both sides. Each vector ships ONCE per
+    # target partition (pair id-lists ride along), never once per pair
+    # — routed bytes bound by O(vectors × n_reducers), not O(pairs)
+    # (same reshape as textops._verify_pairs_jaccard).
+    n_reducers = 8
     by_doc: dict[int, list[tuple[int, int]]] = {}
     for a, b in zip(
         cand_tbl.column("doc_a").to_pylist(), cand_tbl.column("doc_b").to_pylist()
@@ -327,6 +331,7 @@ def embedding_dedup_lsh(
         by_doc.setdefault(b, []).append((a, b))
     map_ref = ray.put(by_doc)
     emb_list = pa.list_(pa.float64())
+    id_list = pa.list_(pa.int64())
 
     def emit_sides(batch: pa.Table) -> pa.Table:
         want = cached_get(map_ref)
@@ -338,40 +343,53 @@ def embedding_dedup_lsh(
             if not pairs:
                 continue
             vec = mat[i].tolist()
+            by_shard: dict[int, tuple[list, list]] = {}
             for a, b in pairs:
-                out_pk.append(a * 1_000_003 + b)
+                shard = (a * 1_000_003 + b) % n_reducers
+                slot = by_shard.setdefault(shard, ([], []))
+                slot[0].append(a)
+                slot[1].append(b)
+            for shard, (das, dbs) in by_shard.items():
+                out_pk.append(shard)
                 out_id.append(vid)
-                out_a.append(a)
-                out_b.append(b)
+                out_a.append(das)
+                out_b.append(dbs)
                 out_e.append(vec)
         return pa.table(
             {
                 "pair_key": pa.array(out_pk, type=pa.int64()),
                 "doc_id": pa.array(out_id, type=pa.int64()),
-                "doc_a": pa.array(out_a, type=pa.int64()),
-                "doc_b": pa.array(out_b, type=pa.int64()),
+                "doc_a": pa.array(out_a, type=id_list),
+                "doc_b": pa.array(out_b, type=id_list),
                 "embedding": pa.array(out_e, type=emb_list),
             }
         )
 
     def cosine_partition(group: pa.Table) -> pa.Table:
-        sides: dict[tuple[int, int], dict[int, np.ndarray]] = {}
-        for d, a, b, e in zip(
+        vec_of: dict[int, np.ndarray] = {}
+        pair_lists = []
+        for d, das, dbs, e in zip(
             group.column("doc_id").to_pylist(),
             group.column("doc_a").to_pylist(),
             group.column("doc_b").to_pylist(),
             group.column("embedding").to_pylist(),
         ):
-            sides.setdefault((a, b), {})[d] = np.asarray(e, dtype=np.float64)
+            vec_of[d] = np.asarray(e, dtype=np.float64)
+            pair_lists.append((das, dbs))
+        done: set[tuple[int, int]] = set()
         out_a, out_b = [], []
-        for (a, b), docs in sides.items():
-            va, vb = docs.get(a), docs.get(b)
-            if va is None or vb is None:
-                continue
-            denom = max(np.linalg.norm(va) * np.linalg.norm(vb), 1e-300)
-            if float(va @ vb) / denom >= threshold:
-                out_a.append(a)
-                out_b.append(b)
+        for das, dbs in pair_lists:
+            for a, b in zip(das, dbs):
+                if (a, b) in done:
+                    continue
+                va, vb = vec_of.get(a), vec_of.get(b)
+                if va is None or vb is None:
+                    continue
+                done.add((a, b))
+                denom = max(np.linalg.norm(va) * np.linalg.norm(vb), 1e-300)
+                if float(va @ vb) / denom >= threshold:
+                    out_a.append(a)
+                    out_b.append(b)
         return pa.table(
             {
                 "vec_a": pa.array(out_a, type=pa.int64()),
@@ -383,6 +401,7 @@ def embedding_dedup_lsh(
         ds.map_batches(emit_sides, batch_format="pyarrow", batch_size=2048),
         "pair_key",
         cosine_partition,
+        n_reducers=n_reducers,
     )
     if out is None:
         return empty
