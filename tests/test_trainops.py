@@ -410,6 +410,38 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             MediaFeatureStage(use_real_codecs=True)
 
+    def test_media_write_forms(self, ray_session, tmp_path):
+        """Sink forms stream payload-bearing rows to parquet with no
+        driver concat; the slim projection re-read from the sink
+        equals the table form, and thumbnail payload bytes are
+        actually present in the files."""
+        import glob
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from website_indexer_ray.pipelines import multimodal
+
+        multimodal.media_features_write(SF_DIR, str(tmp_path / "mf"))
+        files = sorted(glob.glob(f"{tmp_path}/mf/*.parquet"))
+        got = pa.concat_tables(
+            [pq.read_table(f, columns=["doc_id", "n_bytes", "n_frames"]) for f in files]
+        )
+        got = got.take(
+            pc.sort_indices(got, sort_keys=[("doc_id", "ascending")])
+        ).combine_chunks()
+        assert got.equals(multimodal.media_features(SF_DIR).combine_chunks())
+
+        multimodal.media_thumbnails_write(SF_DIR, str(tmp_path / "th"))
+        tfiles = sorted(glob.glob(f"{tmp_path}/th/*.parquet"))
+        thumbs = pa.concat_tables([pq.read_table(f) for f in tfiles])
+        assert "thumb" in thumbs.schema.names  # payload bytes in the sink
+        slim = thumbs.select(["doc_id", "n_bytes", "thumb_bytes"])
+        slim = slim.take(
+            pc.sort_indices(slim, sort_keys=[("doc_id", "ascending")])
+        ).combine_chunks()
+        assert slim.equals(multimodal.media_thumbnails(SF_DIR).combine_chunks())
+
 
 class TestRelational:
     def test_agg_lineitem(self, ray_session, con):

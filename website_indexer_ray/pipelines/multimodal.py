@@ -218,6 +218,38 @@ def media_thumbnails(sf_dir: str, max_bytes: int = 256) -> pa.Table:
     return tbl.take(pc.sort_indices(tbl, sort_keys=[("doc_id", "ascending")]))
 
 
+def media_thumbnails_write(
+    sf_dir: str, out_dir: str, max_bytes: int = 256
+) -> None:
+    """Sink form: thumbnail PAYLOADS (binary column) stream straight
+    to partitioned parquet — the table-returning form above drops the
+    payload and returns byte counts because the driver contract wants
+    a slim table; a production media pipeline keeps the bytes and
+    sinks them."""
+    ds = read_parquet_parallel(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ds.map_batches(pack_binary, batch_format="pyarrow").map_batches(
+        MediaResizeStage(max_bytes),
+        batch_format="pyarrow",
+        batch_size=256,
+    ).write_parquet(out_dir)
+
+
+def media_features_write(sf_dir: str, out_dir: str) -> None:
+    """Sink form of media_features: full rows (including the stub
+    feature embedding column downstream ANN consumes) stream to
+    parquet with no driver concat."""
+    ds = read_parquet_parallel(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ds.map_batches(pack_binary, batch_format="pyarrow").map_batches(
+        MediaFeatureStage(),
+        batch_format="pyarrow",
+        batch_size=256,
+    ).write_parquet(out_dir)
+
+
 def media_features(sf_dir: str) -> pa.Table:
     """documents → pack binary → actor-pool feature extraction.
 
