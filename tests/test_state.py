@@ -174,6 +174,44 @@ class TestRobots:
         cache.allowed("https://a.example/2")
         assert len(calls) == 1
 
+    def test_shared_store_fetches_once_per_cluster(self, ray_session):
+        """Two RobotsCache instances (two fetch actors) sharing one
+        RobotsStore: only the FIRST cache's fetch runs; the second
+        reads the body from the store — each host's robots.txt is
+        requested ~once per crawl, not once per actor. Unavailable
+        robots (None body) is also shared, including the allow-all
+        default."""
+        from website_indexer_ray.state.robots import RobotsStore
+
+        store = RobotsStore.remote()
+        calls = []
+
+        def fetch_a(u):
+            calls.append(("a", u))
+            return "User-agent: *\nDisallow: /private/\n"
+
+        def fetch_b(u):
+            calls.append(("b", u))
+            return "User-agent: *\nDisallow: /private/\n"
+
+        cache_a = RobotsCache(fetch_a, store=store)
+        cache_b = RobotsCache(fetch_b, store=store)
+        assert not cache_a.allowed("https://h.example/private/x")
+        assert not cache_b.allowed("https://h.example/private/y")
+        assert cache_b.allowed("https://h.example/public")
+        assert [c[0] for c in calls] == ["a"]  # b never fetched
+
+        # missing robots shared too: one miss, allow-all everywhere
+        def fetch_none(u):
+            calls.append(("n", u))
+            return None
+
+        cache_c = RobotsCache(fetch_none, store=store)
+        cache_d = RobotsCache(fetch_none, store=store)
+        assert cache_c.allowed("https://bare.example/x")
+        assert cache_d.allowed("https://bare.example/y")
+        assert [c[0] for c in calls] == ["a", "n"]
+
 
 class TestHostBudgetReserveN:
     """The batched politeness RPC: one reserve_n call hands out n

@@ -254,6 +254,15 @@ class CrawlEngine:
             if cfg.salt_partitions > 1 and cfg.politeness_wait > 0
             else None
         )
+        if cfg.respect_robots:
+            from website_indexer_ray.state.robots import RobotsStore
+
+            # Cluster-shared robots.txt body cache: every fetch actor
+            # consults it before fetching, so each host's robots.txt
+            # is requested ~once per crawl, not once per actor.
+            self._robots_store = RobotsStore.remote()
+        else:
+            self._robots_store = None
 
         total_requested = 0
         start_gen = 0
@@ -576,7 +585,8 @@ class CrawlEngine:
                 return
             if self._driver_fetch is None:
                 self._driver_fetch = FetchParseStage(
-                    self._corpus_dict, cfg_dict, budget_handle
+                    self._corpus_dict, cfg_dict, budget_handle,
+                    getattr(self, "_robots_store", None),
                 )
             records_tbl = self._driver_fetch(claimed_tbl)
             os.makedirs(records_dir, exist_ok=True)
@@ -643,7 +653,10 @@ class CrawlEngine:
         else:
             records_ds = claimed_ds.map_batches(
                 FetchParseStage,
-                fn_constructor_args=(corpus_ref, cfg_dict, budget_handle),
+                fn_constructor_args=(
+                    corpus_ref, cfg_dict, budget_handle,
+                    getattr(self, "_robots_store", None),
+                ),
                 batch_format="pyarrow",
                 batch_size=bs,
                 # Autoscaling pool: start fetching with whatever
@@ -696,6 +709,7 @@ class CrawlEngine:
             corpus_ref=corpus_ref,
             cfg_json=_json.dumps(cfg_dict, sort_keys=True),
             budget_handle=budget_handle,
+            robots_handle=getattr(self, "_robots_store", None),
         )
         records_ds = (
             claimed_ds.map_batches(add_salt, batch_format="pyarrow")

@@ -55,7 +55,11 @@ _TASK_STAGE_CACHE: dict = {}
 
 
 def fetch_parse_task(
-    batch: pa.Table, corpus_ref=None, cfg_json: str = "", budget_handle=None
+    batch: pa.Table,
+    corpus_ref=None,
+    cfg_json: str = "",
+    budget_handle=None,
+    robots_handle=None,
 ) -> pa.Table:
     """Stateless map_batches task form of FetchParseStage — used when
     the stage holds no cross-batch state (no politeness wait, no
@@ -71,10 +75,13 @@ def fetch_parse_task(
         corpus_ref.hex() if hasattr(corpus_ref, "hex") else id(corpus_ref),
         cfg_json,
         budget_handle is not None,
+        robots_handle is not None,
     )
     stage = _TASK_STAGE_CACHE.get(key)
     if stage is None:
-        stage = FetchParseStage(corpus_ref, json.loads(cfg_json), budget_handle)
+        stage = FetchParseStage(
+            corpus_ref, json.loads(cfg_json), budget_handle, robots_handle
+        )
         _TASK_STAGE_CACHE[key] = stage
     return stage(batch)
 
@@ -89,6 +96,7 @@ class FetchParseStage:
         corpus_ref,
         cfg: dict,
         budget_handle=None,
+        robots_handle=None,
     ):
         self.cfg = CrawlConfig.from_dict(cfg) if isinstance(cfg, dict) else cfg
         if corpus_ref is None:
@@ -119,7 +127,10 @@ class FetchParseStage:
         )
         self.budget = budget_handle  # shared HostBudget when salted
         self.robots = (
-            RobotsCache(self._fetch_robots_text)
+            # robots_handle = cluster-shared RobotsStore actor: each
+            # host's robots.txt is fetched ~once per cluster, not once
+            # per fetch actor (north_star: robots caches as actor state)
+            RobotsCache(self._fetch_robots_text, store=robots_handle)
             if self.cfg.respect_robots
             else None
         )

@@ -13,21 +13,65 @@ from __future__ import annotations
 from urllib import robotparser
 from urllib.parse import urlsplit
 
+import ray
+
+
+@ray.remote(num_cpus=0)
+class RobotsStore:
+    """Cluster-shared robots.txt body cache (north_star: "robots.txt
+    caches as actor state"). Without it every fetch actor fetches each
+    host's robots.txt independently — at 10⁶ hosts × hundreds of
+    fetchers that is hundreds of duplicate robots requests per host.
+    The store holds bodies (None = unavailable ⇒ allow-all); parsing
+    stays local to each fetcher's RobotsCache (parsers aren't worth an
+    RPC). Two racing fetchers may both fetch once — first write wins,
+    which is harmless (same body)."""
+
+    def __init__(self):
+        self.bodies: dict[str, str | None] = {}
+
+    def lookup(self, origin: str) -> tuple[bool, str | None]:
+        if origin in self.bodies:
+            return True, self.bodies[origin]
+        return False, None
+
+    def store(self, origin: str, body: str | None) -> None:
+        self.bodies.setdefault(origin, body)
+
 
 class RobotsCache:
-    def __init__(self, fetch_text, user_agent: str = "website-indexer-ray"):
+    def __init__(
+        self,
+        fetch_text,
+        user_agent: str = "website-indexer-ray",
+        store=None,
+    ):
         """``fetch_text(url) -> str | None`` returns the robots.txt body
         or None when unavailable (unavailable ⇒ allow all, the
-        conventional default)."""
+        conventional default). ``store`` is an optional shared
+        RobotsStore actor handle: bodies are looked up there before
+        fetching and published there after, so a cluster fetches each
+        host's robots.txt approximately once."""
         self.fetch_text = fetch_text
         self.user_agent = user_agent
+        self.store = store
         self.cache: dict[str, robotparser.RobotFileParser | None] = {}
+
+    def _fetch_body(self, origin: str) -> str | None:
+        if self.store is not None:
+            known, body = ray.get(self.store.lookup.remote(origin))
+            if known:
+                return body
+        body = self.fetch_text(f"{origin}/robots.txt")
+        if self.store is not None:
+            self.store.store.remote(origin, body)
+        return body
 
     def _parser_for(self, url: str) -> robotparser.RobotFileParser | None:
         parts = urlsplit(url)
         key = f"{parts.scheme}://{parts.netloc}"
         if key not in self.cache:
-            body = self.fetch_text(f"{key}/robots.txt")
+            body = self._fetch_body(key)
             if body is None:
                 self.cache[key] = None
             else:
