@@ -193,6 +193,38 @@ class TestSyntheticEquality:
         oracle = crawl_oracle(corpus_to_dict(corpus), [START_URL], cfg)
         engine_vs_oracle(result, oracle)
 
+    def test_unsalted_politeness_uses_shared_budget(
+        self, ray_session, tmp_path, corpus_seeds
+    ):
+        """politeness_wait>0 WITHOUT salting must still pace through
+        the one shared HostBudget actor — per-actor limiters would
+        multiply the per-host rate by the pool size. Records stay
+        oracle-identical and the engine holds a budget handle."""
+        from website_indexer_ray.pipelines.engine import CrawlEngine
+
+        corpus, seeds = corpus_seeds
+        cfg = self._cfg(
+            politeness_wait=0.005,
+            salt_partitions=1,
+            driver_threshold=0,
+            fetch_driver_threshold=0,
+        )
+        eng = CrawlEngine(cfg, str(tmp_path / "unsalted_polite"))
+        captured = {}
+        orig = eng._fetch_table_or_ds
+
+        def spy(claimed_tbl, claimed_ds, records_dir, corpus_ref,
+                cfg_dict, budget_handle, counts, n_claimed):
+            captured["budget"] = budget_handle
+            return orig(claimed_tbl, claimed_ds, records_dir, corpus_ref,
+                        cfg_dict, budget_handle, counts, n_claimed)
+
+        eng._fetch_table_or_ds = spy
+        result = eng.run(corpus, seeds)
+        assert captured["budget"] is not None
+        oracle = crawl_oracle(corpus_to_dict(corpus), [START_URL], cfg)
+        engine_vs_oracle(result, oracle)
+
     def test_depth_equality(self, ray_session, tmp_path, corpus_seeds):
         corpus, seeds = corpus_seeds
         cfg = self._cfg(depth=2)

@@ -249,9 +249,13 @@ class CrawlEngine:
             cfg.n_seen_shards, cfg.seen_shard_capacity
         )
         self._warm_shards = None  # fresh shards per run() call
+        # The per-host rate cap must hold GLOBALLY: with a wait
+        # configured, every fetch path (driver, actor pool, salted)
+        # paces through ONE shared HostBudget actor — per-actor
+        # limiters would multiply the allowed rate by the pool size.
         budget_handle = (
             HostBudget.remote(cfg.politeness_wait, cfg.random_wait)
-            if cfg.salt_partitions > 1 and cfg.politeness_wait > 0
+            if cfg.politeness_wait > 0
             else None
         )
         if cfg.respect_robots:
