@@ -232,6 +232,43 @@ class TestTextOps:
         got = got.take(pc.sort_indices(got, sort_keys=[("doc_id", "ascending")]))
         assert got.combine_chunks().equals(expected.combine_chunks())
 
+    def test_committed_parquet_write_resume_and_stale_clear(
+        self, ray_session, tmp_path
+    ):
+        """The map-only sink forms share one commit protocol: a
+        committed dir is a no-op on re-run, and a dirty dir from a
+        crashed attempt (parquet parts, no _SUCCESS) is cleared before
+        the write — Ray's write_parquet appends UUID-named files, so a
+        stale part would otherwise double-count rows."""
+        import glob as _glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        from website_indexer_ray.pipelines import textops
+        from website_indexer_ray.util import committed_parquet_write
+
+        sf = "/root/testdata/sf0.001"
+        out = str(tmp_path / "tc")
+        expected = textops.token_count(sf)
+
+        # simulate a crashed earlier attempt: a bogus part, no _SUCCESS
+        os.makedirs(out)
+        pq.write_table(expected.slice(0, 3), os.path.join(out, "stale.parquet"))
+        assert committed_parquet_write(textops._token_count_mapped(sf), out)
+        files = sorted(_glob.glob(f"{out}/**/*.parquet", recursive=True))
+        assert not any(f.endswith("stale.parquet") for f in files)
+        total = sum(pq.read_metadata(f).num_rows for f in files)
+        assert total == expected.num_rows
+        assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+        # committed dir -> no-op, even with a poisoned dataset
+        class Boom:
+            def write_parquet(self, *_a, **_k):
+                raise AssertionError("re-wrote a committed dir")
+
+        assert not committed_parquet_write(Boom(), out)
+
     def test_re2_kernel_counts_match_python_re(self, ray_session):
         """The vectorized counting trio uses Arrow's RE2 kernels; pin
         kernel counts == Python re.findall counts for every pattern on

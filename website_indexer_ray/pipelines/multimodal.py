@@ -229,11 +229,16 @@ def media_thumbnails_write(
     ds = read_parquet_parallel(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    ds.map_batches(pack_binary, batch_format="pyarrow").map_batches(
-        MediaResizeStage(max_bytes),
-        batch_format="pyarrow",
-        batch_size=256,
-    ).write_parquet(out_dir)
+    from website_indexer_ray.util import committed_parquet_write
+
+    committed_parquet_write(
+        ds.map_batches(pack_binary, batch_format="pyarrow").map_batches(
+            MediaResizeStage(max_bytes),
+            batch_format="pyarrow",
+            batch_size=256,
+        ),
+        out_dir,
+    )
 
 
 def media_features_write(sf_dir: str, out_dir: str) -> None:
@@ -243,11 +248,16 @@ def media_features_write(sf_dir: str, out_dir: str) -> None:
     ds = read_parquet_parallel(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    ds.map_batches(pack_binary, batch_format="pyarrow").map_batches(
-        MediaFeatureStage(),
-        batch_format="pyarrow",
-        batch_size=256,
-    ).write_parquet(out_dir)
+    from website_indexer_ray.util import committed_parquet_write
+
+    committed_parquet_write(
+        ds.map_batches(pack_binary, batch_format="pyarrow").map_batches(
+            MediaFeatureStage(),
+            batch_format="pyarrow",
+            batch_size=256,
+        ),
+        out_dir,
+    )
 
 
 def media_features(sf_dir: str) -> pa.Table:

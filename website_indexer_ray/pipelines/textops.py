@@ -144,8 +144,11 @@ def token_count(sf_dir: str) -> pa.Table:
 def token_count_write(sf_dir: str, out_dir: str) -> None:
     """Sink form: stream per-doc token counts straight to partitioned
     parquet — no driver concat (the table form exists for the driver
-    query contract only)."""
-    _token_count_mapped(sf_dir).write_parquet(out_dir)
+    query contract only). Commit protocol: _SUCCESS manifest, stale
+    part files cleared, rerun over a committed dir is a no-op."""
+    from website_indexer_ray.util import committed_parquet_write
+
+    committed_parquet_write(_token_count_mapped(sf_dir), out_dir)
 
 
 def _quality_score_mapped(sf_dir: str):
@@ -184,7 +187,9 @@ def quality_score(sf_dir: str) -> pa.Table:
 
 
 def quality_score_write(sf_dir: str, out_dir: str) -> None:
-    _quality_score_mapped(sf_dir).write_parquet(out_dir)
+    from website_indexer_ray.util import committed_parquet_write
+
+    committed_parquet_write(_quality_score_mapped(sf_dir), out_dir)
 
 
 # --- language ID (heuristic; no SQL oracle) -------------------------
@@ -239,7 +244,9 @@ def lang_id(sf_dir: str) -> pa.Table:
 
 
 def lang_id_write(sf_dir: str, out_dir: str) -> None:
-    _lang_id_mapped(sf_dir).write_parquet(out_dir)
+    from website_indexer_ray.util import committed_parquet_write
+
+    committed_parquet_write(_lang_id_mapped(sf_dir), out_dir)
 
 
 # --- document fingerprinting (winnowing; no SQL oracle) -------------
@@ -632,7 +639,11 @@ def length_filter(
 def length_filter_write(
     sf_dir: str, out_dir: str, min_tokens: int = 20, max_tokens: int = 1000
 ) -> None:
-    _length_filter_mapped(sf_dir, min_tokens, max_tokens).write_parquet(out_dir)
+    from website_indexer_ray.util import committed_parquet_write
+
+    committed_parquet_write(
+        _length_filter_mapped(sf_dir, min_tokens, max_tokens), out_dir
+    )
 
 
 def vocab_top_tokens(sf_dir: str, k: int = 100) -> pa.Table:

@@ -36,6 +36,25 @@ def agg_named(tbl, keys, aggs, out_names):
     return g.select(gen).rename_columns(out_names)
 
 
+def committed_parquet_write(ds, out_dir: str) -> bool:
+    """Write a Dataset to ``out_dir`` under the engine's commit
+    protocol: skip if ``_SUCCESS`` exists (resume), clear stale
+    parquet files from a crashed earlier attempt (Ray's write_parquet
+    APPENDS new UUID-named files — a dirty dir would otherwise
+    double-count rows), write, then commit the manifest. Returns True
+    when the write ran, False when the committed dir was reused."""
+    success = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(success):
+        return False
+    os.makedirs(out_dir, exist_ok=True)
+    for stale in glob.glob(os.path.join(out_dir, "**", "*.parquet"),
+                           recursive=True):
+        os.remove(stale)
+    ds.write_parquet(out_dir)
+    open(success, "w").close()
+    return True
+
+
 def cached_get(ref):
     """ray.get with a per-worker-process cache: Ray reuses worker
     processes across tasks/jobs, so a broadcast object (query matrix,
