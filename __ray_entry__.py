@@ -354,7 +354,13 @@ def _search_url(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from website_indexer_ray.pipelines import annops, multimodal, relational, textops
+    from website_indexer_ray.pipelines import (
+        annops,
+        corpusops,
+        multimodal,
+        relational,
+        textops,
+    )
 
     return {
         # crawl engine (SURVEY §2.1-2.10; iterative — rows-only checks)
@@ -427,6 +433,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_top_tokens": textops.approx_top_tokens,
         "crawl_near_dup_keep": _crawl_near_dup,
         "ngram_jaccard_pairs": textops.ngram_jaccard_pairs,
+        # corpus-curation family (pipelines/corpusops.py). These sit
+        # PAST the driver gate's 50-entry truncation on purpose — the
+        # 50 slots above carry the strongest per-family signal — so
+        # their exact-match gate runs in pytest instead:
+        # tests/test_corpusops.py replicates the driver comparison
+        # (row count + sorted schema + value hash vs the oracle_sql()
+        # entries below) at sf0.001, and scripts/check_oracles.py can
+        # run them against any sf dir.
+        "pii_redact": corpusops.pii_redact,
+        "repetition_stats": corpusops.repetition_stats,
+        "decontaminate": corpusops.decontaminate,
+        "group_quota_sample": corpusops.group_quota_sample,
+        "seq_pack": corpusops.seq_pack,
     }
 
 
@@ -782,5 +801,110 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(octet_length(encode(text)), 256) AS BIGINT)
                        AS thumb_bytes
             FROM documents ORDER BY doc_id
+        """,
+        # corpus-curation family — RE2 on both sides (DuckDB regexp_*
+        # and Arrow's compute kernels share the engine), integer-only
+        # derived columns, chained replacements in a fixed order.
+        "pii_redact": """
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '<IP>', 'g'),
+                       '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b',
+                       '<PHONE>', 'g') AS text,
+                   length(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))
+                       AS n_emails,
+                   length(regexp_extract_all(text,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                       AS n_ips,
+                   length(regexp_extract_all(text,
+                       '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS n_phones
+            FROM documents ORDER BY doc_id
+        """,
+        "repetition_stats": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), pos AS (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - 1)) AS i
+                FROM toks
+            ), grams AS (
+                SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg FROM pos
+            ), cnt AS (
+                SELECT doc_id, bg, COUNT(*) AS c FROM grams
+                GROUP BY doc_id, bg
+            ), agg AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                       CAST(COUNT(*) AS BIGINT) AS n_uniq_bigrams,
+                       CAST(MAX(c) AS BIGINT) AS top_bigram_n
+                FROM cnt GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(a.n_uniq_bigrams, 0) AS n_uniq_bigrams,
+                   COALESCE(a.top_bigram_n, 0) AS top_bigram_n
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+            ORDER BY d.doc_id
+        """,
+        "decontaminate": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), pos AS (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - 4)) AS i
+                FROM toks
+            ), grams AS (
+                SELECT doc_id, array_to_string(t[i:i + 4], ' ') AS g FROM pos
+            ), ev AS (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 101 = 0
+            ), hits AS (
+                SELECT DISTINCT grams.doc_id, grams.g
+                FROM grams JOIN ev USING (g)
+                WHERE grams.doc_id % 101 <> 0
+            ), hc AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+                FROM hits GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(GREATEST(len(string_split(d.text, ' ')) - 4, 0)
+                       AS BIGINT) AS n_grams,
+                   COALESCE(hc.n_overlap, 0) AS n_overlap
+            FROM documents d LEFT JOIN hc ON d.doc_id = hc.doc_id
+            WHERE d.doc_id % 101 <> 0
+            ORDER BY d.doc_id
+        """,
+        "group_quota_sample": """
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 15 ORDER BY doc_id
+        """,
+        "seq_pack": """
+            WITH tc AS (
+                SELECT doc_id,
+                       CAST(length(regexp_extract_all(text, '\\w+|[^\\w\\s]'))
+                           AS BIGINT) AS n_tokens
+                FROM documents
+            ), s AS (
+                SELECT doc_id, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT)
+                           AS start_tok
+                FROM tc
+            )
+            SELECT doc_id, n_tokens, start_tok,
+                   CAST(start_tok // 512 AS BIGINT) AS pack_first,
+                   CAST((start_tok + GREATEST(n_tokens, 1) - 1) // 512
+                       AS BIGINT) AS pack_last,
+                   CAST(start_tok % 512 AS BIGINT) AS pack_offset
+            FROM s ORDER BY doc_id
         """,
     }

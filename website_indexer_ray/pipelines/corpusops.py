@@ -1,0 +1,414 @@
+"""Corpus-curation operators over the ``documents`` table — the
+second half of a large-scale training-data pipeline, beyond the dedup
+family in ``textops.py``: PII redaction, repetition (boilerplate)
+statistics, eval-set decontamination, per-source quota sampling, and
+fixed-length sequence packing via a distributed prefix sum.
+
+Every operator is a ``map_batches`` transform over zero-copy Arrow
+batches; the two keyed ones route slim integer rows through the actor
+hash exchange (``state/exchange.py``) — never the text. Each has a
+DuckDB-expressible definition so the driver/pytest value-hash gate can
+check it exactly (RE2 kernels on both sides; integer outputs only —
+see graft oracle rules on scaled-integer parity).
+
+Scale notes are inline per operator. Broadcast lookups (the eval
+n-gram set, the pack bucket offsets) are one ``ray.put`` on the
+driver, read once per worker process via ``util.cached_get``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from website_indexer_ray.pipelines.textops import (
+    _TOKEN_PAT,
+    _count_re,
+    _merge_partials_adaptive,
+    read_documents,
+)
+from website_indexer_ray.util import agg_named, cached_get
+
+
+def _docs_ds(sf_dir: str, documents: pa.Table | None, columns: list[str]):
+    """Dataset over the documents table, or an in-memory override for
+    tests that need synthetic content (mirrors simhash_pairs)."""
+    if documents is not None:
+        return ray.data.from_arrow(documents.select(columns))
+    return read_documents(sf_dir, columns=columns)
+
+
+def _sorted_by(tbl: pa.Table, col: str = "doc_id") -> pa.Table:
+    return tbl.take(pc.sort_indices(tbl, sort_keys=[(col, "ascending")]))
+
+
+# --- PII redaction ---------------------------------------------------
+# RE2 patterns, applied in a fixed order (email, then IPv4, then
+# phone) so the chained replacements are deterministic and the DuckDB
+# oracle (regexp_replace(..., 'g'), same RE2 engine) reproduces them
+# byte-for-byte. Counts are taken on the ORIGINAL text on both sides.
+
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def _pii_mapped(sf_dir: str, documents: pa.Table | None = None):
+    ds = _docs_ds(sf_dir, documents, ["doc_id", "text"])
+
+    def redact(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        red = pc.replace_substring_regex(text, PII_EMAIL, "<EMAIL>")
+        red = pc.replace_substring_regex(red, PII_IPV4, "<IP>")
+        red = pc.replace_substring_regex(red, PII_PHONE, "<PHONE>")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pc.cast(red, pa.string()),
+                "n_emails": _count_re(text, PII_EMAIL),
+                "n_ips": _count_re(text, PII_IPV4),
+                "n_phones": _count_re(text, PII_PHONE),
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pyarrow")
+
+
+def pii_redact(sf_dir: str, documents: pa.Table | None = None) -> pa.Table:
+    """Redact emails / IPv4s / phone numbers and count hits per doc.
+
+    Map-only: no shuffle, streams at any scale. The table form exists
+    for the driver query contract; use :func:`pii_redact_write` in a
+    real pipeline."""
+    from website_indexer_ray.pipelines.textops import _collect_sorted
+
+    return _collect_sorted(_pii_mapped(sf_dir, documents), "doc_id")
+
+
+def pii_redact_write(sf_dir: str, out_dir: str) -> None:
+    from website_indexer_ray.util import committed_parquet_write
+
+    committed_parquet_write(_pii_mapped(sf_dir), out_dir)
+
+
+# --- repetition (boilerplate) statistics -----------------------------
+# Gopher-style repetition signals on word bigrams: how many bigram
+# slots a doc has, how many distinct bigrams, and the multiplicity of
+# its most-repeated bigram. Tokenization is a plain single-space split
+# (string_split(text, ' ') on the oracle side) so both engines see
+# identical token lists, empties included.
+
+
+def _repetition_batch(batch: pa.Table) -> pa.Table:
+    doc_ids = batch.column("doc_id")
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": doc_ids,
+                "n_bigrams": pa.array([], type=pa.int64()),
+                "n_uniq_bigrams": pa.array([], type=pa.int64()),
+                "top_bigram_n": pa.array([], type=pa.int64()),
+            }
+        )
+    toks = pc.split_pattern(batch.column("text"), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_rows = len(toks)
+    lens = offsets[1:] - offsets[:-1]
+    n_bigrams = np.maximum(lens - 1, 0)
+
+    total = int(offsets[-1] - offsets[0])
+    if total >= 2 and int(n_bigrams.sum()) > 0:
+        base = int(offsets[0])
+        left = flat.slice(base, total - 1)
+        right = flat.slice(base + 1, total - 1)
+        big = pc.binary_join_element_wise(
+            pc.cast(left, pa.string()), pc.cast(right, pa.string()), " "
+        )
+        # parent row of each bigram slot; drop slots that straddle rows
+        pos = np.arange(total - 1, dtype=np.int64) + base
+        row_of = np.searchsorted(offsets[1:], pos, side="right")
+        keep = (pos + 1) < offsets[row_of + 1]
+        pairs = pa.table(
+            {
+                "row": pa.array(row_of[keep], type=pa.int64()),
+                "bg": big.take(pa.array(np.flatnonzero(keep))),
+            }
+        )
+        per_bg = agg_named(pairs, ["row", "bg"], [("bg", "count")], ["row", "bg", "c"])
+        per_row = agg_named(
+            per_bg,
+            "row",
+            [("c", "sum"), ("c", "count"), ("c", "max")],
+            ["row", "n_bigrams", "n_uniq_bigrams", "top_bigram_n"],
+        )
+        rows = per_row.column("row").to_numpy(zero_copy_only=False)
+        uniq = np.zeros(n_rows, dtype=np.int64)
+        top = np.zeros(n_rows, dtype=np.int64)
+        uniq[rows] = per_row.column("n_uniq_bigrams").to_numpy(zero_copy_only=False)
+        top[rows] = per_row.column("top_bigram_n").to_numpy(zero_copy_only=False)
+    else:
+        uniq = np.zeros(n_rows, dtype=np.int64)
+        top = np.zeros(n_rows, dtype=np.int64)
+
+    return pa.table(
+        {
+            "doc_id": doc_ids,
+            "n_bigrams": pa.array(n_bigrams, type=pa.int64()),
+            "n_uniq_bigrams": pa.array(uniq, type=pa.int64()),
+            "top_bigram_n": pa.array(top, type=pa.int64()),
+        }
+    )
+
+
+def repetition_stats(sf_dir: str, documents: pa.Table | None = None) -> pa.Table:
+    """Per-doc bigram repetition counts (boilerplate / low-quality
+    signal). Map-only and fully vectorized: the bigram build is two
+    shifted slices of the flattened token buffer joined element-wise,
+    and the per-doc aggregation is Arrow ``group_by`` inside the
+    batch — no shuffle, because every bigram lives within one doc."""
+    from website_indexer_ray.pipelines.textops import _collect_sorted
+
+    ds = _docs_ds(sf_dir, documents, ["doc_id", "text"])
+    return _collect_sorted(
+        ds.map_batches(_repetition_batch, batch_format="pyarrow"), "doc_id"
+    )
+
+
+# --- eval-set decontamination ----------------------------------------
+# Standard pretraining hygiene: count each training doc's distinct
+# word 5-grams that collide with a benchmark ("eval") set. The eval
+# set here is the deterministic stand-in doc_id % 101 == 0 (the
+# operator takes any eval table at the API level); its distinct grams
+# broadcast once via ray.put — at real scale an eval suite is a few
+# MB of n-grams, the textbook broadcast-small-side case.
+
+_EVAL_MOD = 101
+DECON_N = 5
+
+
+def _word_ngrams(text: str, n: int) -> list[str]:
+    t = text.split(" ")
+    return [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+
+
+def decontaminate(
+    sf_dir: str,
+    n: int = DECON_N,
+    documents: pa.Table | None = None,
+    eval_documents: pa.Table | None = None,
+) -> pa.Table:
+    """Per non-eval doc: total 5-gram slots and how many DISTINCT
+    grams hit the eval set. Output is integer-only for hash parity."""
+    ds = _docs_ds(sf_dir, documents, ["doc_id", "text"])
+
+    def _is_eval(batch: pa.Table) -> np.ndarray:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return (ids % _EVAL_MOD) == 0
+
+    if eval_documents is None:
+        ev = ds.map_batches(
+            lambda b: b.filter(pa.array(_is_eval(b))), batch_format="pyarrow"
+        )
+        ev_tables = [t for t in (ray.get(r) for r in ev.to_arrow_refs()) if t.num_rows]
+        ev_tbl = pa.concat_tables(ev_tables)
+    else:
+        ev_tbl = eval_documents
+    grams: set[str] = set()
+    for t in ev_tbl.column("text").to_pylist():
+        grams.update(_word_ngrams(t, n))
+    grams_ref = ray.put(frozenset(grams))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ev_grams = cached_get(grams_ref)
+        batch = batch.filter(pa.array(~_is_eval(batch)))
+        n_grams, n_overlap = [], []
+        for txt in batch.column("text").to_pylist():
+            g = _word_ngrams(txt, n)
+            n_grams.append(len(g))
+            n_overlap.append(len(set(g) & ev_grams))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_grams": pa.array(n_grams, type=pa.int64()),
+                "n_overlap": pa.array(n_overlap, type=pa.int64()),
+            }
+        )
+
+    from website_indexer_ray.pipelines.textops import _collect_sorted
+
+    return _collect_sorted(
+        ds.map_batches(score, batch_format="pyarrow"), "doc_id"
+    )
+
+
+# --- per-source quota sampling ----------------------------------------
+# Domain balancing: keep at most k docs per source (deterministic —
+# the k smallest doc_ids). Only (doc_id, source-hash) rows route
+# through the exchange; the reducer resolves EVERY source in its
+# partition with one argsort + run-length pass, no per-group Python.
+
+QUOTA_K = 15
+
+
+def _quota_resolve(k: int, t: pa.Table) -> pa.Table:
+    doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    src = t.column("src_hash").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((doc, src))
+    src_s, doc_s = src[order], doc[order]
+    first = np.ones(len(src_s), dtype=bool)
+    first[1:] = src_s[1:] != src_s[:-1]
+    starts = np.flatnonzero(first)
+    run_id = np.cumsum(first) - 1
+    pos_in_grp = np.arange(len(src_s), dtype=np.int64) - starts[run_id]
+    keep = pos_in_grp < k
+    return pa.table({"doc_id": pa.array(doc_s[keep], type=pa.int64())})
+
+
+def group_quota_sample(
+    sf_dir: str, k: int = QUOTA_K, documents: pa.Table | None = None
+) -> pa.Table:
+    """Keep the k lowest doc_ids per source. Scale: source cardinality
+    is what must fit the reducer fleet, not doc count — the exchange
+    routes 16-byte rows and each partition owns whole sources. A
+    top-k-per-batch partial pass would bound routed rows to k per
+    (source, batch); at sf scale the slim rows are already tiny."""
+    from zlib import crc32
+
+    ds = _docs_ds(sf_dir, documents, ["doc_id", "source"])
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        hashes = [
+            crc32(s.encode()) & 0x7FFFFFFF
+            for s in batch.column("source").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "src_hash": pa.array(hashes, type=pa.int64()),
+            }
+        )
+
+    from functools import partial
+
+    from website_indexer_ray.state.exchange import hash_exchange
+
+    keyed = ds.map_batches(key_rows, batch_format="pyarrow")
+    out = hash_exchange(keyed, "src_hash", partial(_quota_resolve, k))
+    if out is None:
+        return pa.schema([("doc_id", pa.int64())]).empty_table()
+    return _sorted_by(out)
+
+
+# --- sequence packing (distributed prefix sum) ------------------------
+# GPT-style packing: concatenate every doc's tokens in doc_id order
+# and cut the stream every ``seq_len`` tokens. Each doc's placement is
+# a pure function of the EXCLUSIVE prefix sum of token counts — the
+# classic three-step distributed scan:
+#   1. one pass computes slim (doc_id, n_tokens, bucket) rows
+#      (bucket = doc_id // bucket_width) and per-bucket partial sums;
+#   2. the driver scans the tiny per-bucket totals (O(docs/width) —
+#      244k rows at 10^9 docs) into exclusive bucket offsets,
+#      broadcast once;
+#   3. a bucket-keyed exchange resolves every doc vectorized: argsort
+#      by doc_id, within-bucket cumsum, plus its bucket's offset.
+# Nothing O(docs) ever sits on the driver except the contract-imposed
+# table return; the slim counts dataset is materialized once so the
+# text is read (and the regex run) exactly once.
+
+PACK_SEQ_LEN = 512
+_PACK_BUCKET_WIDTH = 64
+
+
+def _pack_resolve(seq_len: int, offsets_ref, t: pa.Table) -> pa.Table:
+    buckets, excl = cached_get(offsets_ref)
+    doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    n = t.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(doc, kind="stable")  # doc_id unique ⇒ total order
+    doc, n, b = doc[order], n[order], b[order]
+    local_start = np.cumsum(n) - n
+    first = np.ones(len(b), dtype=bool)
+    first[1:] = b[1:] != b[:-1]
+    run_lengths = np.diff(np.append(np.flatnonzero(first), len(b)))
+    base = np.repeat(local_start[first], run_lengths)
+    start = excl[np.searchsorted(buckets, b)] + (local_start - base)
+    span = np.maximum(n, 1)  # empty docs occupy their start pack
+    return pa.table(
+        {
+            "doc_id": pa.array(doc, type=pa.int64()),
+            "n_tokens": pa.array(n, type=pa.int64()),
+            "start_tok": pa.array(start, type=pa.int64()),
+            "pack_first": pa.array(start // seq_len, type=pa.int64()),
+            "pack_last": pa.array((start + span - 1) // seq_len, type=pa.int64()),
+            "pack_offset": pa.array(start % seq_len, type=pa.int64()),
+        }
+    )
+
+
+def seq_pack(
+    sf_dir: str,
+    seq_len: int = PACK_SEQ_LEN,
+    bucket_width: int = _PACK_BUCKET_WIDTH,
+    documents: pa.Table | None = None,
+) -> pa.Table:
+    ds = _docs_ds(sf_dir, documents, ["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = _count_re(batch.column("text"), _TOKEN_PAT)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": n,
+                "bucket": pc.divide(batch.column("doc_id"), bucket_width),
+            }
+        )
+
+    slim = ds.map_batches(counts, batch_format="pyarrow").materialize()
+
+    def bucket_sum(t: pa.Table) -> pa.Table:
+        """(bucket, total) -> per-bucket sums; idempotent, so it serves
+        as both the exchange reduce fn and the final driver merge."""
+        return agg_named(
+            t.select(["bucket", "total"]),
+            "bucket",
+            [("total", "sum")],
+            ["bucket", "total"],
+        )
+
+    partials = slim.map_batches(
+        lambda b: bucket_sum(
+            pa.table({"bucket": b.column("bucket"), "total": b.column("n_tokens")})
+        ),
+        batch_format="pyarrow",
+    )
+    merged = bucket_sum(_merge_partials_adaptive(partials, "bucket", bucket_sum))
+    merged = _sorted_by(merged, "bucket")
+    buckets = merged.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+    totals = merged.column("total").to_numpy(zero_copy_only=False).astype(np.int64)
+    excl = np.cumsum(totals) - totals
+    offsets_ref = ray.put((buckets, excl))
+
+    from functools import partial
+
+    from website_indexer_ray.state.exchange import hash_exchange
+
+    out = hash_exchange(
+        slim, "bucket", partial(_pack_resolve, seq_len, offsets_ref)
+    )
+    if out is None:
+        return pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_tokens", pa.int64()),
+                ("start_tok", pa.int64()),
+                ("pack_first", pa.int64()),
+                ("pack_last", pa.int64()),
+                ("pack_offset", pa.int64()),
+            ]
+        ).empty_table()
+    return _sorted_by(out)
