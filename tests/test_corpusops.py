@@ -171,6 +171,23 @@ class TestGroupQuotaSample:
         assert len(kept) == 12
 
 
+    def test_colocated_sources_keep_separate_quotas(self):
+        """Two sources landing in ONE partition (routing-hash
+        collision / co-location) must not merge their quotas — the
+        resolve body groups by the exact source string."""
+        from website_indexer_ray.pipelines.corpusops import _quota_resolve
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 10, 11, 12], type=pa.int64()),
+                "source": pa.array(["a", "a", "a", "b", "b", "b"]),
+                "src_hash": pa.array([7, 7, 7, 7, 7, 7], type=pa.int64()),
+            }
+        )
+        out = _quota_resolve(2, t)
+        assert sorted(out.column("doc_id").to_pylist()) == [1, 2, 10, 11]
+
+
 class TestSeqPack:
     def test_matches_naive_cumsum(self, ray_session):
         from website_indexer_ray.pipelines import corpusops

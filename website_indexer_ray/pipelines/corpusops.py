@@ -5,8 +5,9 @@ statistics, eval-set decontamination, per-source quota sampling, and
 fixed-length sequence packing via a distributed prefix sum.
 
 Every operator is a ``map_batches`` transform over zero-copy Arrow
-batches; the two keyed ones route slim integer rows through the actor
-hash exchange (``state/exchange.py``) — never the text. Each has a
+batches; the two keyed ones route slim rows (integers plus, for the
+quota sampler, the short source string) through the actor hash
+exchange (``state/exchange.py``) — never the document text. Each has a
 DuckDB-expressible definition so the driver/pytest value-hash gate can
 check it exactly (RE2 kernels on both sides; integer outputs only —
 see graft oracle rules on scaled-integer parity).
@@ -112,48 +113,24 @@ def _repetition_batch(batch: pa.Table) -> pa.Table:
                 "top_bigram_n": pa.array([], type=pa.int64()),
             }
         )
-    toks = pc.split_pattern(batch.column("text"), " ")
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    flat = toks.values
-    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    n_rows = len(toks)
-    lens = offsets[1:] - offsets[:-1]
-    n_bigrams = np.maximum(lens - 1, 0)
-
-    total = int(offsets[-1] - offsets[0])
-    if total >= 2 and int(n_bigrams.sum()) > 0:
-        base = int(offsets[0])
-        left = flat.slice(base, total - 1)
-        right = flat.slice(base + 1, total - 1)
-        big = pc.binary_join_element_wise(
-            pc.cast(left, pa.string()), pc.cast(right, pa.string()), " "
-        )
-        # parent row of each bigram slot; drop slots that straddle rows
-        pos = np.arange(total - 1, dtype=np.int64) + base
-        row_of = np.searchsorted(offsets[1:], pos, side="right")
-        keep = (pos + 1) < offsets[row_of + 1]
+    n_rows = batch.num_rows
+    row_of, grams, n_bigrams = _word_ngram_rows(batch.column("text"), 2)
+    uniq = np.zeros(n_rows, dtype=np.int64)
+    top = np.zeros(n_rows, dtype=np.int64)
+    if len(grams):
         pairs = pa.table(
-            {
-                "row": pa.array(row_of[keep], type=pa.int64()),
-                "bg": big.take(pa.array(np.flatnonzero(keep))),
-            }
+            {"row": pa.array(row_of, type=pa.int64()), "bg": grams}
         )
         per_bg = agg_named(pairs, ["row", "bg"], [("bg", "count")], ["row", "bg", "c"])
         per_row = agg_named(
             per_bg,
             "row",
-            [("c", "sum"), ("c", "count"), ("c", "max")],
-            ["row", "n_bigrams", "n_uniq_bigrams", "top_bigram_n"],
+            [("c", "count"), ("c", "max")],
+            ["row", "n_uniq_bigrams", "top_bigram_n"],
         )
         rows = per_row.column("row").to_numpy(zero_copy_only=False)
-        uniq = np.zeros(n_rows, dtype=np.int64)
-        top = np.zeros(n_rows, dtype=np.int64)
         uniq[rows] = per_row.column("n_uniq_bigrams").to_numpy(zero_copy_only=False)
         top[rows] = per_row.column("top_bigram_n").to_numpy(zero_copy_only=False)
-    else:
-        uniq = np.zeros(n_rows, dtype=np.int64)
-        top = np.zeros(n_rows, dtype=np.int64)
 
     return pa.table(
         {
@@ -191,9 +168,41 @@ _EVAL_MOD = 101
 DECON_N = 5
 
 
-def _word_ngrams(text: str, n: int) -> list[str]:
-    t = text.split(" ")
-    return [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+def _word_ngram_rows(
+    text: pa.ChunkedArray | pa.Array, n: int
+) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+    """Vectorized word n-gram build over a whole column: split once,
+    then join n shifted slices of the flattened token buffer
+    element-wise. Returns (parent row of each gram, gram strings,
+    per-row gram-slot counts); grams never straddle rows."""
+    toks = pc.split_pattern(text, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = offsets[1:] - offsets[:-1]
+    n_slots = np.maximum(lens - (n - 1), 0)
+    total = int(offsets[-1] - offsets[0])
+    if total < n or int(n_slots.sum()) == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            pa.array([], type=pa.string()),
+            n_slots,
+        )
+    base = int(offsets[0])
+    parts = [
+        pc.cast(flat.slice(base + i, total - (n - 1)), pa.string())
+        for i in range(n)
+    ]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    pos = np.arange(total - (n - 1), dtype=np.int64) + base
+    row_of = np.searchsorted(offsets[1:], pos, side="right")
+    keep = (pos + n - 1) < offsets[row_of + 1]
+    return (
+        row_of[keep],
+        grams.take(pa.array(np.flatnonzero(keep))),
+        n_slots,
+    )
 
 
 def decontaminate(
@@ -203,7 +212,13 @@ def decontaminate(
     eval_documents: pa.Table | None = None,
 ) -> pa.Table:
     """Per non-eval doc: total 5-gram slots and how many DISTINCT
-    grams hit the eval set. Output is integer-only for hash parity."""
+    grams hit the eval set. Output is integer-only for hash parity.
+
+    Fully vectorized: grams are built by joining shifted slices of
+    the flattened token buffer, membership is one ``pc.is_in``
+    against the broadcast eval-gram array (exact strings — no hash
+    false positives), and per-doc distinct-hit counts come from
+    Arrow ``group_by(count_distinct)`` inside the batch."""
     ds = _docs_ds(sf_dir, documents, ["doc_id", "text"])
 
     def _is_eval(batch: pa.Table) -> np.ndarray:
@@ -218,24 +233,37 @@ def decontaminate(
         ev_tbl = pa.concat_tables(ev_tables)
     else:
         ev_tbl = eval_documents
-    grams: set[str] = set()
-    for t in ev_tbl.column("text").to_pylist():
-        grams.update(_word_ngrams(t, n))
-    grams_ref = ray.put(frozenset(grams))
+    _, ev_grams, _ = _word_ngram_rows(ev_tbl.column("text"), n)
+    grams_ref = ray.put(pc.unique(ev_grams))
 
     def score(batch: pa.Table) -> pa.Table:
-        ev_grams = cached_get(grams_ref)
+        ev_set = cached_get(grams_ref)
         batch = batch.filter(pa.array(~_is_eval(batch)))
-        n_grams, n_overlap = [], []
-        for txt in batch.column("text").to_pylist():
-            g = _word_ngrams(txt, n)
-            n_grams.append(len(g))
-            n_overlap.append(len(set(g) & ev_grams))
+        row_of, grams, n_slots = _word_ngram_rows(batch.column("text"), n)
+        overlap = np.zeros(batch.num_rows, dtype=np.int64)
+        if len(grams) and len(ev_set):
+            hit = pc.is_in(grams, value_set=ev_set).to_numpy(
+                zero_copy_only=False
+            )
+            if hit.any():
+                idx = np.flatnonzero(hit)
+                pairs = pa.table(
+                    {
+                        "row": pa.array(row_of[idx], type=pa.int64()),
+                        "g": grams.take(pa.array(idx)),
+                    }
+                )
+                per_row = agg_named(
+                    pairs, "row", [("g", "count_distinct")], ["row", "c"]
+                )
+                overlap[per_row.column("row").to_numpy(zero_copy_only=False)] = (
+                    per_row.column("c").to_numpy(zero_copy_only=False)
+                )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "n_grams": pa.array(n_grams, type=pa.int64()),
-                "n_overlap": pa.array(n_overlap, type=pa.int64()),
+                "n_grams": pa.array(n_slots, type=pa.int64()),
+                "n_overlap": pa.array(overlap, type=pa.int64()),
             }
         )
 
@@ -248,16 +276,26 @@ def decontaminate(
 
 # --- per-source quota sampling ----------------------------------------
 # Domain balancing: keep at most k docs per source (deterministic —
-# the k smallest doc_ids). Only (doc_id, source-hash) rows route
-# through the exchange; the reducer resolves EVERY source in its
-# partition with one argsort + run-length pass, no per-group Python.
+# the k smallest doc_ids). Slim (doc_id, source) rows route through
+# the exchange hashed on the source (a short domain string rides
+# along so grouping is EXACT — a hash collision may co-locate two
+# sources in one partition but never merges their quotas); the
+# reducer resolves every source in its partition with one lexsort +
+# run-length pass, no per-group Python.
 
 QUOTA_K = 15
 
 
 def _quota_resolve(k: int, t: pa.Table) -> pa.Table:
     doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    src = t.column("src_hash").to_numpy(zero_copy_only=False).astype(np.int64)
+    # dictionary-encode within the partition: integer codes identify
+    # the exact source strings, collision-free, sortable by numpy
+    src_col = t.column("source")
+    if isinstance(src_col, pa.ChunkedArray):
+        src_col = src_col.combine_chunks()
+    src = pc.dictionary_encode(src_col).indices.to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
     order = np.lexsort((doc, src))
     src_s, doc_s = src[order], doc[order]
     first = np.ones(len(src_s), dtype=bool)
@@ -274,7 +312,7 @@ def group_quota_sample(
 ) -> pa.Table:
     """Keep the k lowest doc_ids per source. Scale: source cardinality
     is what must fit the reducer fleet, not doc count — the exchange
-    routes 16-byte rows and each partition owns whole sources. A
+    routes ~24-byte rows and each partition owns whole sources. A
     top-k-per-batch partial pass would bound routed rows to k per
     (source, batch); at sf scale the slim rows are already tiny."""
     from zlib import crc32
@@ -282,14 +320,23 @@ def group_quota_sample(
     ds = _docs_ds(sf_dir, documents, ["doc_id", "source"])
 
     def key_rows(batch: pa.Table) -> pa.Table:
-        hashes = [
-            crc32(s.encode()) & 0x7FFFFFFF
-            for s in batch.column("source").to_pylist()
-        ]
+        # hash only the few UNIQUE sources in the batch, then fan the
+        # codes back out — the routing key; grouping uses the string
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = pc.dictionary_encode(src)
+        uniq_hash = np.fromiter(
+            (crc32(s.encode()) & 0x7FFFFFFF for s in enc.dictionary.to_pylist()),
+            dtype=np.int64,
+            count=len(enc.dictionary),
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "src_hash": pa.array(hashes, type=pa.int64()),
+                "source": src,
+                "src_hash": pa.array(uniq_hash[codes], type=pa.int64()),
             }
         )
 
