@@ -446,6 +446,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": corpusops.decontaminate,
         "group_quota_sample": corpusops.group_quota_sample,
         "seq_pack": corpusops.seq_pack,
+        "text_normalize": corpusops.text_normalize,
+        "source_mix_sample": corpusops.source_mix_sample,
+        "shuffle_shards": corpusops.shuffle_shards,
     }
 
 
@@ -906,5 +909,37 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS pack_last,
                    CAST(start_tok % 512 AS BIGINT) AS pack_offset
             FROM s ORDER BY doc_id
+        """,
+        "text_normalize": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       AS text,
+                   CAST(length(text) AS BIGINT) AS n_chars_raw,
+                   CAST(length(trim(regexp_replace(lower(text), '\\s+',
+                       ' ', 'g'))) AS BIGINT) AS n_chars
+            FROM documents ORDER BY doc_id
+        """,
+        "source_mix_sample": """
+            SELECT doc_id,
+                   CAST(20 * (1 + length(source) % 4) AS BIGINT) AS rate
+            FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 % 100
+                  < 20 * (1 + length(source) % 4)
+            ORDER BY doc_id
+        """,
+        "shuffle_shards": """
+            WITH k AS (
+                SELECT doc_id,
+                       CAST((doc_id * 2654435761) % 4294967296 AS BIGINT)
+                           AS skey
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(skey % 8 AS BIGINT) AS shard,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY skey % 8 ORDER BY skey, doc_id) - 1
+                       AS BIGINT) AS pos,
+                   skey
+            FROM k ORDER BY doc_id
         """,
     }

@@ -61,6 +61,9 @@ class TestDriverParity:
             "decontaminate",
             "group_quota_sample",
             "seq_pack",
+            "text_normalize",
+            "source_mix_sample",
+            "shuffle_shards",
         ],
     )
     def test_oracle_hash(self, ray_session, con, name):
@@ -186,6 +189,61 @@ class TestGroupQuotaSample:
         )
         out = _quota_resolve(2, t)
         assert sorted(out.column("doc_id").to_pylist()) == [1, 2, 10, 11]
+
+
+class TestTextNormalize:
+    def test_synthetic(self, ray_session):
+        from website_indexer_ray.pipelines import corpusops
+
+        docs = _docs(
+            [
+                (1, "  Hello   WORLD\t\nfoo  ", "s"),
+                (2, "already clean", "s"),
+            ]
+        )
+        out = corpusops.text_normalize(SF_DIR, documents=docs)
+        by_id = {r["doc_id"]: r for r in out.to_pylist()}
+        assert by_id[1]["text"] == "hello world foo"
+        assert by_id[1]["n_chars_raw"] == len("  Hello   WORLD\t\nfoo  ")
+        assert by_id[1]["n_chars"] == len("hello world foo")
+        assert by_id[2]["text"] == "already clean"
+
+
+class TestSourceMixSample:
+    def test_rate_map_and_determinism(self, ray_session):
+        from website_indexer_ray.pipelines import corpusops
+
+        rows = [(i, f"t{i}", "keepall" if i % 2 else "dropall") for i in range(40)]
+        out = corpusops.source_mix_sample(
+            SF_DIR, rates={"keepall": 100, "dropall": 0}, documents=_docs(rows)
+        )
+        kept = out.column("doc_id").to_pylist()
+        assert kept == [i for i in range(40) if i % 2]
+        assert set(out.column("rate").to_pylist()) == {100}
+        # deterministic: second run identical
+        out2 = corpusops.source_mix_sample(
+            SF_DIR, rates={"keepall": 100, "dropall": 0}, documents=_docs(rows)
+        )
+        assert out.equals(out2)
+
+
+class TestShuffleShards:
+    def test_is_permutation_with_dense_positions(self, ray_session):
+        from website_indexer_ray.pipelines import corpusops
+
+        out = corpusops.shuffle_shards(SF_DIR, n_shards=4)
+        ids = out.column("doc_id").to_pylist()
+        assert len(ids) == len(set(ids)) == 500
+        shards = np.array(out.column("shard").to_pylist())
+        pos = np.array(out.column("pos").to_pylist())
+        skey = np.array(out.column("skey").to_pylist())
+        assert set(np.unique(shards)) <= set(range(4))
+        for s in np.unique(shards):
+            p = np.sort(pos[shards == s])
+            assert (p == np.arange(len(p))).all()  # dense 0..n-1
+            # position order follows the shuffle key order
+            in_shard = np.argsort(pos[shards == s])
+            assert (np.diff(skey[shards == s][in_shard]) >= 0).all()
 
 
 class TestSeqPack:

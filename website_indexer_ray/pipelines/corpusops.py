@@ -351,6 +351,178 @@ def group_quota_sample(
     return _sorted_by(out)
 
 
+# --- text normalization ----------------------------------------------
+# Canonical cleanup pass before hashing/dedup: lowercase, collapse
+# whitespace runs, trim. RE2 '\s+' on both sides; before/after char
+# counts ride along as integer quality signals.
+
+
+def _normalize_batch(batch: pa.Table) -> pa.Table:
+    text = batch.column("text")
+    # trim spaces only (after the collapse any edge run IS one space);
+    # utf8_trim_whitespace would also strip unicode spaces, which
+    # DuckDB's trim() does not — keep the two engines byte-identical
+    norm = pc.utf8_trim(
+        pc.replace_substring_regex(pc.utf8_lower(text), r"\s+", " "),
+        characters=" ",
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "text": pc.cast(norm, pa.string()),
+            "n_chars_raw": pc.cast(pc.utf8_length(text), pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(norm), pa.int64()),
+        }
+    )
+
+
+def text_normalize(sf_dir: str, documents: pa.Table | None = None) -> pa.Table:
+    """Lowercase + whitespace-collapse + trim each doc. Map-only —
+    streams at any scale; table form exists for the gate contract."""
+    from website_indexer_ray.pipelines.textops import _collect_sorted
+
+    ds = _docs_ds(sf_dir, documents, ["doc_id", "text"])
+    return _collect_sorted(
+        ds.map_batches(_normalize_batch, batch_format="pyarrow"), "doc_id"
+    )
+
+
+def text_normalize_write(sf_dir: str, out_dir: str) -> None:
+    from website_indexer_ray.util import committed_parquet_write
+
+    ds = _docs_ds(sf_dir, None, ["doc_id", "text"])
+    committed_parquet_write(
+        ds.map_batches(_normalize_batch, batch_format="pyarrow"), out_dir
+    )
+
+
+# --- weighted per-source mix sampling --------------------------------
+# Corpus mixing: each source gets a deterministic keep-rate and each
+# doc an independent deterministic coin — a Knuth multiplicative hash
+# of doc_id mod 100 — so the sample is reproducible, shuffle-free and
+# embarrassingly parallel. The rate function here is a stand-in
+# (20/40/60/80 % by source-name length mod 4, SQL-expressible); the
+# operator takes any per-source rate map at the API level and
+# broadcasts it once.
+
+_MIX_MULT = 2654435761  # Knuth 2^32 golden-ratio multiplier
+
+
+def source_mix_sample(
+    sf_dir: str,
+    rates: dict[str, int] | None = None,
+    documents: pa.Table | None = None,
+) -> pa.Table:
+    """Keep each doc with its source's percentage rate, decided by a
+    deterministic per-doc hash coin. Output: kept (doc_id, rate)."""
+    from website_indexer_ray.pipelines.textops import _collect_sorted
+
+    ds = _docs_ds(sf_dir, documents, ["doc_id", "source"])
+    rates_ref = ray.put(rates) if rates is not None else None
+
+    def keep(batch: pa.Table) -> pa.Table:
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        if rates_ref is not None:
+            rmap = cached_get(rates_ref)
+            enc = pc.dictionary_encode(src)
+            uniq = np.fromiter(
+                (int(rmap.get(s, 100)) for s in enc.dictionary.to_pylist()),
+                dtype=np.int64,
+                count=len(enc.dictionary),
+            )
+            rate = uniq[enc.indices.to_numpy(zero_copy_only=False)]
+        else:
+            lens = pc.utf8_length(src).to_numpy(zero_copy_only=False)
+            rate = 20 * (1 + lens % 4)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        coin = (ids * np.uint64(_MIX_MULT)) % np.uint64(2**32) % np.uint64(100)
+        mask = coin < rate.astype(np.uint64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(pa.array(mask)),
+                "rate": pa.array(rate[mask], type=pa.int64()),
+            }
+        )
+
+    return _collect_sorted(
+        ds.map_batches(keep, batch_format="pyarrow"), "doc_id"
+    )
+
+
+# --- deterministic global shuffle into training shards ----------------
+# The last step before a training run: assign every doc a pseudo-random
+# shard and a position within it, reproducibly. The shuffle key is the
+# same multiplicative hash (uncorrelated with doc_id order); shard =
+# key % n_shards, position = rank of (key, doc_id) within the shard.
+# Slim (doc_id, key, shard) rows route through the exchange keyed on
+# shard; each partition ranks its shards with one lexsort. Scale: a
+# partition holds whole shards (16-byte rows × docs/n_shards each) —
+# pick n_shards ≥ corpus_rows × 16 B / reducer_heap; at 10⁹ docs and
+# 1024 shards that is ~16 MB per shard. A writer stage can then emit
+# shard files independently, resumable per shard.
+
+SHUFFLE_SHARDS = 8
+
+
+def _shuffle_resolve(t: pa.Table) -> pa.Table:
+    doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    key = t.column("skey").to_numpy(zero_copy_only=False).astype(np.int64)
+    shard = t.column("shard").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((doc, key, shard))
+    doc_s, key_s, shard_s = doc[order], key[order], shard[order]
+    first = np.ones(len(shard_s), dtype=bool)
+    first[1:] = shard_s[1:] != shard_s[:-1]
+    starts = np.flatnonzero(first)
+    run_id = np.cumsum(first) - 1
+    pos = np.arange(len(shard_s), dtype=np.int64) - starts[run_id]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_s, type=pa.int64()),
+            "shard": pa.array(shard_s, type=pa.int64()),
+            "pos": pa.array(pos, type=pa.int64()),
+            "skey": pa.array(key_s, type=pa.int64()),
+        }
+    )
+
+
+def shuffle_shards(
+    sf_dir: str,
+    n_shards: int = SHUFFLE_SHARDS,
+    documents: pa.Table | None = None,
+) -> pa.Table:
+    ds = _docs_ds(sf_dir, documents, ["doc_id"])
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = (ids * np.uint64(_MIX_MULT)) % np.uint64(2**32)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "skey": pa.array(key.astype(np.int64), type=pa.int64()),
+                "shard": pa.array(
+                    (key % np.uint64(n_shards)).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    from website_indexer_ray.state.exchange import hash_exchange
+
+    keyed = ds.map_batches(key_rows, batch_format="pyarrow")
+    out = hash_exchange(keyed, "shard", _shuffle_resolve)
+    if out is None:
+        return pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("shard", pa.int64()),
+                ("pos", pa.int64()),
+                ("skey", pa.int64()),
+            ]
+        ).empty_table()
+    return _sorted_by(out)
+
+
 # --- sequence packing (distributed prefix sum) ------------------------
 # GPT-style packing: concatenate every doc's tokens in doc_id order
 # and cut the stream every ``seq_len`` tokens. Each doc's placement is
