@@ -113,3 +113,139 @@ class TestCurate:
         pq.write_table(docs, str(d / "documents.parquet"))
         dropped = curate.exact_dedup_dropped(str(d))
         assert dropped.tolist() == [1, 2, 3]
+
+
+class TestCurateTrainingReady:
+    """The opt-in training-readiness stages: decontamination,
+    per-source quotas, PII redaction, shard assignment."""
+
+    @pytest.fixture(scope="class")
+    def full(self, ray_session, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("curated_full"))
+        stats = curate.curate_corpus(
+            SF,
+            out,
+            redact_pii=True,
+            decon_max_overlap=3,
+            per_source_quota=10,
+            n_shards=4,
+        )
+        files = sorted(glob.glob(f"{out}/kept/documents.parquet/*.parquet"))
+        kept = pa.concat_tables(pq.read_table(f) for f in files)
+        return out, stats, kept
+
+    def test_shard_column(self, full):
+        from website_indexer_ray.pipelines.corpusops import _MIX_MULT
+
+        _out, _stats, kept = full
+        assert "shard" in kept.schema.names
+        ids = np.array(kept.column("doc_id").to_pylist(), dtype=np.uint64)
+        want = (ids * np.uint64(_MIX_MULT)) % np.uint64(2**32) % np.uint64(4)
+        assert kept.column("shard").to_pylist() == want.astype(int).tolist()
+
+    def test_eval_docs_excluded(self, full):
+        from website_indexer_ray.pipelines.corpusops import _EVAL_MOD
+
+        _out, _stats, kept = full
+        assert all(d % _EVAL_MOD != 0 for d in kept.column("doc_id").to_pylist())
+
+    def test_quota_enforced(self, full):
+        import collections
+
+        _out, _stats, kept = full
+        by_src = collections.Counter(kept.column("source").to_pylist())
+        assert by_src and max(by_src.values()) <= 10
+
+    def test_pii_redacted(self, full):
+        import re
+
+        from website_indexer_ray.pipelines.corpusops import (
+            PII_EMAIL,
+            PII_IPV4,
+            PII_PHONE,
+        )
+
+        _out, _stats, kept = full
+        blob = " ".join(kept.column("text").to_pylist())
+        for pat in (PII_EMAIL, PII_IPV4, PII_PHONE):
+            assert not re.search(pat, blob)
+
+    def test_decon_bound_holds(self, full):
+        """Recompute each kept doc's eval overlap independently via
+        the standalone operator machinery — all must be <= the cap."""
+        import pyarrow.compute as pc
+
+        from website_indexer_ray.pipelines.corpusops import (
+            DECON_N,
+            _EVAL_MOD,
+            _eval_overlap_counts,
+            _word_ngram_rows,
+        )
+
+        _out, _stats, kept = full
+        raw = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        )
+        ev_mask = pa.array(
+            [d % _EVAL_MOD == 0 for d in raw.column("doc_id").to_pylist()]
+        )
+        _, ev_grams, _ = _word_ngram_rows(
+            raw.filter(ev_mask).column("text"), DECON_N
+        )
+        # overlap measured on the PRE-redaction text (redaction could
+        # only break grams, never create overlap)
+        raw_by_id = dict(
+            zip(raw.column("doc_id").to_pylist(), raw.column("text").to_pylist())
+        )
+        kept_raw = pa.array(
+            [raw_by_id[d] for d in kept.column("doc_id").to_pylist()]
+        )
+        _, overlap = _eval_overlap_counts(kept_raw, pc.unique(ev_grams), DECON_N)
+        assert (overlap <= 3).all()
+
+    def test_resume_with_options(self, full, monkeypatch):
+        out, stats, _kept = full
+
+        def boom(*a, **k):
+            raise AssertionError("source re-read on resume")
+
+        monkeypatch.setattr(curate, "read_documents", boom)
+        stats2 = curate.curate_corpus(
+            SF,
+            out,
+            redact_pii=True,
+            decon_max_overlap=3,
+            per_source_quota=10,
+            n_shards=4,
+        )
+        assert "kept" in stats2.column("stage").to_pylist()
+
+    def test_normalize_feeds_dedup(self, ray_session, tmp_path):
+        """With normalize=True, case/whitespace variants of one text
+        collapse in stage 1 and exact dedup then drops the twins."""
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(3), type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "the quick brown fox " * 10,
+                        ("THE  quick   BROWN fox " * 10).strip() + " ",
+                        "a completely different document here " * 8,
+                    ]
+                ),
+                "source": pa.array(["s"] * 3),
+            }
+        )
+        d = tmp_path / "mini"
+        d.mkdir()
+        pq.write_table(docs, str(d / "documents.parquet"))
+        out = str(tmp_path / "out")
+        curate.curate_corpus(
+            str(d), out, min_tokens=5, max_tokens=10000, normalize=True
+        )
+        files = sorted(glob.glob(f"{out}/kept/documents.parquet/*.parquet"))
+        kept = pa.concat_tables(pq.read_table(f) for f in files)
+        kept_ids = sorted(kept.column("doc_id").to_pylist())
+        assert 0 in kept_ids and 1 not in kept_ids
+        # stage-1 output carries the normalized text
+        assert all("  " not in t for t in kept.column("text").to_pylist())

@@ -205,6 +205,11 @@ def cmd_curate(args) -> int:
         max_tokens=args.max_tokens,
         langs=tuple(args.langs.split(",")),
         jaccard_threshold=args.jaccard,
+        normalize=args.normalize,
+        redact_pii=args.redact_pii,
+        decon_max_overlap=args.decon_max_overlap,
+        per_source_quota=args.per_source_quota,
+        n_shards=args.n_shards,
     )
     print(
         json.dumps(
@@ -321,6 +326,11 @@ def main(argv=None) -> int:
     cu.add_argument("--max-tokens", type=int, default=1000)
     cu.add_argument("--langs", default="en")
     cu.add_argument("--jaccard", type=float, default=0.5)
+    cu.add_argument("--normalize", action="store_true")
+    cu.add_argument("--redact-pii", action="store_true")
+    cu.add_argument("--decon-max-overlap", type=int, default=None)
+    cu.add_argument("--per-source-quota", type=int, default=None)
+    cu.add_argument("--n-shards", type=int, default=None)
     cu.set_defaults(fn=cmd_curate)
 
     m = sub.add_parser("manage")

@@ -56,14 +56,19 @@ PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
 
 
+def _redact_text(text: pa.ChunkedArray | pa.Array):
+    """Chained fixed-order PII replacement; shared with curate.py."""
+    red = pc.replace_substring_regex(text, PII_EMAIL, "<EMAIL>")
+    red = pc.replace_substring_regex(red, PII_IPV4, "<IP>")
+    return pc.replace_substring_regex(red, PII_PHONE, "<PHONE>")
+
+
 def _pii_mapped(sf_dir: str, documents: pa.Table | None = None):
     ds = _docs_ds(sf_dir, documents, ["doc_id", "text"])
 
     def redact(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
-        red = pc.replace_substring_regex(text, PII_EMAIL, "<EMAIL>")
-        red = pc.replace_substring_regex(red, PII_IPV4, "<IP>")
-        red = pc.replace_substring_regex(red, PII_PHONE, "<PHONE>")
+        red = _redact_text(text)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -205,6 +210,34 @@ def _word_ngram_rows(
     )
 
 
+def _eval_overlap_counts(
+    text: pa.ChunkedArray | pa.Array, ev_set: pa.Array, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per row: (n-gram slot count, DISTINCT grams hitting ev_set).
+    One vectorized gram build + one ``pc.is_in`` + one in-batch
+    ``group_by(count_distinct)``. Shared with curate.py's
+    decontamination mask."""
+    row_of, grams, n_slots = _word_ngram_rows(text, n)
+    overlap = np.zeros(len(n_slots), dtype=np.int64)
+    if len(grams) and len(ev_set):
+        hit = pc.is_in(grams, value_set=ev_set).to_numpy(zero_copy_only=False)
+        if hit.any():
+            idx = np.flatnonzero(hit)
+            pairs = pa.table(
+                {
+                    "row": pa.array(row_of[idx], type=pa.int64()),
+                    "g": grams.take(pa.array(idx)),
+                }
+            )
+            per_row = agg_named(
+                pairs, "row", [("g", "count_distinct")], ["row", "c"]
+            )
+            overlap[per_row.column("row").to_numpy(zero_copy_only=False)] = (
+                per_row.column("c").to_numpy(zero_copy_only=False)
+            )
+    return n_slots, overlap
+
+
 def decontaminate(
     sf_dir: str,
     n: int = DECON_N,
@@ -239,26 +272,7 @@ def decontaminate(
     def score(batch: pa.Table) -> pa.Table:
         ev_set = cached_get(grams_ref)
         batch = batch.filter(pa.array(~_is_eval(batch)))
-        row_of, grams, n_slots = _word_ngram_rows(batch.column("text"), n)
-        overlap = np.zeros(batch.num_rows, dtype=np.int64)
-        if len(grams) and len(ev_set):
-            hit = pc.is_in(grams, value_set=ev_set).to_numpy(
-                zero_copy_only=False
-            )
-            if hit.any():
-                idx = np.flatnonzero(hit)
-                pairs = pa.table(
-                    {
-                        "row": pa.array(row_of[idx], type=pa.int64()),
-                        "g": grams.take(pa.array(idx)),
-                    }
-                )
-                per_row = agg_named(
-                    pairs, "row", [("g", "count_distinct")], ["row", "c"]
-                )
-                overlap[per_row.column("row").to_numpy(zero_copy_only=False)] = (
-                    per_row.column("c").to_numpy(zero_copy_only=False)
-                )
+        n_slots, overlap = _eval_overlap_counts(batch.column("text"), ev_set, n)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

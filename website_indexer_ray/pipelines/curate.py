@@ -1,11 +1,15 @@
 """The flagship composite training-data pipeline: documents →
-cleaned, deduplicated corpus, checkpointed at every stage.
+cleaned, deduplicated, training-ready corpus, checkpointed at every
+stage.
 
 This is what a user of the engine actually runs over a raw 100-TB
-document dump: one streaming cleaning pass (token-length gate +
-language ID — pure per-batch predicates, no global state), exact
-dedup, MinHash-LSH near-dedup, and a final keep pass — composed from
-the textops operators with the engine's resume protocol:
+document dump: one streaming cleaning pass (optional normalization +
+token-length gate + language ID — pure per-batch predicates, no
+global state), exact dedup, MinHash-LSH near-dedup, then one final
+keep pass that can also decontaminate against an eval set, enforce
+per-source quotas, redact PII and assign training shards — composed
+from the textops/corpusops operators with the engine's resume
+protocol:
 
   out_dir/
     filtered/_SUCCESS + filtered/documents.parquet/   (stage 1)
@@ -18,7 +22,11 @@ Scale shape (the part that matters at 10^10 docs):
     count, not corpus size) via one ``ray.put`` each — the exact-dup
     drop list comes off a content-hash exchange that emits only
     non-minimum members of duplicate groups, the near-dup drop list
-    off the slim LSH pair list's union-find;
+    off the slim LSH pair list's union-find; the per-source quota
+    stage likewise broadcasts only the over-quota EXCESS ids from a
+    slim keyed exchange;
+  - decontamination / PII / shard assignment are per-batch kernels
+    folded into the single final pass (eval n-grams broadcast once);
   - a resumed run skips every stage whose ``_SUCCESS`` exists.
 """
 
@@ -106,6 +114,64 @@ def exact_dedup_dropped(sf_dir: str) -> np.ndarray:
     return np.sort(out.column("doc_id").to_numpy(zero_copy_only=False))
 
 
+def quota_dropped(filtered_data: str, dropped: np.ndarray, k: int) -> np.ndarray:
+    """doc_ids to DROP to enforce a per-source quota of k among the
+    dedup survivors: everything past the k smallest doc_ids of each
+    source. Slim (doc_id, source) rows route through the exchange
+    hashed on source (string rides along — grouping is exact);
+    output ∝ over-quota excess, never corpus size."""
+    from zlib import crc32
+
+    dropped_ref = ray.put(dropped)
+    ds = ray.data.read_parquet(filtered_data, columns=["doc_id", "source"])
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        dr = cached_get(dropped_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(~np.isin(ids, dr)))
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = pc.dictionary_encode(src)
+        uniq = np.fromiter(
+            (crc32(s.encode()) & 0x7FFFFFFF for s in enc.dictionary.to_pylist()),
+            dtype=np.int64,
+            count=len(enc.dictionary),
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": src,
+                "src_hash": pa.array(uniq[codes], type=pa.int64()),
+            }
+        )
+
+    def over_quota(t: pa.Table) -> pa.Table:
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src_col = t.column("source")
+        if isinstance(src_col, pa.ChunkedArray):
+            src_col = src_col.combine_chunks()
+        src = pc.dictionary_encode(src_col).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        order = np.lexsort((doc, src))
+        src_s, doc_s = src[order], doc[order]
+        first = np.ones(len(src_s), dtype=bool)
+        first[1:] = src_s[1:] != src_s[:-1]
+        starts = np.flatnonzero(first)
+        run_id = np.cumsum(first) - 1
+        pos = np.arange(len(src_s), dtype=np.int64) - starts[run_id]
+        return pa.table({"doc_id": pa.array(doc_s[pos >= k], type=pa.int64())})
+
+    out = hash_exchange(
+        ds.map_batches(key_rows, batch_format="pyarrow"), "src_hash", over_quota
+    )
+    if out is None:
+        return np.array([], dtype=np.int64)
+    return np.sort(out.column("doc_id").to_numpy(zero_copy_only=False))
+
+
 def curate_corpus(
     sf_dir: str,
     out_dir: str,
@@ -113,10 +179,33 @@ def curate_corpus(
     max_tokens: int = 1000,
     langs: tuple[str, ...] = ("en",),
     jaccard_threshold: float = 0.5,
+    normalize: bool = False,
+    redact_pii: bool = False,
+    decon_max_overlap: int | None = None,
+    eval_documents: pa.Table | None = None,
+    per_source_quota: int | None = None,
+    n_shards: int | None = None,
 ) -> pa.Table:
     """Run the full curation pipeline; returns the per-stage lineage
     table (stage, n_docs). Re-running resumes from the last committed
-    stage."""
+    stage.
+
+    Opt-in training-readiness stages (all default off; the base
+    clean→dedup→keep behavior is unchanged):
+      - ``normalize``: lowercase/whitespace-collapse text in stage 1,
+        before the length gate and language ID.
+      - ``decon_max_overlap``: drop kept docs whose distinct word
+        5-grams overlap the eval set more than this many times (and
+        drop the eval docs themselves). ``eval_documents`` supplies
+        the eval table; default is the doc_id %% 101 == 0 stand-in
+        split of the input.
+      - ``per_source_quota``: keep at most k docs (smallest doc_ids)
+        per source among the dedup survivors.
+      - ``redact_pii``: rewrite kept text through the email/IP/phone
+        redaction kernels.
+      - ``n_shards``: add a deterministic training-shard column
+        (multiplicative-hash) to the kept output.
+    """
     filtered_dir = os.path.join(out_dir, "filtered")
     filtered_data = os.path.join(filtered_dir, "documents.parquet")
     kept_dir = os.path.join(out_dir, "kept")
@@ -135,6 +224,17 @@ def curate_corpus(
         lang_set = frozenset(langs)
 
         def clean(batch: pa.Table) -> pa.Table:
+            if normalize:
+                from website_indexer_ray.pipelines.corpusops import (
+                    _normalize_batch,
+                )
+
+                norm = _normalize_batch(batch)
+                batch = batch.set_column(
+                    batch.schema.get_field_index("text"),
+                    "text",
+                    norm.column("text"),
+                )
             n = _count_re(batch.column("text"), _TOKEN_PAT)
             mask = pc.and_(
                 pc.greater_equal(n, min_tokens), pc.less_equal(n, max_tokens)
@@ -149,7 +249,8 @@ def curate_corpus(
             )
             return batch.filter(keep)
 
-        read_documents(sf_dir).map_batches(
+        # source rides along as provenance (and feeds the quota stage)
+        read_documents(sf_dir, columns=["doc_id", "text", "source"]).map_batches(
             clean, batch_format="pyarrow"
         ).write_parquet(filtered_data)
         _commit(filtered_dir)
@@ -178,19 +279,102 @@ def curate_corpus(
                 pairs = pairs.filter(pa.array(alive))
             dropped_near = _dropped_from_pairs(pairs)
             dropped = np.union1d(dropped_exact, dropped_near)
+            if per_source_quota is not None:
+                dropped = np.union1d(
+                    dropped,
+                    quota_dropped(filtered_data, dropped, per_source_quota),
+                )
             dropped_ref = ray.put(dropped)
+
+            ev_grams_ref = None
+            if decon_max_overlap is not None:
+                from website_indexer_ray.pipelines.corpusops import (
+                    DECON_N,
+                    _EVAL_MOD,
+                    _word_ngram_rows,
+                )
+
+                if eval_documents is not None:
+                    ev_tbl = eval_documents
+                else:
+                    # stand-in eval split: doc_id % 101 == 0 of the
+                    # RAW input (eval membership must not depend on
+                    # what the cleaning stages dropped)
+                    ev = read_documents(sf_dir, columns=["doc_id", "text"])
+
+                    def _ev_filter(b: pa.Table) -> pa.Table:
+                        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+                        return b.filter(pa.array(ids % _EVAL_MOD == 0))
+
+                    parts = [
+                        t
+                        for t in (
+                            ray.get(r)
+                            for r in ev.map_batches(
+                                _ev_filter, batch_format="pyarrow"
+                            ).to_arrow_refs()
+                        )
+                        if t.num_rows
+                    ]
+                    ev_tbl = (
+                        pa.concat_tables(parts)
+                        if parts
+                        else pa.table({"text": pa.array([], type=pa.string())})
+                    )
+                _, ev_grams, _ = _word_ngram_rows(ev_tbl.column("text"), DECON_N)
+                ev_grams_ref = ray.put(pc.unique(ev_grams))
 
             def keep(batch: pa.Table) -> pa.Table:
                 dr = cached_get(dropped_ref)
                 ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-                return batch.filter(pa.array(~np.isin(ids, dr)))
+                mask = ~np.isin(ids, dr)
+                if decon_max_overlap is not None:
+                    from website_indexer_ray.pipelines.corpusops import (
+                        DECON_N,
+                        _EVAL_MOD,
+                        _eval_overlap_counts,
+                    )
+
+                    mask &= ids % _EVAL_MOD != 0  # the eval docs themselves
+                    _, overlap = _eval_overlap_counts(
+                        batch.column("text"), cached_get(ev_grams_ref), DECON_N
+                    )
+                    mask &= overlap <= decon_max_overlap
+                batch = batch.filter(pa.array(mask))
+                if batch.num_rows and redact_pii:
+                    from website_indexer_ray.pipelines.corpusops import (
+                        _redact_text,
+                    )
+
+                    batch = batch.set_column(
+                        batch.schema.get_field_index("text"),
+                        "text",
+                        pc.cast(_redact_text(batch.column("text")), pa.string()),
+                    )
+                if n_shards is not None:
+                    from website_indexer_ray.pipelines.corpusops import _MIX_MULT
+
+                    kept_ids = (
+                        batch.column("doc_id")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.uint64)
+                    )
+                    shard = (
+                        (kept_ids * np.uint64(_MIX_MULT))
+                        % np.uint64(2**32)
+                        % np.uint64(n_shards)
+                    ).astype(np.int64)
+                    batch = batch.append_column(
+                        "shard", pa.array(shard, type=pa.int64())
+                    )
+                return batch
 
             os.makedirs(kept_dir, exist_ok=True)
             ray.data.read_parquet(filtered_data).map_batches(
                 keep, batch_format="pyarrow"
             ).write_parquet(kept_data)
             _commit(kept_dir)
-            n_kept = n_cleaned - len(dropped)
+            n_kept = _dir_rows(kept_data)
     else:
         # resumed: recompute only the cheap exact-drop count for stats
         n_after_exact = None
