@@ -68,6 +68,10 @@ def build_corpus(sf_dir: str, replicas: int, filler_tokens: int = 150) -> str:
             {
                 "doc_id": pa.array(out_ids, type=pa.int64()),
                 "text": pa.array(out_txt, type=pa.string()),
+                # deterministic 97-way source fan for the quota op
+                "source": pa.array(
+                    [f"src{i % 97}" for i in out_ids], type=pa.string()
+                ),
             }
         ),
         path,
@@ -100,7 +104,7 @@ def main() -> None:
     ).num_rows
     print(json.dumps({"stress_docs": n_docs, "replicas": replicas}))
 
-    from website_indexer_ray.pipelines import textops
+    from website_indexer_ray.pipelines import corpusops, textops
     from website_indexer_ray.state.exchange import _pool
 
     results = {}
@@ -108,6 +112,9 @@ def main() -> None:
         ("paragraph_dedup", textops.paragraph_dedup),
         ("simhash_pairs", textops.simhash_pairs),
         ("minhash_lsh_pairs", textops.minhash_lsh_pairs),
+        ("group_quota_sample", corpusops.group_quota_sample),
+        ("shuffle_shards", corpusops.shuffle_shards),
+        ("seq_pack", corpusops.seq_pack),
     ):
         shards = _pool(8)
         ray.get([s.reset_peak.remote() for s in shards])

@@ -246,6 +246,37 @@ class TestShuffleShards:
             assert (np.diff(skey[shards == s][in_shard]) >= 0).all()
 
 
+class TestShuffleShardsWrite:
+    def test_sink_files_are_pos_ordered_shards(self, ray_session, tmp_path):
+        """Each sink partition file IS one shard in position order,
+        and the union equals the table form."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from website_indexer_ray.pipelines import corpusops
+
+        out = str(tmp_path / "shards")
+        corpusops.shuffle_shards_write(SF_DIR, out, n_shards=4)
+        assert (tmp_path / "shards" / "_SUCCESS").exists()
+        table_form = corpusops.shuffle_shards(SF_DIR, n_shards=4)
+        parts = []
+        for f in sorted(glob.glob(f"{out}/part-*.parquet")):
+            t = pq.read_table(f)
+            shards = set(t.column("shard").to_pylist())
+            assert len(shards) == 1  # one file == one shard
+            pos = t.column("pos").to_pylist()
+            assert pos == sorted(pos) == list(range(len(pos)))
+            parts.append(t)
+        merged = pa.concat_tables(parts)
+        merged = merged.take(
+            pa.compute.sort_indices(merged, sort_keys=[("doc_id", "ascending")])
+        )
+        assert merged.equals(table_form)
+        # resume: a second call with _SUCCESS present is a no-op
+        corpusops.shuffle_shards_write(SF_DIR, out, n_shards=4)
+
+
 class TestSeqPack:
     def test_matches_naive_cumsum(self, ray_session):
         from website_indexer_ray.pipelines import corpusops

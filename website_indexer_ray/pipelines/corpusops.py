@@ -537,6 +537,44 @@ def shuffle_shards(
     return _sorted_by(out)
 
 
+def shuffle_shards_write(
+    sf_dir: str, out_dir: str, n_shards: int = SHUFFLE_SHARDS
+) -> None:
+    """Sink form: lands each training shard as ONE pos-ordered parquet
+    file, nothing O(docs) on the driver. ``n_reducers=n_shards`` makes
+    every exchange partition exactly one shard (partition p owns
+    shard p), and the resolve body's lexsort already emits rows in
+    position order — the file IS the shard, ready for a sequential
+    trainer read. Commits a ``_SUCCESS`` manifest; a resumed run
+    skips the whole write."""
+    from website_indexer_ray.state.exchange import hash_exchange, sink_committed
+
+    if sink_committed(out_dir):
+        return
+    ds = _docs_ds(sf_dir, None, ["doc_id"])
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = (ids * np.uint64(_MIX_MULT)) % np.uint64(2**32)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "skey": pa.array(key.astype(np.int64), type=pa.int64()),
+                "shard": pa.array(
+                    (key % np.uint64(n_shards)).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    hash_exchange(
+        ds.map_batches(key_rows, batch_format="pyarrow"),
+        "shard",
+        _shuffle_resolve,
+        n_reducers=n_shards,
+        sink_dir=out_dir,
+    )
+
+
 # --- sequence packing (distributed prefix sum) ------------------------
 # GPT-style packing: concatenate every doc's tokens in doc_id order
 # and cut the stream every ``seq_len`` tokens. Each doc's placement is
