@@ -446,6 +446,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_top_tokens": textops.approx_top_tokens,
         "crawl_near_dup_keep": _crawl_near_dup,
         "ngram_jaccard_pairs": textops.ngram_jaccard_pairs,
+        # deterministic but not SQL-expressible (per-byte LM scan);
+        # exact gate = naive-reference parity in test_corpusops
+        "lm_perplexity": corpusops.lm_perplexity,
     }
 
 

@@ -1,12 +1,11 @@
 """Corpus-curation operators (pipelines/corpusops.py) against their
 DuckDB oracles plus structural / synthetic-input invariants.
 
-These five queries() entries sit past the driver gate's 50-entry
-truncation (see __ray_entry__.py), so this module IS their exact-match
-gate: it replicates the driver comparison (row count + sorted column
-names + values vs the oracle_sql() entries) at sf0.001, plus targeted
-unit tests on synthetic content the sf tables don't exercise (PII
-hits, duplicated bigrams, planted eval contamination, packing math).
+This module replicates the driver comparison (row count + sorted
+column names + values vs the oracle_sql() entries) at sf0.001, plus
+targeted unit tests on synthetic content the sf tables don't exercise
+(PII hits, duplicated bigrams, planted eval contamination, packing
+math, the byte-bigram LM's naive-reference parity).
 """
 
 import duckdb
@@ -312,3 +311,121 @@ class TestSeqPack:
         ntok = np.array(out.column("n_tokens").to_pylist())
         assert (starts[1:] == starts[:-1] + ntok[:-1]).all()
         assert starts[0] == 0
+
+
+def _naive_ppl(texts: list[str]) -> list[float | None]:
+    """Pure-Python reference: order-2 byte LM with add-one smoothing,
+    trained on the same texts, sequential per-doc log-prob sums."""
+    import math
+    from collections import Counter
+
+    bigrams: Counter = Counter()
+    row: Counter = Counter()
+    for t in texts:
+        b = t.encode()
+        for i in range(len(b) - 1):
+            bigrams[(b[i], b[i + 1])] += 1
+            row[b[i]] += 1
+    out: list[float | None] = []
+    for t in texts:
+        b = t.encode()
+        if len(b) < 2:
+            out.append(None)
+            continue
+        s = 0.0
+        for i in range(len(b) - 1):
+            c = bigrams[(b[i], b[i + 1])]
+            s += math.log2((c + 1) / (row[b[i]] + 256))
+        out.append(2.0 ** (-s / (len(b) - 1)))
+    return out
+
+
+class TestLmPerplexity:
+    DOCS = pa.table(
+        {
+            "doc_id": pa.array(range(7), type=pa.int64()),
+            "text": pa.array(
+                [
+                    "the quick brown fox jumps over the lazy dog",
+                    "the quick brown fox jumps over the lazy dog",
+                    "zzzzqqqqxxxx jjjj kkkk wwww vvvv",
+                    "",  # no bytes -> null ppl
+                    "a",  # one byte, no transition -> null ppl
+                    "naïve café — déjà vu ünïcödé",  # multi-byte UTF-8
+                    "the the the the the the the the",
+                ]
+            ),
+        }
+    )
+
+    def test_matches_naive_reference(self, ray_session):
+        from website_indexer_ray.pipelines import corpusops
+
+        got = corpusops.lm_perplexity(SF_DIR, documents=self.DOCS)
+        want = _naive_ppl(self.DOCS.column("text").to_pylist())
+        assert got.column("doc_id").to_pylist() == list(range(7))
+        assert got.column("n_trans").to_pylist() == [
+            max(len(t.encode()) - 1, 0) for t in self.DOCS.column("text").to_pylist()
+        ]
+        for g, w in zip(got.column("ppl").to_pylist(), want):
+            if w is None:
+                assert g is None
+            else:
+                assert g == pytest.approx(w, rel=1e-9)
+        # duplicate docs score identically; pure repetition scores as
+        # far more predictable than the letter-salad doc
+        ppl = got.column("ppl").to_pylist()
+        assert ppl[0] == ppl[1]
+        assert ppl[6] < ppl[0] < ppl[2]
+
+    def test_score_independent_of_batching(self):
+        """A doc's score depends only on its own bytes + the model:
+        per-doc singleton batches reproduce the concatenated batch
+        exactly (boundary transitions never leak across docs)."""
+        from website_indexer_ray.pipelines import corpusops
+
+        texts = self.DOCS.column("text")
+        buf, offs = corpusops._text_bytes_offsets(texts)
+        ids, n_trans = corpusops._bigram_ids(buf, offs)
+        logp = np.arange(corpusops._LM_CELLS, dtype=np.float64) * 1e-6
+        starts = (np.cumsum(n_trans) - n_trans)[n_trans > 0]
+        sums = np.add.reduceat(logp[ids], starts)
+        singles = []
+        for t in texts.to_pylist():
+            b1, o1 = corpusops._text_bytes_offsets(pa.array([t]))
+            i1, n1 = corpusops._bigram_ids(b1, o1)
+            if n1[0] > 0:
+                singles.append(np.add.reduceat(logp[i1], np.array([0]))[0])
+        assert np.allclose(sums, np.array(singles), rtol=0, atol=0)
+
+    def test_sf_corpus_against_naive(self, ray_session):
+        """Full sf0.001 documents table vs the naive reference."""
+        import pyarrow.parquet as pq
+
+        from website_indexer_ray.pipelines import corpusops
+
+        docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        got = corpusops.lm_perplexity(SF_DIR)
+        order = pa.compute.sort_indices(docs, sort_keys=[("doc_id", "ascending")])
+        docs = docs.take(order)
+        want = _naive_ppl(docs.column("text").to_pylist())
+        assert got.num_rows == docs.num_rows
+        for g, w in zip(got.column("ppl").to_pylist(), want):
+            assert g == pytest.approx(w, rel=1e-9)
+
+    def test_write_form_matches_table_form(self, ray_session, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from website_indexer_ray.pipelines import corpusops
+
+        out = str(tmp_path / "ppl")
+        corpusops.lm_perplexity_write(SF_DIR, out)
+        files = sorted(glob.glob(f"{out}/**/*.parquet", recursive=True))
+        assert files
+        merged = pa.concat_tables([pq.read_table(f) for f in files])
+        merged = merged.take(
+            pa.compute.sort_indices(merged, sort_keys=[("doc_id", "ascending")])
+        )
+        assert merged.equals(corpusops.lm_perplexity(SF_DIR))

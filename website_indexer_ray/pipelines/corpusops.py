@@ -683,3 +683,143 @@ def seq_pack(
             ]
         ).empty_table()
     return _sorted_by(out)
+
+
+# --- LM perplexity scoring (CCNet-style quality signal) ---------------
+# Score every document by its perplexity under an order-2 byte-level
+# language model trained on the corpus itself (CCNet scores against a
+# held-out reference corpus; pass ``train_documents`` for that). Two
+# streaming passes:
+#   1. train: each batch folds its text bytes into bigram counts with
+#      one ``np.bincount`` and emits only the NONZERO (cell, cnt)
+#      rows — a few-KB partial per batch regardless of batch size;
+#      partials merge through the adaptive driver/exchange path (cell
+#      domain is fixed at 256^2, so the merged model is always tiny).
+#   2. score: the add-one-smoothed log2-prob table (65,536 float64 =
+#      512 KB) broadcasts once via ray.put; each batch walks its
+#      concatenated UTF-8 buffer with one fancy-index gather and one
+#      ``np.add.reduceat`` per-doc reduction — cross-doc boundary
+#      transitions are masked out, so a doc's score is independent of
+#      which batch it lands in (deterministic under any partitioning).
+# ppl = 2 ** (-mean log2 P(b_i | b_{i-1})); docs with fewer than two
+# bytes have no transitions and score null. No SQL oracle (DuckDB has
+# no per-byte scan) — the pytest gate compares against a naive
+# per-doc Python reference and pins batching-independence.
+
+_LM_CELLS = 256 * 256
+
+
+def _text_bytes_offsets(col) -> tuple[np.ndarray, np.ndarray]:
+    """(bytes, offsets) view of a string column: one uint8 array of
+    every doc's UTF-8 bytes plus int64 doc offsets into it. Zero-copy
+    from the Arrow buffers (modulo the null fill and a large_string
+    upcast)."""
+    a = pc.fill_null(col, "")
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    a = a.cast(pa.large_string())
+    raw_offs = np.frombuffer(a.buffers()[1], dtype=np.int64)
+    offs = raw_offs[a.offset : a.offset + len(a) + 1]
+    data = np.frombuffer(a.buffers()[2], dtype=np.uint8)
+    buf = data[offs[0] : offs[-1]]
+    return buf, (offs - offs[0]).astype(np.int64)
+
+
+def _bigram_ids(buf: np.ndarray, offs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Within-doc byte-bigram cell ids for a concatenated buffer, plus
+    per-doc transition counts. Transitions that straddle a doc
+    boundary are dropped."""
+    n_trans = np.maximum(np.diff(offs) - 1, 0)
+    if len(buf) < 2:
+        return np.empty(0, dtype=np.int32), n_trans
+    ids = buf[:-1].astype(np.int32) * 256 + buf[1:]
+    # position p is a real transition iff p+1 is not a doc start
+    is_start = np.zeros(len(buf) + 1, dtype=bool)
+    is_start[offs] = True
+    return ids[~is_start[1 : len(buf)]], n_trans
+
+
+def _lm_model(sf_dir: str, documents: pa.Table | None):
+    """Train the bigram model; returns the dense log2-prob table."""
+    ds = _docs_ds(sf_dir, documents, ["text"])
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        buf, offs = _text_bytes_offsets(batch.column("text"))
+        ids, _ = _bigram_ids(buf, offs)
+        counts = np.bincount(ids, minlength=_LM_CELLS)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "cell": pa.array(nz.astype(np.int64), type=pa.int64()),
+                "cnt": pa.array(counts[nz].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def cell_sum(t: pa.Table) -> pa.Table:
+        return agg_named(
+            t.select(["cell", "cnt"]), "cell", [("cnt", "sum")], ["cell", "cnt"]
+        )
+
+    from website_indexer_ray.pipelines.textops import _merge_partials_adaptive
+
+    merged = cell_sum(
+        _merge_partials_adaptive(
+            ds.map_batches(count_batch, batch_format="pyarrow"), "cell", cell_sum
+        )
+    )
+    dense = np.zeros(_LM_CELLS, dtype=np.int64)
+    dense[merged.column("cell").to_numpy(zero_copy_only=False)] = merged.column(
+        "cnt"
+    ).to_numpy(zero_copy_only=False)
+    row_tot = dense.reshape(256, 256).sum(axis=1)
+    logp = np.log2(dense + 1.0) - np.repeat(np.log2(row_tot + 256.0), 256)
+    return logp
+
+
+def _ppl_mapped(sf_dir: str, documents: pa.Table | None, logp_ref):
+    ds = _docs_ds(sf_dir, documents, ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        logp = cached_get(logp_ref)
+        buf, offs = _text_bytes_offsets(batch.column("text"))
+        ids, n_trans = _bigram_ids(buf, offs)
+        sums = np.zeros(len(n_trans), dtype=np.float64)
+        nz = n_trans > 0
+        if ids.size:
+            starts = (np.cumsum(n_trans) - n_trans)[nz]
+            sums[nz] = np.add.reduceat(logp[ids], starts)
+        ppl = np.where(nz, np.exp2(-sums / np.maximum(n_trans, 1)), np.nan)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_trans": pa.array(n_trans, type=pa.int64()),
+                "ppl": pa.array(ppl, type=pa.float64(), from_pandas=True),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def lm_perplexity(
+    sf_dir: str,
+    documents: pa.Table | None = None,
+    train_documents: pa.Table | None = None,
+) -> pa.Table:
+    """Per-doc byte-bigram perplexity (doc_id, n_trans, ppl). The
+    table form exists for the driver query contract; use
+    :func:`lm_perplexity_write` in a real pipeline."""
+    logp_ref = ray.put(
+        _lm_model(sf_dir, train_documents if train_documents is not None else documents)
+    )
+    from website_indexer_ray.pipelines.textops import _collect_sorted
+
+    return _collect_sorted(_ppl_mapped(sf_dir, documents, logp_ref), "doc_id")
+
+
+def lm_perplexity_write(
+    sf_dir: str, out_dir: str, train_documents: pa.Table | None = None
+) -> None:
+    from website_indexer_ray.util import committed_parquet_write
+
+    logp_ref = ray.put(_lm_model(sf_dir, train_documents))
+    committed_parquet_write(_ppl_mapped(sf_dir, None, logp_ref), out_dir)
