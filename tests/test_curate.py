@@ -249,3 +249,51 @@ class TestCurateTrainingReady:
         assert 0 in kept_ids and 1 not in kept_ids
         # stage-1 output carries the normalized text
         assert all("  " not in t for t in kept.column("text").to_pylist())
+
+
+class TestCuratePplGate:
+    """The opt-in CCNet-style perplexity gate (max_ppl)."""
+
+    def test_ppl_gate_equals_composed_operator(
+        self, curated, tmp_path_factory
+    ):
+        """kept(max_ppl=t) == kept(baseline) ∩ {ppl <= t}, with ppl
+        from the standalone lm_perplexity over the same cleaned
+        corpus the pipeline trains its model on."""
+        from website_indexer_ray.pipelines import corpusops
+
+        base_out, _stats = curated
+        base_kept = set(
+            v
+            for f in glob.glob(f"{base_out}/kept/documents.parquet/*.parquet")
+            for v in pq.read_table(f, columns=["doc_id"])
+            .column("doc_id")
+            .to_pylist()
+        )
+        ppl_tbl = corpusops.lm_perplexity(f"{base_out}/filtered")
+        ppl = dict(
+            zip(
+                ppl_tbl.column("doc_id").to_pylist(),
+                ppl_tbl.column("ppl").to_pylist(),
+            )
+        )
+        thr = float(np.median([p for p in ppl.values() if p is not None]))
+        out = str(tmp_path_factory.mktemp("curated_ppl"))
+        stats = curate.curate_corpus(SF, out, max_ppl=thr)
+        kept = sorted(
+            v
+            for f in glob.glob(f"{out}/kept/documents.parquet/*.parquet")
+            for v in pq.read_table(f, columns=["doc_id"])
+            .column("doc_id")
+            .to_pylist()
+        )
+        want = sorted(
+            d for d in base_kept if ppl[d] is not None and ppl[d] <= thr
+        )
+        assert kept == want
+        assert 0 < len(kept) < len(base_kept)
+        counts = dict(
+            zip(stats.column("stage").to_pylist(),
+                stats.column("n_docs").to_pylist())
+        )
+        assert counts["kept"] == len(kept)

@@ -210,6 +210,7 @@ def cmd_curate(args) -> int:
         decon_max_overlap=args.decon_max_overlap,
         per_source_quota=args.per_source_quota,
         n_shards=args.n_shards,
+        max_ppl=args.max_ppl,
     )
     print(
         json.dumps(
@@ -331,6 +332,7 @@ def main(argv=None) -> int:
     cu.add_argument("--decon-max-overlap", type=int, default=None)
     cu.add_argument("--per-source-quota", type=int, default=None)
     cu.add_argument("--n-shards", type=int, default=None)
+    cu.add_argument("--max-ppl", type=float, default=None)
     cu.set_defaults(fn=cmd_curate)
 
     m = sub.add_parser("manage")

@@ -776,19 +776,24 @@ def _lm_model(sf_dir: str, documents: pa.Table | None):
     return logp
 
 
+def _ppl_scores(col, logp: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(n_trans, ppl) per doc of a text column under a trained model;
+    docs without transitions score NaN."""
+    buf, offs = _text_bytes_offsets(col)
+    ids, n_trans = _bigram_ids(buf, offs)
+    sums = np.zeros(len(n_trans), dtype=np.float64)
+    nz = n_trans > 0
+    if ids.size:
+        starts = (np.cumsum(n_trans) - n_trans)[nz]
+        sums[nz] = np.add.reduceat(logp[ids], starts)
+    return n_trans, np.where(nz, np.exp2(-sums / np.maximum(n_trans, 1)), np.nan)
+
+
 def _ppl_mapped(sf_dir: str, documents: pa.Table | None, logp_ref):
     ds = _docs_ds(sf_dir, documents, ["doc_id", "text"])
 
     def score(batch: pa.Table) -> pa.Table:
-        logp = cached_get(logp_ref)
-        buf, offs = _text_bytes_offsets(batch.column("text"))
-        ids, n_trans = _bigram_ids(buf, offs)
-        sums = np.zeros(len(n_trans), dtype=np.float64)
-        nz = n_trans > 0
-        if ids.size:
-            starts = (np.cumsum(n_trans) - n_trans)[nz]
-            sums[nz] = np.add.reduceat(logp[ids], starts)
-        ppl = np.where(nz, np.exp2(-sums / np.maximum(n_trans, 1)), np.nan)
+        n_trans, ppl = _ppl_scores(batch.column("text"), cached_get(logp_ref))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

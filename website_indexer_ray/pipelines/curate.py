@@ -185,6 +185,7 @@ def curate_corpus(
     eval_documents: pa.Table | None = None,
     per_source_quota: int | None = None,
     n_shards: int | None = None,
+    max_ppl: float | None = None,
 ) -> pa.Table:
     """Run the full curation pipeline; returns the per-stage lineage
     table (stage, n_docs). Re-running resumes from the last committed
@@ -205,6 +206,12 @@ def curate_corpus(
         redaction kernels.
       - ``n_shards``: add a deterministic training-shard column
         (multiplicative-hash) to the kept output.
+      - ``max_ppl``: drop kept docs whose byte-bigram LM perplexity
+        (CCNet-style; model trained once on the cleaned corpus, the
+        512 KB log-prob table broadcast via one ``ray.put``) exceeds
+        this bound. Docs with fewer than two bytes score NaN and are
+        dropped by the gate (the default ``min_tokens`` makes that
+        vacuous).
     """
     filtered_dir = os.path.join(out_dir, "filtered")
     filtered_data = os.path.join(filtered_dir, "documents.parquet")
@@ -324,6 +331,12 @@ def curate_corpus(
                 _, ev_grams, _ = _word_ngram_rows(ev_tbl.column("text"), DECON_N)
                 ev_grams_ref = ray.put(pc.unique(ev_grams))
 
+            logp_ref = None
+            if max_ppl is not None:
+                from website_indexer_ray.pipelines.corpusops import _lm_model
+
+                logp_ref = ray.put(_lm_model(filtered_dir, None))
+
             def keep(batch: pa.Table) -> pa.Table:
                 dr = cached_get(dropped_ref)
                 ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -340,6 +353,17 @@ def curate_corpus(
                         batch.column("text"), cached_get(ev_grams_ref), DECON_N
                     )
                     mask &= overlap <= decon_max_overlap
+                if max_ppl is not None:
+                    from website_indexer_ray.pipelines.corpusops import (
+                        _ppl_scores,
+                    )
+
+                    _, ppl = _ppl_scores(
+                        batch.column("text"), cached_get(logp_ref)
+                    )
+                    # NaN (no transitions) fails the comparison → drop
+                    with np.errstate(invalid="ignore"):
+                        mask &= ppl <= max_ppl
                 batch = batch.filter(pa.array(mask))
                 if batch.num_rows and redact_pii:
                     from website_indexer_ray.pipelines.corpusops import (
