@@ -427,6 +427,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": corpusops.text_normalize,
         "source_mix_sample": corpusops.source_mix_sample,
         "shuffle_shards": corpusops.shuffle_shards,
+        # oracle-backed but past the driver's 50-row recording window;
+        # exact gate = the same SQL in tests/test_trainops.py
+        "snapshot_dedup": textops.snapshot_dedup,
         # rows-only entries last — every op below is approximate or
         # hash-identity BY DESIGN (LSH/IVF/HLL/Count-Min/winnowing),
         # so a driver row would carry only a rows>0 signal; the
@@ -684,6 +687,19 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT MIN(doc_id) AS doc_id FROM documents
             GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+            ORDER BY doc_id
+        """,
+        "snapshot_dedup": """
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+              FROM documents
+            )
+            SELECT n.doc_id FROM norm n
+            WHERE n.doc_id % 4 = 0
+              AND NOT EXISTS (
+                SELECT 1 FROM norm s WHERE s.doc_id % 4 <> 0 AND s.nt = n.nt
+              )
             ORDER BY doc_id
         """,
         "length_filter": """

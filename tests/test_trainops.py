@@ -776,3 +776,82 @@ class TestLengthFilter:
         # tight bounds actually filter
         narrow = textops.length_filter(SF_DIR, min_tokens=0, max_tokens=5)
         assert narrow.num_rows < out.num_rows
+
+
+class TestSnapshotDedup:
+    """Incremental dedup of a new shard (doc_id % 4 == 0) against the
+    snapshot side — Bloom prefilter must stay invisible in the output
+    (exact under false positives, both verify paths)."""
+
+    SQL = """
+        WITH norm AS (
+          SELECT doc_id,
+                 lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+          FROM documents
+        )
+        SELECT n.doc_id FROM norm n
+        WHERE n.doc_id % 4 = 0
+          AND NOT EXISTS (
+            SELECT 1 FROM norm s WHERE s.doc_id % 4 <> 0 AND s.nt = n.nt
+          )
+        ORDER BY doc_id
+    """
+
+    def test_oracle(self, ray_session, con):
+        from website_indexer_ray.pipelines import textops
+
+        assert_matches_sql(textops.snapshot_dedup(SF_DIR), con, self.SQL)
+
+    def test_verify_paths_agree(self, ray_session, con):
+        """A deliberately tiny Bloom (massive fpr) through BOTH verify
+        paths (broadcast and exchange anti-join) must still be exact."""
+        from website_indexer_ray.pipelines import textops
+
+        gold = con.execute(self.SQL).fetch_arrow_table()
+        broad = textops.snapshot_dedup(SF_DIR, bloom_bits=1 << 10, n_probes=2)
+        exch = textops.snapshot_dedup(
+            SF_DIR, bloom_bits=1 << 10, n_probes=2, verify_broadcast_max=0
+        )
+        assert broad.column("doc_id").to_pylist() == gold.column("doc_id").to_pylist()
+        assert exch.column("doc_id").to_pylist() == gold.column("doc_id").to_pylist()
+
+    def test_planted_and_sink(self, ray_session, tmp_path):
+        """Cross-shard dup (whitespace/case variant) drops; intra-shard
+        dup keeps; sink form writes the same ids under _SUCCESS."""
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        from website_indexer_ray.pipelines import textops
+
+        rows = [
+            (1, "The Quick   Brown Fox"),          # snapshot
+            (2, "some unique snapshot text"),      # snapshot
+            (3, "another snapshot doc"),           # snapshot
+            (4, "the quick brown fox"),            # new: dup of 1 → drop
+            (8, "brand new document"),             # new: keep
+            (12, "also brand new"),                # new: keep
+            (16, "also brand new"),                # new: intra-shard dup → keep
+        ]
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "text": pa.array([r[1] for r in rows]),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        out = textops.snapshot_dedup(str(d))
+        assert out.column("doc_id").to_pylist() == [8, 12, 16]
+
+        sink = tmp_path / "out"
+        textops.snapshot_dedup_write(str(d), str(sink))
+        assert os.path.exists(sink / "_SUCCESS")
+        got = pa.concat_tables(
+            [pq.read_table(f) for f in glob.glob(f"{sink}/*.parquet")]
+        )
+        assert sorted(got.column("doc_id").to_pylist()) == [8, 12, 16]

@@ -1175,3 +1175,277 @@ def _to_table(ds) -> pa.Table:
 def _collect_sorted(ds, key: str) -> pa.Table:
     tbl = _to_table(ds)
     return tbl.take(pc.sort_indices(tbl, sort_keys=[(key, "ascending")]))
+
+
+# --- incremental snapshot dedup (new shard vs existing corpus) -------
+# The nightly-ingestion shape of exact dedup: an existing corpus
+# snapshot (already deduplicated, arbitrarily large) and a new shard
+# of incoming docs; keep the new docs whose normalized content does
+# not already exist in the snapshot. The reference re-crawls from
+# scratch nightly (BASELINE.md: no incremental path); at 100 TB the
+# incremental form is the one that matters.
+#
+# Scale design — three streaming passes, no all-to-all shuffle:
+#   A. snapshot scan → per-batch Bloom-filter partials (fixed
+#      ``bloom_bits`` bit array), OR-merged in two distributed levels;
+#      the driver holds one filter of m/8 bytes however large the
+#      snapshot (10^9 keys fit 1.2 GB at ~1% fpr — `ray.put` once).
+#   B. new-shard scan probes the broadcast filter: "not in bloom" is
+#      definitive (no false negatives) → kept outright; hits are only
+#      *candidates* (true dups + fpr of the shard).
+#   C. exact verify of the candidates — false positives must not drop
+#      docs. Small candidate sets broadcast their hash set and one
+#      more snapshot scan finds the truly-present hashes; past
+#      ``verify_broadcast_max`` the verify runs as a hash-keyed
+#      exchange anti-join instead (snapshot side pre-filtered by a
+#      Bloom of the candidate hashes, so routed bytes are bounded by
+#      candidates + fpr², not by the snapshot).
+# Either way the result is exact; the Bloom only prunes work.
+
+_SNAP_M63 = 0x7FFFFFFFFFFFFFFF
+
+
+def _norm_hashes(texts: list[str]) -> np.ndarray:
+    return np.array(
+        [_content_hash64(normalize_text(t)) & _SNAP_M63 for t in texts],
+        dtype=np.uint64,
+    )
+
+
+def _bloom_positions(hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(k, n) probe positions via double hashing; m_bits is a power
+    of two so the modulo is a mask."""
+    h2 = (hashes >> np.uint64(33)) | np.uint64(1)  # odd stride
+    ii = np.arange(k, dtype=np.uint64)[:, None]
+    return (hashes[None, :] + ii * h2[None, :]) & np.uint64(m_bits - 1)
+
+
+def _bloom_set(words: np.ndarray, pos: np.ndarray) -> None:
+    np.bitwise_or.at(
+        words,
+        (pos >> np.uint64(6)).ravel(),
+        np.uint64(1) << (pos.ravel() & np.uint64(63)),
+    )
+
+
+def _bloom_test(words: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    bits = (words[pos >> np.uint64(6)] >> (pos & np.uint64(63))) & np.uint64(1)
+    return bits.all(axis=0)
+
+
+def _bloom_from_hash_ds(ds, col: str, m_bits: int, k: int) -> np.ndarray:
+    """OR-reduce per-batch Bloom partials over a dataset's uint64-able
+    hash column. Level 1 builds one filter row per batch; level 2 ORs
+    within coalesced blocks; the driver ORs the final <=8 rows — its
+    share is O(8 × m/8) bytes at any input size."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = np.zeros(m_bits // 64, dtype=np.uint64)
+        h = batch.column(col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        if len(h):
+            _bloom_set(words, _bloom_positions(h, m_bits, k))
+        return pa.table({"bloom": pa.array([words.tobytes()], type=pa.binary())})
+
+    def or_rows(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(m_bits // 64, dtype=np.uint64)
+        for blob in batch.column("bloom"):
+            acc |= np.frombuffer(blob.as_py(), dtype=np.uint64)
+        return pa.table({"bloom": pa.array([acc.tobytes()], type=pa.binary())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if partials.count() > 8:
+        partials = (
+            partials.repartition(8)
+            .map_batches(or_rows, batch_format="pyarrow")
+            .materialize()
+        )
+    acc = np.zeros(m_bits // 64, dtype=np.uint64)
+    for blob in _to_table(partials).column("bloom"):
+        acc |= np.frombuffer(blob.as_py(), dtype=np.uint64)
+    return acc
+
+
+def _snapshot_hash_ds(sf_dir: str, shard_mod: int, want_new: bool):
+    """Slim (doc_id, text_hash) rows for one side of the deterministic
+    split: new shard = doc_id % shard_mod == 0, snapshot = the rest.
+    Hashing happens in the scan tasks; only 16-byte rows leave them."""
+    ds = read_documents(sf_dir)
+
+    def hash_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = (ids % shard_mod == 0) if want_new else (ids % shard_mod != 0)
+        sel = np.flatnonzero(mask)
+        texts = batch.column("text").take(pa.array(sel)).to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sel], type=pa.int64()),
+                "text_hash": pa.array(
+                    _norm_hashes(texts).view(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(hash_side, batch_format="pyarrow")
+
+
+def snapshot_dedup_ds(
+    sf_dir: str,
+    shard_mod: int = 4,
+    bloom_bits: int = 1 << 20,
+    n_probes: int = 6,
+    verify_broadcast_max: int = 1_000_000,
+):
+    """Dataset of kept new-shard doc_ids (column ``doc_id``) — new
+    docs whose normalized text does not appear in the snapshot side.
+    Duplicates *within* the new shard are all kept (dedup is against
+    the snapshot only; compose with exact_dedup for intra-shard)."""
+    from website_indexer_ray.util import cached_get
+
+    # Pass A: snapshot Bloom, broadcast once.
+    snap_hash = _snapshot_hash_ds(sf_dir, shard_mod, want_new=False)
+    bloom_ref = ray.put(
+        _bloom_from_hash_ds(snap_hash, "text_hash", bloom_bits, n_probes)
+    )
+
+    # Pass B: probe. Slim (doc_id, text_hash, maybe_dup) rows only.
+    def probe(batch: pa.Table) -> pa.Table:
+        words = cached_get(bloom_ref)
+        h = (
+            batch.column("text_hash")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        maybe = (
+            _bloom_test(words, _bloom_positions(h, bloom_bits, n_probes))
+            if len(h)
+            else np.zeros(0, dtype=bool)
+        )
+        return batch.append_column("maybe_dup", pa.array(maybe))
+
+    slim = (
+        _snapshot_hash_ds(sf_dir, shard_mod, want_new=True)
+        .map_batches(probe, batch_format="pyarrow")
+        .materialize()
+    )
+
+    cand = _to_table(
+        slim.map_batches(
+            lambda b: b.filter(b.column("maybe_dup")), batch_format="pyarrow"
+        )
+    )
+
+    # Pass C: exact verify of candidates → set of truly-present hashes.
+    if cand.num_rows == 0:
+        dropped_ref = ray.put(np.zeros(0, dtype=np.int64))
+    elif cand.num_rows <= verify_broadcast_max:
+        cand_hashes = np.unique(cand.column("text_hash").to_numpy())
+        cand_ref = ray.put(cand_hashes)
+
+        def present(batch: pa.Table) -> pa.Table:
+            ch = cached_get(cand_ref)
+            h = batch.column("text_hash").to_numpy(zero_copy_only=False)
+            hit = h[np.isin(h, ch)]
+            return pa.table(
+                {"text_hash": pa.array(np.unique(hit), type=pa.int64())}
+            )
+
+        matched = _to_table(
+            _snapshot_hash_ds(sf_dir, shard_mod, want_new=False).map_batches(
+                present, batch_format="pyarrow"
+            )
+        )
+        dropped_ref = ray.put(np.unique(matched.column("text_hash").to_numpy()))
+    else:
+        # Exchange anti-join: candidate rows ∪ (snapshot hashes that
+        # pass a Bloom of the candidate hashes) co-partition by hash;
+        # a partition's candidate hash is a true dup iff a snapshot
+        # row with the same hash landed in the same partition.
+        cand_ds = slim.map_batches(
+            lambda b: b.filter(b.column("maybe_dup")).select(["text_hash"]),
+            batch_format="pyarrow",
+        )
+        cand_bloom = ray.put(
+            _bloom_from_hash_ds(cand_ds, "text_hash", bloom_bits, n_probes)
+        )
+
+        def snap_survivors(batch: pa.Table) -> pa.Table:
+            words = cached_get(cand_bloom)
+            h = (
+                batch.column("text_hash")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+            keep = (
+                _bloom_test(words, _bloom_positions(h, bloom_bits, n_probes))
+                if len(h)
+                else np.zeros(0, dtype=bool)
+            )
+            return pa.table(
+                {
+                    "text_hash": pa.array(
+                        h[keep].view(np.int64), type=pa.int64()
+                    ),
+                    "side": pa.array(
+                        np.zeros(int(keep.sum()), dtype=np.int8)
+                    ),
+                }
+            )
+
+        def cand_tag(batch: pa.Table) -> pa.Table:
+            t = batch.filter(batch.column("maybe_dup")).select(["text_hash"])
+            return t.append_column(
+                "side", pa.array(np.ones(t.num_rows, dtype=np.int8))
+            )
+
+        union = _snapshot_hash_ds(sf_dir, shard_mod, want_new=False).map_batches(
+            snap_survivors, batch_format="pyarrow"
+        ).union(slim.map_batches(cand_tag, batch_format="pyarrow"))
+
+        def partition_dups(t: pa.Table) -> pa.Table:
+            h = t.column("text_hash").to_numpy(zero_copy_only=False)
+            side = t.column("side").to_numpy(zero_copy_only=False)
+            snap = np.unique(h[side == 0])
+            cand_h = np.unique(h[side == 1])
+            return pa.table(
+                {
+                    "text_hash": pa.array(
+                        cand_h[np.isin(cand_h, snap)], type=pa.int64()
+                    )
+                }
+            )
+
+        from website_indexer_ray.state.exchange import hash_exchange
+
+        dup_tbl = hash_exchange(union, "text_hash", partition_dups)
+        dropped = (
+            np.unique(dup_tbl.column("text_hash").to_numpy())
+            if dup_tbl is not None
+            else np.zeros(0, dtype=np.int64)
+        )
+        dropped_ref = ray.put(dropped)
+
+    # Final: definite keeps + candidates whose hash wasn't present.
+    def keep(batch: pa.Table) -> pa.Table:
+        dropped = cached_get(dropped_ref)
+        h = batch.column("text_hash").to_numpy(zero_copy_only=False)
+        maybe = batch.column("maybe_dup").to_numpy(zero_copy_only=False)
+        ok = ~maybe | ~np.isin(h, dropped)
+        return pa.table(
+            {"doc_id": batch.column("doc_id").filter(pa.array(ok))}
+        )
+
+    return slim.map_batches(keep, batch_format="pyarrow")
+
+
+def snapshot_dedup(sf_dir: str, **kw) -> pa.Table:
+    """Driver-contract form: kept new-shard doc_ids, doc_id-sorted.
+    Oracle: anti-join on the normalized text (NOT EXISTS)."""
+    return _collect_sorted(snapshot_dedup_ds(sf_dir, **kw), "doc_id")
+
+
+def snapshot_dedup_write(sf_dir: str, out_dir: str, **kw) -> None:
+    """Sink form: kept ids stream to partitioned parquet under the
+    commit protocol — nothing O(shard) concatenates on the driver."""
+    from website_indexer_ray.util import committed_parquet_write
+
+    committed_parquet_write(snapshot_dedup_ds(sf_dir, **kw), out_dir)
