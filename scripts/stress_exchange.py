@@ -112,6 +112,13 @@ def main() -> None:
         ("paragraph_dedup", textops.paragraph_dedup),
         ("simhash_pairs", textops.simhash_pairs),
         ("minhash_lsh_pairs", textops.minhash_lsh_pairs),
+        ("snapshot_dedup", textops.snapshot_dedup),
+        # same op with the broadcast verify disabled: forces the
+        # candidate-Bloom-pruned exchange anti-join (the 100-TB path)
+        (
+            "snapshot_dedup_xchg",
+            lambda d: textops.snapshot_dedup(d, verify_broadcast_max=0),
+        ),
         ("group_quota_sample", corpusops.group_quota_sample),
         ("shuffle_shards", corpusops.shuffle_shards),
         ("seq_pack", corpusops.seq_pack),
