@@ -430,6 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-backed but past the driver's 50-row recording window;
         # exact gate = the same SQL in tests/test_trainops.py
         "snapshot_dedup": textops.snapshot_dedup,
+        "group_topk": corpusops.group_topk,
         # rows-only entries last — every op below is approximate or
         # hash-identity BY DESIGN (LSH/IVF/HLL/Count-Min/winnowing),
         # so a driver row would carry only a rows>0 signal; the
@@ -701,6 +702,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM norm s WHERE s.doc_id % 4 <> 0 AND s.nt = n.nt
               )
             ORDER BY doc_id
+        """,
+        "group_topk": """
+            SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (
+                PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 15 ORDER BY doc_id
         """,
         "length_filter": """
             SELECT doc_id FROM documents

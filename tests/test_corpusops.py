@@ -429,3 +429,34 @@ class TestLmPerplexity:
             pa.compute.sort_indices(merged, sort_keys=[("doc_id", "ascending")])
         )
         assert merged.equals(corpusops.lm_perplexity(SF_DIR))
+
+
+class TestGroupTopk:
+    def test_oracle(self, ray_session, con):
+        from website_indexer_ray.pipelines import corpusops
+
+        assert_matches_sql(
+            corpusops.group_topk(SF_DIR),
+            con,
+            """SELECT doc_id FROM (
+                 SELECT doc_id, row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+                 FROM documents)
+               WHERE rn <= 15 ORDER BY doc_id""",
+        )
+
+    def test_ranked_selection_and_tiebreak(self, ray_session):
+        """k longest per source; equal lengths break to lowest doc_id."""
+        from website_indexer_ray.pipelines import corpusops
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+                "source": pa.array(["a", "a", "a", "b", "b", "b"]),
+                "n_chars": pa.array([10, 30, 30, 5, 5, 5], type=pa.int64()),
+            }
+        )
+        out = corpusops.group_topk(SF_DIR, k=2, documents=docs)
+        # a: 30-char docs 2,3 beat 10-char doc 1; b: all tied at 5 →
+        # lowest doc_ids 4,5
+        assert out.column("doc_id").to_pylist() == [2, 3, 4, 5]

@@ -365,6 +365,95 @@ def group_quota_sample(
     return _sorted_by(out)
 
 
+# --- ranked per-group selection (top-k by quality) --------------------
+# The quality-ranked sibling of group_quota_sample: keep the k BEST
+# docs per source (n_chars descending, doc_id ascending tie-break) —
+# the "best docs per domain" pass of a curation pipeline. Unlike the
+# quota sampler, a per-batch partial top-k runs BEFORE routing, so the
+# exchange ships at most k rows per (source, batch) however large a
+# hot source is: routed volume is bounded by k × sources × batches,
+# independent of doc count.
+
+
+def _topk_indices(
+    src: np.ndarray, n: np.ndarray, doc: np.ndarray, k: int
+) -> np.ndarray:
+    """Indices (original order) of the top-k rows per src code,
+    ranked n desc then doc asc. One lexsort — no per-group Python."""
+    order = np.lexsort((doc, -n, src))
+    src_s = src[order]
+    first = np.ones(len(src_s), dtype=bool)
+    first[1:] = src_s[1:] != src_s[:-1]
+    starts = np.flatnonzero(first)
+    run_id = np.cumsum(first) - 1
+    pos_in_grp = np.arange(len(src_s), dtype=np.int64) - starts[run_id]
+    return order[pos_in_grp < k]
+
+
+def _src_codes(src_col) -> tuple[np.ndarray, list[str]]:
+    if isinstance(src_col, pa.ChunkedArray):
+        src_col = src_col.combine_chunks()
+    enc = pc.dictionary_encode(src_col)
+    return (
+        enc.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+        enc.dictionary.to_pylist(),
+    )
+
+
+def _topk_resolve(k: int, t: pa.Table) -> pa.Table:
+    codes, _ = _src_codes(t.column("source"))
+    idx = _topk_indices(
+        codes,
+        t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64),
+        t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
+        k,
+    )
+    return pa.table(
+        {"doc_id": t.column("doc_id").take(pa.array(np.sort(idx)))}
+    )
+
+
+def group_topk(
+    sf_dir: str, k: int = QUOTA_K, documents: pa.Table | None = None
+) -> pa.Table:
+    """doc_ids of the k longest docs per source (ties → lowest
+    doc_id), doc_id-sorted. Oracle: row_number() window."""
+    from zlib import crc32
+
+    ds = _docs_ds(sf_dir, documents, ["doc_id", "source", "n_chars"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        codes, words = _src_codes(batch.column("source"))
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        idx = np.sort(_topk_indices(codes, n, doc, k))
+        uniq_hash = np.fromiter(
+            (crc32(s.encode()) & 0x7FFFFFFF for s in words),
+            dtype=np.int64,
+            count=len(words),
+        )
+        kept = batch.select(["doc_id", "source", "n_chars"]).take(
+            pa.array(idx)
+        )
+        return kept.append_column(
+            "src_hash", pa.array(uniq_hash[codes[idx]], type=pa.int64())
+        )
+
+    from functools import partial
+
+    from website_indexer_ray.state.exchange import hash_exchange
+
+    keyed = ds.map_batches(partial_topk, batch_format="pyarrow")
+    out = hash_exchange(keyed, "src_hash", partial(_topk_resolve, k))
+    if out is None:
+        return pa.schema([("doc_id", pa.int64())]).empty_table()
+    return _sorted_by(out)
+
+
 # --- text normalization ----------------------------------------------
 # Canonical cleanup pass before hashing/dedup: lowercase, collapse
 # whitespace runs, trim. RE2 '\s+' on both sides; before/after char
