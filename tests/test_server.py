@@ -231,3 +231,18 @@ class TestPaginationLinks:
         ViewerHandler._add_page_links(page, "/", {"q": "x", "page": "2"})
         assert page["previous"] == "/?q=x&page=1"
         assert page["next"] == "/?q=x&page=3"
+
+    def test_help_html_common_searches(self, base_url):
+        """help.html parity: one section per search type with live
+        example links (templates/viewer/help.html structure)."""
+        _s, headers, body = get(f"{base_url}/help/?format=html")
+        assert headers["Content-Type"].startswith("text/html")
+        text = body.decode()
+        assert "Common searches" in text
+        for stype in ("title", "url", "components", "links", "text", "html"):
+            assert f"search_type={stype}" in text
+        # components example links into the served crawl's real dim
+        assert "q=o-sample" in text
+        # plain-text form still served without format=html
+        _s, h2, body2 = get(f"{base_url}/help/")
+        assert h2["Content-Type"].startswith("text/plain")

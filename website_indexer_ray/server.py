@@ -191,7 +191,10 @@ class ViewerHandler(BaseHTTPRequestHandler):
                     }
                 )
             elif route == "/help":
-                self._send(200, HELP_TEXT.encode(), "text/plain; charset=utf-8")
+                if self._wants_html(qs):
+                    self._html(self._render_help())
+                else:
+                    self._send(200, HELP_TEXT.encode(), "text/plain; charset=utf-8")
             else:
                 self._json({"detail": "Not found."}, 404)
         except Exception as exc:  # pragma: no cover - defensive 500
@@ -312,6 +315,59 @@ class ViewerHandler(BaseHTTPRequestHandler):
                 nav += f' <a href="/?{urlencode({**base, "page": n + 1})}">Next</a>'
         return f'{form}{summary}<ul class="m-list">{items}</ul><nav>{nav}</nav>'
 
+    def _render_help(self) -> str:
+        """HTML equivalent of the viewer's common-searches help page
+        (templates/viewer/help.html): one section per search type with
+        a short explanation and live example searches drawn from the
+        served crawl, so every example link returns results."""
+        from urllib.parse import urlencode
+
+        st = self.state
+        comps = query.list_components(st.records)
+        comp_q = (
+            comps.column("class_name")[0].as_py() if comps.num_rows else "m-"
+        )
+        sections = [
+            ("title", "Match words in page titles.", ["the", "a"]),
+            ("url", "Match any fragment of the page URL.", ["/", "page"]),
+            (
+                "components",
+                "Pages using a design component class (see the full "
+                '<a href="/components/?format=html">component list</a>).',
+                [comp_q],
+            ),
+            (
+                "links",
+                "Pages whose outgoing links contain the query — use a "
+                "path fragment to find every page linking somewhere.",
+                ["/", "http"],
+            ),
+            ("text", "Full-text search over the extracted page text.", ["and"]),
+            (
+                "html",
+                "Raw-source search: markup, attributes, class names — "
+                "anything in the stored HTML.",
+                ["<a", "lang="],
+            ),
+        ]
+        out = ["<h1>Common searches</h1>"]
+        for stype, blurb, examples in sections:
+            links = " · ".join(
+                f'<a href="/?{urlencode({"search_type": stype, "q": q, "format": "html"})}">'
+                f"Search &quot;{_esc(q)}&quot;</a>"
+                for q in examples
+            )
+            out.append(
+                f"<h2>{_esc(stype)}</h2><p>{blurb}</p>"
+                f"<p>Examples: {links}</p>"
+            )
+        out.append(
+            '<h2>Exports</h2><p>Every list view takes format=csv '
+            "(BOM-prefixed, date-stamped filename) and format=json "
+            "(paginated, page size 25).</p>"
+        )
+        return "".join(out)
+
     def _page_detail(self, qs: dict):
         url = qs.get("url", "")
         pages = self.state.records
@@ -370,6 +426,8 @@ class ViewerHandler(BaseHTTPRequestHandler):
         if qs.get("format") == "csv":
             self._csv(table, kind)
         else:
+            # reference Error/RedirectListView have no HTML renderer
+            # (views.py:33-36 mixin absent) — JSON/CSV only, faithful.
             page = query.paginate(table, int(qs.get("page", 1)))
             self._add_page_links(page, f"/{kind}/", qs)
             self._json(page)
