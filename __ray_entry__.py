@@ -431,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact gate = the same SQL in tests/test_trainops.py
         "snapshot_dedup": textops.snapshot_dedup,
         "group_topk": corpusops.group_topk,
+        "top_terms_per_doc": textops.top_terms_per_doc,
         # rows-only entries last — every op below is approximate or
         # hash-identity BY DESIGN (LSH/IVF/HLL/Count-Min/winnowing),
         # so a driver row would carry only a rows>0 signal; the
@@ -709,6 +710,26 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
               FROM documents)
             WHERE rn <= 15 ORDER BY doc_id
+        """,
+        "top_terms_per_doc": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM tok GROUP BY doc_id, term
+            ), df AS (
+              SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tok GROUP BY term
+            )
+            SELECT doc_id, term, tf, df FROM (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rn
+              FROM tf JOIN df USING (term))
+            WHERE rn <= 3
+            ORDER BY doc_id, term
         """,
         "length_filter": """
             SELECT doc_id FROM documents

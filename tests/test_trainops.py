@@ -855,3 +855,69 @@ class TestSnapshotDedup:
             [pq.read_table(f) for f in glob.glob(f"{sink}/*.parquet")]
         )
         assert sorted(got.column("doc_id").to_pylist()) == [8, 12, 16]
+
+
+class TestTopTermsPerDoc:
+    SQL = """
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM tok GROUP BY doc_id, term
+        ), df AS (
+          SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+          FROM tok GROUP BY term
+        )
+        SELECT doc_id, term, tf, df FROM (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rn
+          FROM tf JOIN df USING (term))
+        WHERE rn <= 3
+        ORDER BY doc_id, term
+    """
+
+    def test_oracle(self, ray_session, con):
+        from website_indexer_ray.pipelines import textops
+
+        assert_matches_sql(textops.top_terms_per_doc(SF_DIR), con, self.SQL)
+
+    def test_rank_semantics(self, ray_session, tmp_path):
+        """tf wins first; global rarity (df asc) breaks tf ties; term
+        breaks both. Unicode/punct are separators; empty docs vanish."""
+        import pyarrow.parquet as pq
+
+        from website_indexer_ray.pipelines import textops
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        rows = [
+            (1, "apple apple banana cherry"),   # tf: apple 2; banana/cherry tie
+            (2, "banana banana banana!"),        # makes banana common (df=2)
+            (3, "café—cherry"),                  # unicode splits; cherry df=2
+            (4, ""),                             # no rows
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "text": pa.array([r[1] for r in rows]),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        out = textops.top_terms_per_doc(str(d), k=2)
+        got = list(
+            zip(
+                out.column("doc_id").to_pylist(),
+                out.column("term").to_pylist(),
+            )
+        )
+        # doc 1: apple tops on tf=2; banana/cherry tie on tf AND df
+        # (both appear in 2 docs) → term asc picks banana second
+        assert [t for doc, t in got if doc == 1] == ["apple", "banana"]
+        assert all(doc != 4 for doc, _ in got)
+        # doc 3: caf + cherry are its only terms
+        d3 = sorted(t for doc, t in got if doc == 3)
+        assert d3 == ["caf", "cherry"]

@@ -1449,3 +1449,112 @@ def snapshot_dedup_write(sf_dir: str, out_dir: str, **kw) -> None:
     from website_indexer_ray.util import committed_parquet_write
 
     committed_parquet_write(snapshot_dedup_ds(sf_dir, **kw), out_dir)
+
+
+# --- per-doc distinctive terms (tf-idf-style, integer-exact) ----------
+# Keyword extraction for corpus curation: the k most distinctive terms
+# per document, ranked by tf DESC then global document-frequency ASC
+# (rarer corpus-wide = more distinctive) then term ASC. The integer
+# (tf, df) rank is the float tf·idf ordering made hash-stable across
+# engines — log(N/df) is monotone-decreasing in df, so "tf desc, df
+# asc" agrees with tf·idf wherever tf ties, and never compares floats.
+#
+# Scale: tf is exact per batch (a doc never spans batches) and stays
+# distributed; df partials (term, n_docs-in-batch) sum through the
+# adaptive merge keyed on a term hash; the final df table broadcasts
+# once (vocab-sized — ~10^7 terms is ~100 MB, ray.put once per job)
+# and each batch ranks its own docs with one Arrow hash-join + sort.
+
+_TERM_SPLIT_PAT = r"[^a-z0-9]+"
+
+
+def _doc_term_tf(batch: pa.Table) -> pa.Table:
+    low = pc.utf8_lower(batch.column("text"))
+    sp = pc.split_pattern_regex(low, _TERM_SPLIT_PAT)
+    t = pa.table(
+        {
+            "doc_id": batch.column("doc_id").take(pc.list_parent_indices(sp)),
+            "term": pc.cast(pc.list_flatten(sp), pa.string()),
+        }
+    )
+    t = t.filter(pc.not_equal(t.column("term"), ""))
+    from website_indexer_ray.util import agg_named
+
+    return agg_named(
+        t, ["doc_id", "term"], [([], "count_all")], ["doc_id", "term", "tf"]
+    )
+
+
+def _df_reduce(t: pa.Table) -> pa.Table:
+    from website_indexer_ray.util import agg_named
+
+    return agg_named(
+        t,
+        ["term", "term_hash"],
+        [("df", "sum")],
+        ["term", "term_hash", "df"],
+    )
+
+
+def top_terms_per_doc(sf_dir: str, k: int = 3) -> pa.Table:
+    """(doc_id, term, tf, df) of each doc's top-k distinctive terms,
+    ordered doc_id then term. Oracle: tf/df CTEs + ROW_NUMBER window."""
+    from website_indexer_ray.util import agg_named, cached_get
+
+    ds = read_documents(sf_dir)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        tf = _doc_term_tf(batch)
+        # distinct docs per term within the batch; batches partition
+        # docs, so per-batch doc counts SUM to the global df
+        part = agg_named(tf, "term", [([], "count_all")], ["term", "df"])
+        th = np.fromiter(
+            (crc32(s.encode()) & 0x7FFFFFFF for s in part.column("term").to_pylist()),
+            dtype=np.int64,
+            count=part.num_rows,
+        )
+        return part.append_column(
+            "term_hash", pa.array(th, type=pa.int64())
+        ).cast(
+            pa.schema(
+                [("term", pa.string()), ("df", pa.int64()), ("term_hash", pa.int64())]
+            )
+        )
+
+    merged = _merge_partials_adaptive(
+        ds.map_batches(df_partial, batch_format="pyarrow"),
+        key="term_hash",
+        reduce_fn=_df_reduce,
+    )
+    df_tbl = agg_named(merged, "term", [("df", "sum")], ["term", "df"]).cast(
+        pa.schema([("term", pa.string()), ("df", pa.int64())])
+    )
+    df_ref = ray.put(df_tbl.combine_chunks())
+
+    def rank(batch: pa.Table) -> pa.Table:
+        tf = _doc_term_tf(batch)
+        joined = tf.join(cached_get(df_ref), keys="term", join_type="inner")
+        order = pc.sort_indices(
+            joined,
+            sort_keys=[
+                ("doc_id", "ascending"),
+                ("tf", "descending"),
+                ("df", "ascending"),
+                ("term", "ascending"),
+            ],
+        )
+        s = joined.take(order)
+        doc = s.column("doc_id").to_numpy(zero_copy_only=False)
+        first = np.ones(len(doc), dtype=bool)
+        first[1:] = doc[1:] != doc[:-1]
+        starts = np.flatnonzero(first)
+        run_id = np.cumsum(first) - 1
+        pos = np.arange(len(doc), dtype=np.int64) - starts[run_id]
+        return s.filter(pa.array(pos < k)).select(["doc_id", "term", "tf", "df"])
+
+    out = _to_table(ds.map_batches(rank, batch_format="pyarrow"))
+    return out.take(
+        pc.sort_indices(
+            out, sort_keys=[("doc_id", "ascending"), ("term", "ascending")]
+        )
+    )
