@@ -432,6 +432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_dedup": textops.snapshot_dedup,
         "group_topk": corpusops.group_topk,
         "top_terms_per_doc": textops.top_terms_per_doc,
+        "doc_length_quantiles": textops.doc_length_quantiles,
         # rows-only entries last — every op below is approximate or
         # hash-identity BY DESIGN (LSH/IVF/HLL/Count-Min/winnowing),
         # so a driver row would carry only a rows>0 signal; the
@@ -730,6 +731,15 @@ def oracle_sql() -> dict[str, str]:
               FROM tf JOIN df USING (term))
             WHERE rn <= 3
             ORDER BY doc_id, term
+        """,
+        "doc_length_quantiles": """
+            SELECT q, n_chars FROM (
+              SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM documents) t,
+              (VALUES (25),(50),(75),(95),(99)) AS qs(q)
+            WHERE rn = CAST(ceil(q * n / 100.0) AS BIGINT)
+            ORDER BY q
         """,
         "length_filter": """
             SELECT doc_id FROM documents

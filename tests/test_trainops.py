@@ -921,3 +921,43 @@ class TestTopTermsPerDoc:
         # doc 3: caf + cherry are its only terms
         d3 = sorted(t for doc, t in got if doc == 3)
         assert d3 == ["caf", "cherry"]
+
+
+class TestDocLengthQuantiles:
+    SQL = """
+        SELECT q, n_chars FROM (
+          SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM documents) t,
+          (VALUES (25),(50),(75),(95),(99)) AS qs(q)
+        WHERE rn = CAST(ceil(q * n / 100.0) AS BIGINT)
+        ORDER BY q
+    """
+
+    def test_oracle(self, ray_session, con):
+        from website_indexer_ray.pipelines import textops
+
+        assert_matches_sql(textops.doc_length_quantiles(SF_DIR), con, self.SQL)
+
+    def test_rank_exact_on_tiny_multiset(self, ray_session, tmp_path):
+        """Duplicates and exact rank boundaries: 10 docs of lengths
+        [1..5, 5,5,5, 9, 9] — p50 = rank 5 = 5, p99 = rank 10 = 9."""
+        import pyarrow.parquet as pq
+
+        from website_indexer_ray.pipelines import textops
+
+        lens = [1, 2, 3, 4, 5, 5, 5, 5, 9, 9]
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(lens)), type=pa.int64()),
+                    "text": pa.array(["x" * n for n in lens]),
+                    "n_chars": pa.array(lens, type=pa.int64()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        out = {r["q"]: r["n_chars"] for r in textops.doc_length_quantiles(str(d)).to_pylist()}
+        assert out == {25: 3, 50: 5, 75: 5, 95: 9, 99: 9}

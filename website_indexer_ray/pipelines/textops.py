@@ -1558,3 +1558,58 @@ def top_terms_per_doc(sf_dir: str, k: int = 3) -> pa.Table:
             out, sort_keys=[("doc_id", "ascending"), ("term", "ascending")]
         )
     )
+
+
+# --- exact length quantiles without a global sort ---------------------
+# Distribution stats a curation run reports (length percentiles for
+# filter thresholds). A global ds.sort is the naive path; since the
+# key is a bounded-cardinality integer (distinct doc lengths), an
+# exact value-histogram is enough: per-batch (value, count) partials
+# sum through the adaptive merge, and the driver walks the cumulative
+# histogram — O(distinct values) driver work at any corpus size.
+
+
+def doc_length_quantiles(
+    sf_dir: str, qs: tuple = (25, 50, 75, 95, 99)
+) -> pa.Table:
+    """(q, n_chars) rows: the q-th percentile of doc length, defined
+    as the ceil(q*N/100)-th smallest value (rank-exact, no floats)."""
+    from website_indexer_ray.util import agg_named
+
+    ds = read_parquet_parallel(
+        f"{sf_dir}/documents.parquet", columns=["n_chars"]
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        return agg_named(
+            t.select(["n_chars"]).append_column(
+                "cnt", pa.array(np.ones(t.num_rows, dtype=np.int64))
+            )
+            if "cnt" not in t.schema.names
+            else t,
+            "n_chars",
+            [("cnt", "sum")],
+            ["n_chars", "cnt"],
+        )
+
+    merged = _merge_partials_adaptive(
+        ds.map_batches(hist, batch_format="pyarrow"), key="n_chars", reduce_fn=hist
+    )
+    h = hist(merged)
+    order = pc.sort_indices(h, sort_keys=[("n_chars", "ascending")])
+    vals = h.column("n_chars").take(order).to_numpy(zero_copy_only=False)
+    cum = np.cumsum(h.column("cnt").take(order).to_numpy(zero_copy_only=False))
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        if n == 0:
+            continue
+        rank = -(-q * n // 100)  # ceil(q*N/100) in integers
+        out_q.append(int(q))
+        out_v.append(int(vals[np.searchsorted(cum, rank)]))
+    return pa.table(
+        {
+            "q": pa.array(out_q, type=pa.int64()),
+            "n_chars": pa.array(out_v, type=pa.int64()),
+        }
+    )
