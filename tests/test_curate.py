@@ -297,3 +297,100 @@ class TestCuratePplGate:
                 stats.column("n_docs").to_pylist())
         )
         assert counts["kept"] == len(kept)
+
+
+class TestCurateIncremental:
+    """snapshot_dir mode: a second run's cleaned docs that already
+    exist (normalized) in a prior run's kept corpus are dropped."""
+
+    def test_snapshot_drop_and_quota_longest(self, ray_session, tmp_path):
+        def write_docs(d, rows):
+            d.mkdir()
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                        "text": pa.array([r[1] for r in rows]),
+                        "source": pa.array([r[2] for r in rows]),
+                    }
+                ),
+                str(d / "documents.parquet"),
+            )
+
+        en = (
+            "the quick brown fox and the lazy dog walked to the market "
+            "in the morning and it was a fine day for all of them there"
+        )
+        # run 1: one english doc that survives curation
+        run1_in = tmp_path / "in1"
+        write_docs(run1_in, [(1, en, "a")])
+        out1 = tmp_path / "out1"
+        curate.curate_corpus(str(run1_in), str(out1))
+        kept1 = pa.concat_tables(
+            pq.read_table(f)
+            for f in glob.glob(f"{out1}/kept/documents.parquet/*.parquet")
+        )
+        assert kept1.column("doc_id").to_pylist() == [1]
+
+        # run 2: doc 10 duplicates run 1's kept doc (case/ws variant) →
+        # dropped by the snapshot stage; doc 11 is new → kept
+        run2_in = tmp_path / "in2"
+        write_docs(
+            run2_in,
+            [
+                (10, "  THE quick   brown fox and the lazy dog walked to "
+                     "the market in the morning and it was a fine day for "
+                     "all of them there", "a"),
+                (11, en.replace("fox", "owl").replace("dog", "cat"), "a"),
+            ],
+        )
+        out2 = tmp_path / "out2"
+        stats = curate.curate_corpus(
+            str(run2_in), str(out2), snapshot_dir=str(out2.parent / "out1" / "kept")
+        )
+        kept2 = pa.concat_tables(
+            pq.read_table(f)
+            for f in glob.glob(f"{out2}/kept/documents.parquet/*.parquet")
+        )
+        assert kept2.column("doc_id").to_pylist() == [11]
+        counts = dict(
+            zip(stats.column("stage").to_pylist(), stats.column("n_docs").to_pylist())
+        )
+        assert counts["after_exact_dedup"] == 1  # snapshot drop counted
+
+    def test_quota_longest_keeps_longest(self, ray_session, tmp_path):
+        mk = (
+            "the quick brown fox and the lazy dog walked to the market "
+            "in the morning and it was a fine day "
+        )
+        rows = [
+            (1, mk + "short tail one", "s"),
+            (2, mk + "a much longer tail with many extra distinct words "
+                "appended here to win the ranked quota selection", "s"),
+            (3, mk + "short tail two", "s"),
+        ]
+        d = tmp_path / "in"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "text": pa.array([r[1] for r in rows]),
+                    "source": pa.array([r[2] for r in rows]),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        out = tmp_path / "out"
+        curate.curate_corpus(
+            str(d),
+            str(out),
+            jaccard_threshold=0.95,  # keep the tails from near-dedup
+            per_source_quota=1,
+            quota_longest=True,
+        )
+        kept = pa.concat_tables(
+            pq.read_table(f)
+            for f in glob.glob(f"{out}/kept/documents.parquet/*.parquet")
+        )
+        assert kept.column("doc_id").to_pylist() == [2]

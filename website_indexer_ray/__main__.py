@@ -209,8 +209,10 @@ def cmd_curate(args) -> int:
         redact_pii=args.redact_pii,
         decon_max_overlap=args.decon_max_overlap,
         per_source_quota=args.per_source_quota,
+        quota_longest=args.quota_longest,
         n_shards=args.n_shards,
         max_ppl=args.max_ppl,
+        snapshot_dir=args.snapshot_dir,
     )
     print(
         json.dumps(
@@ -331,8 +333,10 @@ def main(argv=None) -> int:
     cu.add_argument("--redact-pii", action="store_true")
     cu.add_argument("--decon-max-overlap", type=int, default=None)
     cu.add_argument("--per-source-quota", type=int, default=None)
+    cu.add_argument("--quota-longest", action="store_true")
     cu.add_argument("--n-shards", type=int, default=None)
     cu.add_argument("--max-ppl", type=float, default=None)
+    cu.add_argument("--snapshot-dir", default=None)
     cu.set_defaults(fn=cmd_curate)
 
     m = sub.add_parser("manage")

@@ -114,16 +114,21 @@ def exact_dedup_dropped(sf_dir: str) -> np.ndarray:
     return np.sort(out.column("doc_id").to_numpy(zero_copy_only=False))
 
 
-def quota_dropped(filtered_data: str, dropped: np.ndarray, k: int) -> np.ndarray:
+def quota_dropped(
+    filtered_data: str, dropped: np.ndarray, k: int, longest: bool = False
+) -> np.ndarray:
     """doc_ids to DROP to enforce a per-source quota of k among the
     dedup survivors: everything past the k smallest doc_ids of each
-    source. Slim (doc_id, source) rows route through the exchange
+    source (``longest=True`` ranks by text length desc instead —
+    group_topk semantics — keeping each source's k longest docs).
+    Slim (doc_id, source[, length]) rows route through the exchange
     hashed on source (string rides along — grouping is exact);
     output ∝ over-quota excess, never corpus size."""
     from zlib import crc32
 
     dropped_ref = ray.put(dropped)
-    ds = ray.data.read_parquet(filtered_data, columns=["doc_id", "source"])
+    cols = ["doc_id", "source"] + (["text"] if longest else [])
+    ds = ray.data.read_parquet(filtered_data, columns=cols)
 
     def key_rows(batch: pa.Table) -> pa.Table:
         dr = cached_get(dropped_ref)
@@ -139,13 +144,20 @@ def quota_dropped(filtered_data: str, dropped: np.ndarray, k: int) -> np.ndarray
             count=len(enc.dictionary),
         )
         codes = enc.indices.to_numpy(zero_copy_only=False)
-        return pa.table(
+        out = pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "source": src,
                 "src_hash": pa.array(uniq[codes], type=pa.int64()),
             }
         )
+        if longest:
+            # length computed in the scan task; text never routes
+            out = out.append_column(
+                "length",
+                pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+            )
+        return out
 
     def over_quota(t: pa.Table) -> pa.Table:
         doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -155,7 +167,13 @@ def quota_dropped(filtered_data: str, dropped: np.ndarray, k: int) -> np.ndarray
         src = pc.dictionary_encode(src_col).indices.to_numpy(
             zero_copy_only=False
         ).astype(np.int64)
-        order = np.lexsort((doc, src))
+        if longest:
+            ln = t.column("length").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            order = np.lexsort((doc, -ln, src))
+        else:
+            order = np.lexsort((doc, src))
         src_s, doc_s = src[order], doc[order]
         first = np.ones(len(src_s), dtype=bool)
         first[1:] = src_s[1:] != src_s[:-1]
@@ -184,8 +202,10 @@ def curate_corpus(
     decon_max_overlap: int | None = None,
     eval_documents: pa.Table | None = None,
     per_source_quota: int | None = None,
+    quota_longest: bool = False,
     n_shards: int | None = None,
     max_ppl: float | None = None,
+    snapshot_dir: str | None = None,
 ) -> pa.Table:
     """Run the full curation pipeline; returns the per-stage lineage
     table (stage, n_docs). Re-running resumes from the last committed
@@ -201,7 +221,15 @@ def curate_corpus(
         the eval table; default is the doc_id %% 101 == 0 stand-in
         split of the input.
       - ``per_source_quota``: keep at most k docs (smallest doc_ids)
-        per source among the dedup survivors.
+        per source among the dedup survivors; ``quota_longest=True``
+        keeps each source's k LONGEST docs instead (ranked selection).
+      - ``snapshot_dir``: incremental mode — drop cleaned docs whose
+        normalized text already exists in a prior corpus (a directory
+        holding ``documents.parquet``, e.g. a previous run's ``kept/``;
+        a direct parquet path also works). Exact-match incremental
+        dedup via the snapshot Bloom machinery — only the true-dup ids
+        broadcast; near-dedup stays within-batch (the snapshot carries
+        no MinHash signatures).
       - ``redact_pii``: rewrite kept text through the email/IP/phone
         redaction kernels.
       - ``n_shards``: add a deterministic training-shard column
@@ -275,10 +303,26 @@ def curate_corpus(
             n_kept = 0
         else:
             dropped_exact = exact_dedup_dropped(filtered_dir)
+            if snapshot_dir is not None:
+                from website_indexer_ray.pipelines.textops import (
+                    hashed_docs_ds,
+                    snapshot_dropped_ids,
+                )
+
+                snap_path = os.path.join(snapshot_dir, "documents.parquet")
+                if not os.path.exists(snap_path):
+                    snap_path = snapshot_dir
+                dropped_exact = np.union1d(
+                    dropped_exact,
+                    snapshot_dropped_ids(
+                        lambda: hashed_docs_ds(filtered_data),
+                        lambda: hashed_docs_ds(snap_path),
+                    ),
+                )
             n_after_exact = n_cleaned - len(dropped_exact)
             pairs = minhash_lsh_pairs(filtered_dir, jaccard_threshold)
             # near-dup union-find over survivors only: pairs touching
-            # an exact-dropped doc must not drop its keeper twin
+            # an exact/snapshot-dropped doc must not drop its keeper twin
             if len(dropped_exact) and pairs.num_rows:
                 a = pairs.column("doc_a").to_numpy(zero_copy_only=False)
                 b = pairs.column("doc_b").to_numpy(zero_copy_only=False)
@@ -289,7 +333,12 @@ def curate_corpus(
             if per_source_quota is not None:
                 dropped = np.union1d(
                     dropped,
-                    quota_dropped(filtered_data, dropped, per_source_quota),
+                    quota_dropped(
+                        filtered_data,
+                        dropped,
+                        per_source_quota,
+                        longest=quota_longest,
+                    ),
                 )
             dropped_ref = ray.put(dropped)
 

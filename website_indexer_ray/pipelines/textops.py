@@ -1288,23 +1288,23 @@ def _snapshot_hash_ds(sf_dir: str, shard_mod: int, want_new: bool):
     return ds.map_batches(hash_side, batch_format="pyarrow")
 
 
-def snapshot_dedup_ds(
-    sf_dir: str,
-    shard_mod: int = 4,
+def _snapshot_core(
+    new_fn,
+    snap_fn,
     bloom_bits: int = 1 << 20,
     n_probes: int = 6,
     verify_broadcast_max: int = 1_000_000,
 ):
-    """Dataset of kept new-shard doc_ids (column ``doc_id``) — new
-    docs whose normalized text does not appear in the snapshot side.
-    Duplicates *within* the new shard are all kept (dedup is against
-    the snapshot only; compose with exact_dedup for intra-shard)."""
+    """The Bloom-prefilter + exact-verify machinery over two dataset
+    FACTORIES (callables returning fresh slim (doc_id, text_hash)
+    Datasets — the snapshot side is scanned up to twice). Returns
+    ``(slim, dropped_ref)``: the materialized probed new side and a
+    broadcast array of hashes truly present in the snapshot."""
     from website_indexer_ray.util import cached_get
 
     # Pass A: snapshot Bloom, broadcast once.
-    snap_hash = _snapshot_hash_ds(sf_dir, shard_mod, want_new=False)
     bloom_ref = ray.put(
-        _bloom_from_hash_ds(snap_hash, "text_hash", bloom_bits, n_probes)
+        _bloom_from_hash_ds(snap_fn(), "text_hash", bloom_bits, n_probes)
     )
 
     # Pass B: probe. Slim (doc_id, text_hash, maybe_dup) rows only.
@@ -1322,11 +1322,7 @@ def snapshot_dedup_ds(
         )
         return batch.append_column("maybe_dup", pa.array(maybe))
 
-    slim = (
-        _snapshot_hash_ds(sf_dir, shard_mod, want_new=True)
-        .map_batches(probe, batch_format="pyarrow")
-        .materialize()
-    )
+    slim = new_fn().map_batches(probe, batch_format="pyarrow").materialize()
 
     cand = _to_table(
         slim.map_batches(
@@ -1350,9 +1346,7 @@ def snapshot_dedup_ds(
             )
 
         matched = _to_table(
-            _snapshot_hash_ds(sf_dir, shard_mod, want_new=False).map_batches(
-                present, batch_format="pyarrow"
-            )
+            snap_fn().map_batches(present, batch_format="pyarrow")
         )
         dropped_ref = ray.put(np.unique(matched.column("text_hash").to_numpy()))
     else:
@@ -1397,7 +1391,7 @@ def snapshot_dedup_ds(
                 "side", pa.array(np.ones(t.num_rows, dtype=np.int8))
             )
 
-        union = _snapshot_hash_ds(sf_dir, shard_mod, want_new=False).map_batches(
+        union = snap_fn().map_batches(
             snap_survivors, batch_format="pyarrow"
         ).union(slim.map_batches(cand_tag, batch_format="pyarrow"))
 
@@ -1424,6 +1418,22 @@ def snapshot_dedup_ds(
         )
         dropped_ref = ray.put(dropped)
 
+    return slim, dropped_ref
+
+
+def snapshot_dedup_ds(sf_dir: str, shard_mod: int = 4, **kw):
+    """Dataset of kept new-shard doc_ids (column ``doc_id``) — new
+    docs whose normalized text does not appear in the snapshot side.
+    Duplicates *within* the new shard are all kept (dedup is against
+    the snapshot only; compose with exact_dedup for intra-shard)."""
+    from website_indexer_ray.util import cached_get
+
+    slim, dropped_ref = _snapshot_core(
+        lambda: _snapshot_hash_ds(sf_dir, shard_mod, want_new=True),
+        lambda: _snapshot_hash_ds(sf_dir, shard_mod, want_new=False),
+        **kw,
+    )
+
     # Final: definite keeps + candidates whose hash wasn't present.
     def keep(batch: pa.Table) -> pa.Table:
         dropped = cached_get(dropped_ref)
@@ -1435,6 +1445,48 @@ def snapshot_dedup_ds(
         )
 
     return slim.map_batches(keep, batch_format="pyarrow")
+
+
+def snapshot_dropped_ids(new_fn, snap_fn, **kw) -> np.ndarray:
+    """doc_ids of the NEW side already present in the snapshot —
+    the drop-set form composite pipelines broadcast (output ∝ true
+    duplicates, never corpus size). ``new_fn``/``snap_fn`` are
+    factories returning slim (doc_id, text_hash) Datasets."""
+    from website_indexer_ray.util import cached_get
+
+    slim, dropped_ref = _snapshot_core(new_fn, snap_fn, **kw)
+
+    def dup_rows(batch: pa.Table) -> pa.Table:
+        dropped = cached_get(dropped_ref)
+        h = batch.column("text_hash").to_numpy(zero_copy_only=False)
+        maybe = batch.column("maybe_dup").to_numpy(zero_copy_only=False)
+        bad = maybe & np.isin(h, dropped)
+        return pa.table(
+            {"doc_id": batch.column("doc_id").filter(pa.array(bad))}
+        )
+
+    tbl = _to_table(slim.map_batches(dup_rows, batch_format="pyarrow"))
+    return np.sort(tbl.column("doc_id").to_numpy(zero_copy_only=False))
+
+
+def hashed_docs_ds(data_path: str):
+    """Factory body for snapshot_dropped_ids over any documents
+    parquet (file or directory): slim (doc_id, text_hash) rows with
+    the family's normalized-content hash."""
+    ds = ray.data.read_parquet(data_path, columns=["doc_id", "text"])
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text_hash": pa.array(
+                    _norm_hashes(texts).view(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(hash_rows, batch_format="pyarrow")
 
 
 def snapshot_dedup(sf_dir: str, **kw) -> pa.Table:
