@@ -291,3 +291,37 @@ class TestHostBudgetReserveN:
 
         b = HostBudget.remote(wait=0.0)
         assert _ray.get(b.reserve_n.remote("h", 3)) == [0.0, 0.0, 0.0]
+import glob, os
+import pyarrow as pa, pyarrow.parquet as pq, pyarrow.compute as pc
+
+def test_sharded_map_write_resume(ray_session, tmp_path):
+    from website_indexer_ray.util import sharded_map_write
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(3):
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(i * 10, i * 10 + 10), type=pa.int64())}),
+            str(src / f"f{i}.parquet"),
+        )
+
+    def double(t):
+        return t.append_column("twice", pc.multiply(t.column("doc_id"), 2))
+
+    out = tmp_path / "out"
+    r1 = sharded_map_write(str(src), double, str(out))
+    assert r1 == {"shards": 3, "skipped": 0}
+    files = sorted(glob.glob(f"{out}/shard-*/part-*.parquet"))
+    assert len(files) == 3
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    assert sorted(t.column("twice").to_pylist()) == [2 * i for i in range(30)]
+
+    # break one shard: its _SUCCESS gone -> only it recomputes
+    os.remove(out / "shard-f1" / "_SUCCESS")
+    mt_before = {f: os.path.getmtime(f) for f in files}
+    r2 = sharded_map_write(str(src), double, str(out))
+    assert r2 == {"shards": 3, "skipped": 2}
+    for f in files:
+        changed = os.path.getmtime(f) != mt_before[f]
+        assert changed == ("shard-f1" in f)
+
