@@ -108,8 +108,8 @@ def _shard_map_task(in_file: str, fn, shard_dir: str) -> int:
     finally:
         if writer is not None:
             writer.close()
-    if writer is None:  # empty shard still commits (nothing to redo)
-        pq.write_table(pa.table({}), out_path)
+    # an empty input shard commits with no part file — a zero-column
+    # parquet would break schema-uniform reads of the output glob
     open(os.path.join(shard_dir, "_SUCCESS"), "w").close()
     return n
 
