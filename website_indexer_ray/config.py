@@ -61,6 +61,14 @@ class CrawlConfig:
     fetch_concurrency: int = 4
     fetch_batch_size: int = 256
     fetch_num_cpus: float = 1.0
+    # Concurrent connections held by ONE fetch slot (task/actor).
+    # wpull is a single async connection; a distributed fetcher
+    # multiplexes several so a slot's wall-clock is bounded by
+    # network RTTs / fetch_threads instead of their sum. Politeness
+    # is unaffected: per-host pacing is enforced by absolute-time
+    # slot targets (HostBudget / locked HostRateLimiter), which
+    # threads respect regardless of which one carries the request.
+    fetch_threads: int = 4
     simulate_latency: bool = False
     salt_partitions: int = 1  # >1 ⇒ hot-host salting + shared HostBudget
     # Materialize the interleaved-span docs table (north_star output

@@ -629,13 +629,17 @@ class CrawlEngine:
         if cfg.simulate_latency or cfg.politeness_wait > 0:
             # latency-bound: one wave of exactly fetch_concurrency
             # long-running tasks — the configured aggregate connection
-            # budget (which scales with cluster size). Fewer, longer
-            # tasks also keep per-task dispatch overhead negligible
-            # relative to the fetch time they hide.
-            slots = cfg.fetch_concurrency
-            bs = max(8, min(8192, -(-n_claimed // slots)))
-            # Block fan-out comes from the shards' chunked resolve
-            # (resolve_all chunks_per_shard) — no repartition here.
+            # budget (which scales with cluster size). Block fan-out
+            # comes from the shards' chunked resolve (resolve_all
+            # chunks_per_shard targets one block per connection slot);
+            # batch_size=None makes each of those blocks exactly one
+            # task. Re-deriving a row-count batch_size here instead
+            # loses a coin flip to rounding: a block one row SMALLER
+            # than the computed batch_size gets bundled with its
+            # neighbor — two blocks per task — halving the effective
+            # connection parallelism the slot math just set up.
+            bs = None
+            conc = max(conc, min(cfg.fetch_concurrency, n_claimed))
         if stateless:
             # Task path: Ray reuses warm worker processes across jobs,
             # so there is no per-generation pool spin-up; the corpus

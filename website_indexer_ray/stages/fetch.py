@@ -134,6 +134,16 @@ class FetchParseStage:
             if self.cfg.respect_robots
             else None
         )
+        # Connection multiplexing: one pool per stage instance (per
+        # actor / per cached task worker), threads live across batches.
+        self._conn_pool = None
+        if self.cfg.fetch_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._conn_pool = ThreadPoolExecutor(
+                max_workers=self.cfg.fetch_threads,
+                thread_name_prefix="fetch-conn",
+            )
 
     # --- fetch seam -------------------------------------------------
     def _fetch(self, url: str, method: str) -> tuple[int, str, str | None, str | None, int]:
@@ -185,9 +195,25 @@ class FetchParseStage:
             t0 = time.monotonic()
             self._slot_t0 = t0
             self._slots = {h: iter(ray.get(f)) for h, f in futs.items()}
-        out: list[dict] = []
-        for row, ok in zip(rows, allowed):
-            out.append(self._process(row, robots_allowed=ok))
+        # Each connection thread carries whole rows independently;
+        # executor.map preserves row order, and record contents are
+        # pure per-row functions (synthetic timestamps, no shared
+        # mutable state), so the output table is bit-identical to the
+        # sequential loop. Network waits (or their simulated stand-in)
+        # overlap across the pool; parse work stays GIL-serialized and
+        # is what the slot's CPU reservation pays for.
+        if self._conn_pool is not None and len(rows) > 1:
+            out = list(
+                self._conn_pool.map(
+                    lambda pair: self._process(pair[0], robots_allowed=pair[1]),
+                    zip(rows, allowed),
+                )
+            )
+        else:
+            out = [
+                self._process(row, robots_allowed=ok)
+                for row, ok in zip(rows, allowed)
+            ]
         if not out:
             return RECORDS_SCHEMA.empty_table()
         return pa.Table.from_pylist(out, schema=RECORDS_SCHEMA)

@@ -16,6 +16,7 @@ a uniform factor in [0.5, 1.5] — seeded per host for determinism.
 from __future__ import annotations
 
 import random
+import threading
 import time
 
 import ray
@@ -39,6 +40,11 @@ class HostRateLimiter:
         self.sleep = sleep
         self.next_ok: dict[str, float] = {}
         self.rngs: dict[str, random.Random] = {}
+        # Multiplexed fetch slots (cfg.fetch_threads) share one
+        # limiter: slot RESERVATION is locked, the sleep is not, so
+        # concurrent threads each wait for their own absolute target
+        # and per-host spacing survives any interleaving.
+        self._lock = threading.Lock()
 
     def _factor(self, host: str) -> float:
         if not self.random_wait:
@@ -50,12 +56,13 @@ class HostRateLimiter:
         """Block until the host's next slot; returns seconds slept."""
         if self.wait <= 0:
             return 0.0
-        now = self.clock()
-        t = self.next_ok.get(host, now)
-        delay = max(0.0, t - now)
+        with self._lock:
+            now = self.clock()
+            t = self.next_ok.get(host, now)
+            delay = max(0.0, t - now)
+            self.next_ok[host] = max(now, t) + self.wait * self._factor(host)
         if delay > 0:
             self.sleep(delay)
-        self.next_ok[host] = max(now, t) + self.wait * self._factor(host)
         return delay
 
 
