@@ -214,10 +214,10 @@ class TestSyntheticEquality:
         orig = eng._fetch_table_or_ds
 
         def spy(claimed_tbl, claimed_ds, records_dir, corpus_ref,
-                cfg_dict, budget_handle, counts, n_claimed):
+                cfg_dict, budget_handle, counts, n_claimed, *rest):
             captured["budget"] = budget_handle
             return orig(claimed_tbl, claimed_ds, records_dir, corpus_ref,
-                        cfg_dict, budget_handle, counts, n_claimed)
+                        cfg_dict, budget_handle, counts, n_claimed, *rest)
 
         eng._fetch_table_or_ds = spy
         result = eng.run(corpus, seeds)

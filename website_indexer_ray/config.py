@@ -69,6 +69,14 @@ class CrawlConfig:
     # slot targets (HostBudget / locked HostRateLimiter), which
     # threads respect regardless of which one carries the request.
     fetch_threads: int = 4
+    # Fused frontier expansion: expand+predicate+offer run inside the
+    # fetch stage on the just-parsed records (links still in memory),
+    # so generation g+1 never re-reads generation g's checkpoint from
+    # storage and the per-generation expansion job disappears. At
+    # 100 TB that read-back is a full extra pass over the (pruned)
+    # records per generation. The unfused phase A remains the gen-0 /
+    # resume-entry path (and the oracle form).
+    fused_expand: bool = True
     simulate_latency: bool = False
     salt_partitions: int = 1  # >1 ⇒ hot-host salting + shared HostBudget
     # Materialize the interleaved-span docs table (north_star output

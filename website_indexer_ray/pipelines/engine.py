@@ -203,6 +203,11 @@ class CrawlEngine:
             fetch_parse_task,
             corpus_ref=corpus_ref,
             cfg_json=_json.dumps(cfg.to_dict(), sort_keys=True),
+            # The per-worker stage cache keys on the shard handles too
+            # (fused expansion): warm with the SAME shards run() will
+            # use, or the warmed stages (and their deserialized corpus)
+            # would be cache misses in the timed run.
+            shards=self._warm_shards if cfg.fused_expand else None,
         )
         (
             ray.data.from_arrow(dummy)
@@ -249,6 +254,13 @@ class CrawlEngine:
             cfg.n_seen_shards, cfg.seen_shard_capacity
         )
         self._warm_shards = None  # fresh shards per run() call
+        # Fused-expansion state is per-run: the persistent driver-side
+        # fetch stage holds shard handles, and offers are only "ready"
+        # for a generation whose predecessor's fetch ran in THIS
+        # process (a resumed crawl re-derives them from the records
+        # checkpoint through the unfused phase A).
+        self._driver_fetch = None
+        self._offers_ready_gen: int | None = None
         # The per-host rate cap must hold GLOBALLY: with a wait
         # configured, every fetch path (driver, actor pool, salted)
         # paces through ONE shared HostBudget actor — per-actor
@@ -388,14 +400,37 @@ class CrawlEngine:
         # the SAME stage classes and shard actors — a Ray Data job
         # launch would be pure overhead. Mass generations take the
         # distributed pipeline.
+        pred = PredicateStage(cfg_dict)
+        shard_handles = shards
+
+        if cfg.fused_expand and self._offers_ready_gen == g:
+            # Phase A already happened inside generation g-1's fetch
+            # stage (cfg.fused_expand): candidates were expanded,
+            # predicate-filtered and offered while the parsed records
+            # were still in memory. Drain the pre-predicate candidate
+            # counts the fetch tasks banked on the shards — the
+            # lineage n_candidates — and go straight to the claim
+            # barrier. No read of the previous checkpoint happens.
+            cand_by_batch = seen_state.take_cand_counts_all(shards)
+            if os.environ.get("WIR_TIMING"):
+                print(f"[timing] gen={g} phaseA=fused", flush=True)
+            return self._claim_fetch_finish(
+                g, corpus_ref, cfg_dict, shards, budget_handle,
+                total_requested, cand_by_batch, records_dir, t0,
+            )
+
         n_input = (
             _dir_num_rows(_gen_dir(self.out, "frontier", 0))
             if g == 0
             else _dir_num_rows(prev_records_dir)
         )
         est_candidates = 0 if g == 0 else _dir_link_values(prev_records_dir)
-        pred = PredicateStage(cfg_dict)
-        shard_handles = shards
+        if os.environ.get("WIR_TIMING"):
+            print(
+                f"[timing] gen={g}   est={time.monotonic()-t0:.2f}"
+                f" (n_input={n_input} est_cand={est_candidates})",
+                flush=True,
+            )
 
         if (
             n_input <= cfg.driver_threshold
@@ -464,6 +499,27 @@ class CrawlEngine:
 
         if os.environ.get("WIR_TIMING"):
             print(f"[timing] gen={g} phaseA={time.monotonic()-t0:.2f}", flush=True)
+        return self._claim_fetch_finish(
+            g, corpus_ref, cfg_dict, shards, budget_handle,
+            total_requested, cand_by_batch, records_dir, t0,
+        )
+
+    def _claim_fetch_finish(
+        self,
+        g: int,
+        corpus_ref,
+        cfg_dict: dict,
+        shards: list,
+        budget_handle,
+        total_requested: int,
+        cand_by_batch: dict,
+        records_dir: str,
+        t0: float,
+    ) -> list[dict]:
+        """Phase B (claim barrier + fetch + records checkpoint),
+        seen snapshot, and the generation's lineage rows — shared by
+        the checkpoint-reading phase A and the fused-expansion path."""
+        cfg = self.cfg
         t_b = time.monotonic()
         # ---- phase B: claim barrier + fetch + records checkpoint ----
         fetch_thr = cfg.fetch_driver_threshold
@@ -476,11 +532,12 @@ class CrawlEngine:
         )
 
         counts: dict[tuple[int, str], int] = {}  # (seed_batch, record_type) → n
+        offer_shards = shards if cfg.fused_expand else None
         if cfg.max_pages:
             claimed_tbl = self._budgeted_claim_table(shards, total_requested)
             self._fetch_table_or_ds(
                 claimed_tbl, None, records_dir, corpus_ref, cfg_dict,
-                budget_handle, counts, claimed_tbl.num_rows,
+                budget_handle, counts, claimed_tbl.num_rows, offer_shards,
             )
         elif n_pending <= fetch_thr:
             rows = [
@@ -504,7 +561,7 @@ class CrawlEngine:
             )
             self._fetch_table_or_ds(
                 claimed_tbl, None, records_dir, corpus_ref, cfg_dict,
-                budget_handle, counts, claimed_tbl.num_rows,
+                budget_handle, counts, claimed_tbl.num_rows, offer_shards,
             )
         else:
             # Shards return their winners pre-chunked so the fetch
@@ -520,8 +577,12 @@ class CrawlEngine:
             )
             self._fetch_table_or_ds(
                 None, claimed_ds, records_dir, corpus_ref, cfg_dict,
-                budget_handle, counts, n_pending,
+                budget_handle, counts, n_pending, offer_shards,
             )
+        if offer_shards is not None:
+            # Generation g+1's candidates were offered (and counted)
+            # by the fetch stage just now; its phase A is a no-op.
+            self._offers_ready_gen = g + 1
         if os.environ.get("WIR_TIMING"):
             print(f"[timing] gen={g} phaseB={time.monotonic()-t_b:.2f}", flush=True)
 
@@ -570,6 +631,7 @@ class CrawlEngine:
         budget_handle,
         counts: dict[str, int],
         n_claimed: int,
+        offer_shards: list | None = None,
     ) -> None:
         """Run the fetch+parse stage over the claimed URLs and write
         the records checkpoint, accumulating outcome counts.
@@ -591,6 +653,7 @@ class CrawlEngine:
                 self._driver_fetch = FetchParseStage(
                     self._corpus_dict, cfg_dict, budget_handle,
                     getattr(self, "_robots_store", None),
+                    shards=offer_shards,
                 )
             records_tbl = self._driver_fetch(claimed_tbl)
             os.makedirs(records_dir, exist_ok=True)
@@ -608,11 +671,16 @@ class CrawlEngine:
         # keeps the per-host rate cap global across those slices.
         if cfg.salt_partitions > 1 and budget_handle is not None:
             self._fetch_salted(
-                claimed_ds, records_dir, corpus_ref, cfg_dict, budget_handle
+                claimed_ds, records_dir, corpus_ref, cfg_dict, budget_handle,
+                offer_shards,
             )
-            for f in glob.glob(os.path.join(records_dir, "*.parquet")):
+            files = glob.glob(os.path.join(records_dir, "*.parquet"))
+            if files:
                 _accumulate_counts(
-                    counts, pq.read_table(f, columns=["record_type", "seed_batch"])
+                    counts,
+                    pads.dataset(files).to_table(
+                        columns=["record_type", "seed_batch"]
+                    ),
                 )
             return
 
@@ -651,6 +719,7 @@ class CrawlEngine:
                 fetch_parse_task,
                 corpus_ref=corpus_ref,
                 cfg_json=_json.dumps(cfg_dict, sort_keys=True),
+                shards=offer_shards,
             )
             records_ds = claimed_ds.map_batches(
                 fn,
@@ -664,6 +733,7 @@ class CrawlEngine:
                 fn_constructor_args=(
                     corpus_ref, cfg_dict, budget_handle,
                     getattr(self, "_robots_store", None),
+                    offer_shards,
                 ),
                 batch_format="pyarrow",
                 batch_size=bs,
@@ -679,17 +749,23 @@ class CrawlEngine:
         if os.environ.get("WIR_TIMING"):
             print(f"[timing]   fetch+write={time.monotonic()-t_w:.2f}", flush=True)
         t_c = time.monotonic()
-        # Outcome counts from the written checkpoint (prunes to one
-        # dictionary-encoded column; no driver materialization of rows).
-        for f in glob.glob(os.path.join(records_dir, "*.parquet")):
+        # Outcome counts from the written checkpoint (prunes to two
+        # slim columns; no driver materialization of rows). One
+        # multi-threaded dataset read — a fetch wave writes one file
+        # per task, and a per-file read_table loop pays file-open
+        # latency hundreds of times over.
+        files = glob.glob(os.path.join(records_dir, "*.parquet"))
+        if files:
             _accumulate_counts(
-                counts, pq.read_table(f, columns=["record_type", "seed_batch"])
+                counts,
+                pads.dataset(files).to_table(columns=["record_type", "seed_batch"]),
             )
         if os.environ.get("WIR_TIMING"):
             print(f"[timing]   counts={time.monotonic()-t_c:.2f}", flush=True)
 
     def _fetch_salted(
-        self, claimed_ds, records_dir: str, corpus_ref, cfg_dict, budget_handle
+        self, claimed_ds, records_dir: str, corpus_ref, cfg_dict, budget_handle,
+        offer_shards: list | None = None,
     ) -> None:
         """groupby(host, salt) → map_groups fetch: the explicit salted
         host shuffle (SURVEY.md §4.2). salt = url_hash % S defuses
@@ -718,6 +794,7 @@ class CrawlEngine:
             cfg_json=_json.dumps(cfg_dict, sort_keys=True),
             budget_handle=budget_handle,
             robots_handle=getattr(self, "_robots_store", None),
+            shards=offer_shards,
         )
         records_ds = (
             claimed_ds.map_batches(add_salt, batch_format="pyarrow")

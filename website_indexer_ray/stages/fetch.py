@@ -60,6 +60,7 @@ def fetch_parse_task(
     cfg_json: str = "",
     budget_handle=None,
     robots_handle=None,
+    shards=None,
 ) -> pa.Table:
     """Stateless map_batches task form of FetchParseStage — used when
     the stage holds no cross-batch state (no politeness wait, no
@@ -76,11 +77,13 @@ def fetch_parse_task(
         cfg_json,
         budget_handle is not None,
         robots_handle is not None,
+        tuple(str(s) for s in shards) if shards else None,
     )
     stage = _TASK_STAGE_CACHE.get(key)
     if stage is None:
         stage = FetchParseStage(
-            corpus_ref, json.loads(cfg_json), budget_handle, robots_handle
+            corpus_ref, json.loads(cfg_json), budget_handle, robots_handle,
+            shards=shards,
         )
         _TASK_STAGE_CACHE[key] = stage
     return stage(batch)
@@ -97,6 +100,7 @@ class FetchParseStage:
         cfg: dict,
         budget_handle=None,
         robots_handle=None,
+        shards=None,
     ):
         self.cfg = CrawlConfig.from_dict(cfg) if isinstance(cfg, dict) else cfg
         if corpus_ref is None:
@@ -134,6 +138,23 @@ class FetchParseStage:
             if self.cfg.respect_robots
             else None
         )
+        # Fused frontier expansion (engine.py phase A folded into the
+        # fetch): the parsed records' links are expanded, filtered
+        # through the SAME predicate chain, and offered to the seen
+        # shards while still in memory — the next generation never
+        # re-reads this generation's checkpoint from storage. The
+        # records checkpoint stays the durable source of truth, so a
+        # resumed crawl re-derives offers from it via the unfused
+        # phase-A path.
+        self._shards = list(shards) if shards else None
+        self._expand = self._pred = None
+        if self._shards:
+            from website_indexer_ray.stages.expand import ExpandStage
+            from website_indexer_ray.stages.predicates import PredicateStage
+
+            self._expand = ExpandStage(self.cfg)
+            self._pred = PredicateStage(self.cfg)
+            self._cand_rr = 0  # round-robin shard for count reports
         # Connection multiplexing: one pool per stage instance (per
         # actor / per cached task worker), threads live across batches.
         self._conn_pool = None
@@ -214,9 +235,40 @@ class FetchParseStage:
                 self._process(row, robots_allowed=ok)
                 for row, ok in zip(rows, allowed)
             ]
+        if self._shards is not None and out:
+            self._offer_expansion(out)
         if not out:
             return RECORDS_SCHEMA.empty_table()
         return pa.Table.from_pylist(out, schema=RECORDS_SCHEMA)
+
+    def _offer_expansion(self, records: list[dict]) -> None:
+        """Fused phase A: expand this batch's records into next-
+        generation candidates, count them pre-predicate (the lineage
+        n_candidates definition), filter through the predicate chain,
+        and offer the survivors to the seen shards. Identical
+        candidate set and winner resolution as the checkpoint-reading
+        phase A: expand/predicate are pure functions of record fields
+        that round-trip parquet exactly, and the shards' min-key
+        winner is offer-order-independent."""
+        from collections import Counter
+
+        from website_indexer_ray.schemas import FRONTIER_SCHEMA
+        from website_indexer_ray.state import seen as seen_state
+
+        candidates = self._expand.expand_rows(records)
+        if not candidates:
+            return
+        counts = dict(Counter(r.get("seed_batch", 0) or 0 for r in candidates))
+        shard = self._shards[self._cand_rr % len(self._shards)]
+        self._cand_rr += 1
+        count_fut = shard.add_cand_counts.remote(counts)
+        acc = self._pred(pa.Table.from_pylist(candidates, schema=FRONTIER_SCHEMA))
+        if acc.num_rows:
+            seen_state.offer_batch(self._shards, acc)
+        # Block until the count lands: the engine drains counts right
+        # after the generation's write barrier, so an in-flight RPC
+        # here would race the lineage read.
+        ray.get(count_fut)
 
     def _process(self, row: dict, robots_allowed: bool = True) -> dict:
         url = row["url"]

@@ -109,6 +109,24 @@ class SeenShard:
     def pending_count(self) -> int:
         return sum(len(c) for c in getattr(self, "pending_chunks", None) or [])
 
+    # --- fused-expansion lineage counts ------------------------------
+    # When frontier expansion runs inside the fetch stage
+    # (cfg.fused_expand), each fetch task reports its pre-predicate
+    # candidate counts per seed_batch here; the engine drains them at
+    # the next generation barrier to build the lineage row the
+    # checkpoint-reading phase A used to compute.
+    def add_cand_counts(self, counts: dict) -> None:
+        acc = getattr(self, "cand_counts", None)
+        if acc is None:
+            acc = self.cand_counts = {}
+        for k, v in counts.items():
+            acc[k] = acc.get(k, 0) + v
+
+    def take_cand_counts(self) -> dict:
+        out = getattr(self, "cand_counts", None) or {}
+        self.cand_counts = {}
+        return out
+
     def resolve(self, schema):
         """Claim every pending unseen URL; returns the winners as an
         Arrow table (possibly empty) of the given schema. Atomic per
@@ -242,6 +260,17 @@ def offer_batch(shards: list, batch) -> int:
         if len(idx):
             futures.append(shards[s].offer.remote(batch.take(pa.array(idx))))
     return sum(_ray.get(futures))
+
+
+def take_cand_counts_all(shards: list) -> dict[int, int]:
+    """Drain and sum the fused-expansion candidate counts from every
+    shard (per-seed_batch, pre-predicate) — the lineage n_candidates
+    source when phase A is fused into the fetch stage."""
+    total: dict[int, int] = {}
+    for d in ray.get([s.take_cand_counts.remote() for s in shards]):
+        for k, v in d.items():
+            total[k] = total.get(k, 0) + v
+    return total
 
 
 def resolve_all(shards: list, schema, chunks_per_shard: int = 1):
