@@ -62,7 +62,11 @@ from website_indexer_ray.config import CrawlConfig
 from website_indexer_ray.functions.urls import canonicalize, hostname_with_port, url_hash
 from website_indexer_ray.schemas import FRONTIER_SCHEMA, LINEAGE_SCHEMA
 from website_indexer_ray.stages.expand import EXPAND_COLUMNS, ExpandStage
-from website_indexer_ray.stages.fetch import FetchParseStage, fetch_parse_task
+from website_indexer_ray.stages.fetch import (
+    CorpusIndex,
+    FetchParseStage,
+    fetch_parse_task,
+)
 from website_indexer_ray.stages.predicates import PredicateStage
 from website_indexer_ray.state import seen as seen_state
 from website_indexer_ray.state.politeness import HostBudget
@@ -154,10 +158,18 @@ class CrawlEngine:
         if corpus is None:
             return None
         if self._corpus_ref is None:
-            self._corpus_dict = (
-                corpus if isinstance(corpus, dict) else corpus_to_dict(corpus)
-            )
-            self._corpus_ref = ray.put(self._corpus_dict)
+            if isinstance(corpus, dict):
+                self._corpus_dict = corpus
+                self._corpus_ref = ray.put(corpus)
+            else:
+                # Broadcast the Arrow table itself: zero-copy in the
+                # object store (a pickled dict would be re-deserialized
+                # in full by every worker process — O(corpus bytes) per
+                # worker, paid inside the first timed fetch wave for
+                # any worker the warm pass missed). Workers build only
+                # the tiny url→row index (stages/fetch.CorpusIndex).
+                self._corpus_dict = CorpusIndex(corpus)
+                self._corpus_ref = ray.put(corpus)
         return self._corpus_ref
 
     def warm(self, corpus, n_tasks: int | None = None) -> None:
@@ -569,7 +581,15 @@ class CrawlEngine:
             # no repartition pass.
             chunks = 1
             if cfg.simulate_latency or cfg.politeness_wait > 0:
-                bs_est = max(8, min(8192, -(-n_pending // cfg.fetch_concurrency)))
+                # Target ~4 blocks per connection slot, not 1: one task
+                # per slot makes the wave's tail as long as one whole
+                # task (a straggler holds rows/slots × latency of work
+                # nobody can steal), while 4× finer blocks let idle
+                # slots pack the tail at a per-task dispatch cost that
+                # is still ~1000× smaller than the block's fetch time.
+                bs_est = max(
+                    8, min(8192, -(-n_pending // (4 * cfg.fetch_concurrency)))
+                )
                 n_blocks = min(1024, -(-n_pending // bs_est))
                 chunks = max(1, -(-n_blocks // cfg.n_seen_shards))
             claimed_ds = ray.data.from_arrow_refs(
