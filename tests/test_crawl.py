@@ -406,6 +406,62 @@ class TestSyntheticEquality:
         assert result.records_table().num_rows == 0
         assert result.status()["status"] == "Finished"
 
+    def test_fused_vs_unfused_expansion_equality(
+        self, ray_session, tmp_path, corpus_seeds
+    ):
+        """cfg.fused_expand folds phase A (expand+predicate+offer) into
+        the fetch stage; records, seen set and lineage — including the
+        pre-predicate n_candidates counts banked on the shards — must
+        be identical to the unfused checkpoint-reading path. Thresholds
+        are zeroed so BOTH runs take the distributed Ray Data path
+        (the driver path is covered by the oracle-equality tests)."""
+        corpus, seeds = corpus_seeds
+        kw = dict(driver_threshold=0, driver_candidate_threshold=0,
+                  fetch_driver_threshold=0)
+        res_f = run_engine(corpus, seeds, self._cfg(fused_expand=True, **kw),
+                           str(tmp_path / "fusedA"))
+        res_u = run_engine(corpus, seeds, self._cfg(fused_expand=False, **kw),
+                           str(tmp_path / "fusedB"))
+        key = lambda r: r["url"]  # noqa: E731
+        assert sorted(res_f.records_table().to_pylist(), key=key) == sorted(
+            res_u.records_table().to_pylist(), key=key
+        )
+        assert set(res_f.seen_table().column("url").to_pylist()) == set(
+            res_u.seen_table().column("url").to_pylist()
+        )
+        strip = lambda rows: [  # noqa: E731
+            {k: v for k, v in r.items() if k != "wall_s"} for r in rows
+        ]
+        assert strip(res_f.lineage_table().to_pylist()) == strip(
+            res_u.lineage_table().to_pylist()
+        )
+
+    def test_fetch_threads_equality(self, ray_session, tmp_path, corpus_seeds):
+        """Connection multiplexing (fetch_threads) must be output-
+        invariant: records are pure per-row functions and executor.map
+        preserves order."""
+        corpus, seeds = corpus_seeds
+        res_1 = run_engine(corpus, seeds, self._cfg(fetch_threads=1),
+                           str(tmp_path / "thr1"))
+        res_4 = run_engine(corpus, seeds, self._cfg(fetch_threads=4),
+                           str(tmp_path / "thr4"))
+        key = lambda r: r["url"]  # noqa: E731
+        assert sorted(res_1.records_table().to_pylist(), key=key) == sorted(
+            res_4.records_table().to_pylist(), key=key
+        )
+
+    def test_corpus_index_matches_dict(self, corpus_seeds):
+        """The zero-copy Arrow corpus accessor returns exactly the
+        tuples the pickled-dict broadcast used to."""
+        from website_indexer_ray.stages.fetch import CorpusIndex
+
+        corpus, _ = corpus_seeds
+        d = corpus_to_dict(corpus)
+        idx = CorpusIndex(corpus)
+        for url, row in d.items():
+            assert idx.get(url) == row
+        assert idx.get("https://not-in-corpus.example/") is None
+
     def test_lineage(self, ray_session, tmp_path, corpus_seeds):
         corpus, seeds = corpus_seeds
         cfg = self._cfg()

@@ -1,22 +1,26 @@
 """The crawl engine: a generation-based (breadth-first) frontier loop.
 
 Replaces the reference's single-process wpull event loop
-(/root/reference/crawler/wpull/crawler.py:27-62) with per-generation
-Ray Data pipelines:
+(/root/reference/crawler/wpull/crawler.py:27-62) with ONE Ray Data
+pipeline per generation:
 
-  records(g-1) ──pruned read──map_batches(ExpandStage)──►
-     ──map_batches(PredicateStage + offer to sharded cuckoo actors)──►
-     (generation barrier: shards resolve claims atomically)
-     ──map_batches(FetchParseStage actor pool)──► records(g)
+  (generation barrier: seen shards resolve pending claims atomically)
+  claimed ──map_batches(FetchParseStage: fetch → parse →
+            expand links → predicates → offer to sharded cuckoo
+            actors, all while the parsed records are in memory)──►
      ──write_parquet──► records/gen=g/            (checkpoint)
   seen shards ──snapshot──► seen/gen=g/           (checkpoint)
   lineage row ──► _SUCCESS manifest               (completes gen g)
 
-Expansion, predicates and the seen-offer are ONE fused pipeline (two
-Ray Data jobs per generation total); no frontier table is materialized
-beyond the gen-0 seeds — generation g's candidates derive from the
-records(g-1) checkpoint. Tiny generations (seeds, BFS tails) run both
-phases driver-side through the same stage classes and shard actors
+With ``cfg.fused_expand`` (default) frontier expansion runs inside the
+fetch stage, so generation g+1 never re-reads generation g's
+checkpoint — no frontier table is materialized beyond the gen-0
+seeds, and no extra storage pass happens per generation. The
+checkpoint-reading phase A (pruned read → ExpandStage → PredicateStage
+→ offer) remains the gen-0 and resume-entry path: the records
+checkpoint is the durable source of truth and pending offers are
+re-derived from it after a restart. Tiny generations (seeds, BFS
+tails) run driver-side through the same stage classes and shard actors
 (adaptive thresholds in CrawlConfig) so fixed job overhead never
 dominates; mass generations always take the distributed path.
 
