@@ -447,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_keep": textops.near_dedup_keep,
         "simhash_pairs": textops.simhash_pairs,
         "embedding_dedup_lsh": annops.embedding_dedup_lsh,
+        "semantic_dedup": annops.semantic_dedup,
         "knn_lsh": annops.knn_lsh,
         "knn_ivf": annops.knn_ivf,
         "approx_top_tokens": textops.approx_top_tokens,

@@ -676,6 +676,65 @@ class TestEmbeddingDedupLsh:
             assert len(E & L) / len(E) >= 0.7
 
 
+class TestSemanticDedup:
+    """SemDeDup (Abbas et al. 2023): k-means clusters → in-cluster
+    exact-cosine keep-the-first. Dropped ⊆ the exact global dropped
+    set (precision 1.0 — every in-cluster hit is a real ≥-threshold
+    pair), recall bounded below; everything is seeded so both are
+    deterministic."""
+
+    def test_dropped_subset_and_recall(self, ray_session):
+        from website_indexer_ray.pipelines import annops
+
+        exact = annops.embedding_dedup_pairs(SF_DIR)
+        # Global keep-the-first analog: a vector is droppable iff it is
+        # the HIGHER side of some exact pair (pairs are a < b).
+        exact_dropped = set(exact.column("vec_b").to_pylist())
+        sem = set(
+            annops.semantic_dedup_dropped(SF_DIR, n_clusters=4)
+            .column("vec_id")
+            .to_pylist()
+        )
+        assert sem <= exact_dropped
+        if exact_dropped:
+            assert len(sem & exact_dropped) / len(exact_dropped) >= 0.5
+
+    def test_kept_is_complement_of_dropped(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from website_indexer_ray.pipelines import annops
+
+        all_ids = set(
+            pq.read_table(
+                f"{SF_DIR}/embeddings.parquet", columns=["vec_id"]
+            )
+            .column("vec_id")
+            .to_pylist()
+        )
+        dropped = set(
+            annops.semantic_dedup_dropped(SF_DIR).column("vec_id").to_pylist()
+        )
+        kept_tbl = annops.semantic_dedup(SF_DIR)
+        kept = kept_tbl.column("vec_id").to_pylist()
+        assert kept == sorted(kept)  # applied form is sorted
+        assert set(kept) == all_ids - dropped
+
+    def test_cluster_cap_sentinel(self, ray_session, caplog):
+        """Force a 1-member cap: every multi-member cluster overflows,
+        nothing is examined, so nothing is dropped — and the overflow
+        is surfaced as a logged warning, never silent."""
+        import logging
+
+        from website_indexer_ray.pipelines import annops
+
+        with caplog.at_level(
+            logging.WARNING, logger="website_indexer_ray.pipelines.annops"
+        ):
+            out = annops.semantic_dedup_dropped(SF_DIR, n_clusters=4, cluster_cap=1)
+        assert out.num_rows == 0
+        assert any("kept unexamined" in r.getMessage() for r in caplog.records)
+
+
 class TestHashJoins:
     """Big-big hash join through the keyed exchange (the join class
     the reference never needs): lineitem ⨝ orders on orderkey, plus

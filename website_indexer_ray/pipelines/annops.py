@@ -662,3 +662,170 @@ def knn_lsh(
     ]
     partials = pa.concat_tables(tables) if tables else None
     return _merge_topk(partials, k)
+
+
+# --- SemDeDup: semantic (embedding-cluster) deduplication -------------
+
+_SEMDEDUP_CLUSTER_CAP = 2048  # per-cluster members examined; overflow logged
+
+
+def _semdedup_partition(
+    group: pa.Table, threshold: float, cluster_cap: int = _SEMDEDUP_CLUSTER_CAP
+) -> pa.Table:
+    """One hash partition of cluster-keyed (cluster, vec_id, embedding)
+    rows → DROPPED vec_ids under the SemDeDup rule: within each
+    cluster, a vector is a semantic duplicate if any LOWER-id vector
+    in the same cluster has exact cosine ≥ threshold (keep-the-first,
+    deterministic; Abbas et al. 2023 keep one representative per
+    in-cluster near-dup group).
+
+    Runs inside a ``hash_exchange`` reducer: clusters are recovered
+    vectorized (argsort + run-length boundaries), each cluster's
+    similarity matrix is one numpy matmul bounded by
+    ``_SEMDEDUP_CLUSTER_CAP`` members (cap² floats ≈ 33 MB). Members
+    beyond the cap are kept UNEXAMINED and counted in a sentinel row
+    (vec_id = -1, n_skipped = k) so truncation is never silent."""
+    clusters = group.column("cluster").to_numpy(zero_copy_only=False)
+    ids_np = group.column("vec_id").to_numpy(zero_copy_only=False)
+    mat = _embed_matrix(group)
+    order = np.argsort(clusters, kind="stable")
+    sorted_c = clusters[order]
+    boundaries = np.flatnonzero(np.diff(sorted_c)) + 1
+    starts = np.concatenate(([0], boundaries))
+    ends = np.concatenate((boundaries, [len(sorted_c)]))
+    dropped: list[int] = []
+    n_skipped: list[int] = []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        member_rows = order[s:e]
+        # Deterministic keep-the-first ⇒ examine in ascending vec_id.
+        by_id = member_rows[np.argsort(ids_np[member_rows], kind="stable")]
+        overflow = max(0, len(by_id) - cluster_cap)
+        if overflow:
+            n_skipped.append(overflow)
+            by_id = by_id[:cluster_cap]
+        sub = mat[by_id]
+        sub = sub / np.maximum(np.linalg.norm(sub, axis=1, keepdims=True), 1e-300)
+        sims = sub @ sub.T
+        # drop j ⇔ ∃ i<j with cos(i,j) ≥ t: strict upper triangle, any per column.
+        dup_mask = np.triu(sims >= threshold, k=1).any(axis=0)
+        dropped.extend(ids_np[by_id[dup_mask]].tolist())
+    out_id = dropped + [-1] * len(n_skipped)
+    out_skip = [0] * len(dropped) + n_skipped
+    return pa.table(
+        {
+            "vec_id": pa.array(out_id, type=pa.int64()),
+            "n_skipped": pa.array(out_skip, type=pa.int64()),
+        }
+    )
+
+
+def semantic_dedup_dropped(
+    sf_dir: str,
+    threshold: float = 0.4,
+    n_clusters: int | None = None,
+    seed: int = 5,
+    cluster_cap: int = _SEMDEDUP_CLUSTER_CAP,
+) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023) dropped-ids: k-means-cluster the
+    embedding space with a bounded-sample coarse quantizer (the
+    ``knn_ivf`` quantizer reused), co-locate each cluster in a reducer
+    partition via a cluster-keyed hash exchange, and mark in-cluster
+    semantic duplicates with EXACT cosine — the pairwise matmul only
+    ever spans one cluster, never the corpus (the n×n matrix of
+    ``embedding_dedup_pairs`` is exactly what this avoids at 10⁹
+    vectors). Approximate: a near-dup pair split across clusters is
+    missed ⇒ rows-only driver check; recall vs the exact pair list and
+    precision 1.0 (subset of exact-dropped, asserted in pytest).
+
+    Returns the dropped vec_ids ascending (≪ corpus for real data)."""
+    import functools
+
+    import pyarrow.parquet as pq
+
+    from website_indexer_ray.state.exchange import hash_exchange
+
+    n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    if n_clusters is None:
+        n_clusters = max(4, int(np.sqrt(n_rows)))
+    centroids = _kmeans(_sample_matrix(sf_dir), n_clusters, seed=seed)
+    cent_ref = ray.put(centroids)
+
+    ds = read_parquet_parallel(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = hash_exchange(
+        ds.map_batches(
+            IvfAssignStage(cent_ref), batch_format="pyarrow", batch_size=2048
+        ),
+        "cluster",
+        functools.partial(
+            _semdedup_partition, threshold=threshold, cluster_cap=cluster_cap
+        ),
+    )
+    empty = pa.table({"vec_id": pa.array([], type=pa.int64())})
+    if out is None:
+        return empty
+    import pyarrow.compute as pc
+
+    sentinels = out.filter(pc.equal(out.column("vec_id"), -1))
+    if sentinels.num_rows:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "semantic_dedup: %d cluster members beyond the %d-member cap "
+            "were kept unexamined across %d clusters",
+            sum(sentinels.column("n_skipped").to_pylist()),
+            cluster_cap,
+            sentinels.num_rows,
+        )
+    dropped = out.filter(pc.greater_equal(out.column("vec_id"), 0)).select(["vec_id"])
+    return dropped.take(
+        pc.sort_indices(dropped, sort_keys=[("vec_id", "ascending")])
+    )
+
+
+def semantic_dedup_ds(
+    sf_dir: str, threshold: float = 0.4, n_clusters: int | None = None, seed: int = 5
+) -> "ray.data.Dataset":
+    """Dataset-returning form: kept vec_ids as a streaming anti-join —
+    the dropped set (≪ corpus) broadcasts once via ``ray.put``, kept
+    ids flow out of a ``map_batches`` filter. Consume with
+    ``write_parquet`` or feed the next stage; nothing O(corpus) lands
+    on the driver (the ``near_dedup_keep_ds`` shape)."""
+    dropped_tbl = semantic_dedup_dropped(sf_dir, threshold, n_clusters, seed)
+    dropped_ref = ray.put(dropped_tbl.column("vec_id").to_numpy(zero_copy_only=False))
+    ds = read_parquet_parallel(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dropped = cached_get(dropped_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        mask = ~np.isin(ids, dropped, assume_unique=False)
+        return pa.table({"vec_id": pa.array(ids[mask], type=pa.int64())})
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def semantic_dedup(
+    sf_dir: str, threshold: float = 0.4, n_clusters: int | None = None, seed: int = 5
+) -> pa.Table:
+    """The applied form — the kept vec_id list a training-data pipeline
+    feeds downstream. The driver-query contract wants a table, so the
+    streamed kept ids are collected at the end; production pipelines
+    use ``semantic_dedup_ds`` and sink it instead."""
+    import pyarrow.compute as pc
+
+    tables = [
+        t
+        for t in (
+            ray.get(r)
+            for r in semantic_dedup_ds(sf_dir, threshold, n_clusters, seed)
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not tables:
+        return pa.table({"vec_id": pa.array([], type=pa.int64())})
+    tbl = pa.concat_tables(tables)
+    return tbl.take(pc.sort_indices(tbl, sort_keys=[("vec_id", "ascending")]))
