@@ -676,6 +676,86 @@ class TestEmbeddingDedupLsh:
             assert len(E & L) / len(E) >= 0.7
 
 
+class TestDupSpanRemoval:
+    """ExactSubstr-style duplicated-span removal (Lee et al. 2021):
+    corpus-wide duplicated token runs ≥ k are excised from every
+    occurrence except the first. Planted-duplicate semantics pinned
+    exactly; untouched docs must come back byte-identical."""
+
+    def _corpus(self):
+        passage = " ".join(f"tok{i}" for i in range(30))
+        return passage, pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "unique alpha beta " + passage + " gamma delta",
+                        "other start words here " + passage + " tail words",
+                        passage,
+                        "completely unrelated text with no duplicated runs",
+                    ]
+                ),
+            }
+        )
+
+    def test_planted_duplicate_excision(self, ray_session):
+        from website_indexer_ray.pipelines import textops
+
+        passage, docs = self._corpus()
+        stats = textops.dup_span_removal("", k=15, documents=docs)
+        assert stats.to_pydict() == {
+            "doc_id": [2, 3],
+            "n_spans": [1, 1],
+            "n_tokens_removed": [30, 30],
+        }
+        out = {
+            r["doc_id"]: r["text"]
+            for r in textops.dup_span_removal_ds("", k=15, documents=docs).take_all()
+        }
+        # First occurrence (lowest doc_id) and untouched docs: byte-identical.
+        assert out[1] == docs.column("text")[0].as_py()
+        assert out[4] == docs.column("text")[3].as_py()
+        # Later occurrences: the whole duplicated run is gone, the
+        # surrounding unique text survives.
+        assert "tok0" not in out[2] and "tok29" not in out[2]
+        assert out[2] == "other start words here tail words"
+        assert out[3] == ""
+
+    def test_case_insensitive_match_preserves_original_case(self, ray_session):
+        from website_indexer_ray.pipelines import textops
+
+        passage, _ = self._corpus()
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array(
+                    ["PRE " + passage.upper() + " POST", "x " + passage + " y"]
+                ),
+            }
+        )
+        out = {
+            r["doc_id"]: r["text"]
+            for r in textops.dup_span_removal_ds("", k=15, documents=docs).take_all()
+        }
+        # Matching is lowercased, so the upper-case first occurrence
+        # anchors the run and keeps its ORIGINAL casing.
+        assert out[1] == "PRE " + passage.upper() + " POST"
+        assert out[2] == "x y"
+
+    def test_no_duplicates_is_identity(self, ray_session):
+        from website_indexer_ray.pipelines import textops
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([7], type=pa.int64()),
+                "text": pa.array(["a b c d e f g h i j k l m n o p q"]),
+            }
+        )
+        assert textops.dup_span_removal("", k=15, documents=docs).num_rows == 0
+        out = textops.dup_span_removal_ds("", k=15, documents=docs).take_all()
+        assert out[0]["text"] == docs.column("text")[0].as_py()
+
+
 class TestSemanticDedup:
     """SemDeDup (Abbas et al. 2023): k-means clusters → in-cluster
     exact-cosine keep-the-first. Dropped ⊆ the exact global dropped

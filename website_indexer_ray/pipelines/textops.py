@@ -1665,3 +1665,212 @@ def doc_length_quantiles(
             "n_chars": pa.array(out_v, type=pa.int64()),
         }
     )
+
+
+# --- duplicated-span removal (ExactSubstr-style; Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better") ---------
+#
+# Corpus-wide duplicated token runs of length >= k are excised from
+# every occurrence EXCEPT the first (lowest (doc_id, pos)), the
+# document-internal counterpart of the paper's suffix-array substring
+# dedup re-expressed for a distributed engine: instead of one giant
+# suffix array, every k-gram occurrence becomes a slim
+# (gram_key, doc_id, pos) row and two keyed exchanges do the work —
+# gram-keyed to find non-first occurrences, doc-keyed to merge the
+# hit windows into maximal removal spans. Matching is hash-exact
+# (xxh64 over the lowercased gram; 64-bit ⇒ collisions negligible and
+# documented), positions are in `str.split()` token space, which is
+# invariant under the lowercase/whitespace normalization used for
+# hashing, so spans apply to the ORIGINAL tokens. Affected docs are
+# ≪ corpus for natural data; only their (doc_id, span) rows ever
+# reach the driver, and the applied form re-emits untouched docs
+# byte-identical.
+
+def _dup_gram_rows(batch: pa.Table, k: int) -> pa.Table:
+    from website_indexer_ray.functions.xxh import xxh64
+
+    out_g, out_d, out_p = [], [], []
+    mask63 = (1 << 63) - 1
+    for doc_id, text in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        toks = [t.lower() for t in text.split()]
+        for i in range(max(0, len(toks) - k + 1)):
+            out_g.append(xxh64(" ".join(toks[i : i + k])) & mask63)
+            out_d.append(doc_id)
+            out_p.append(i)
+    return pa.table(
+        {
+            "gram_key": pa.array(out_g, type=pa.int64()),
+            "doc_id": pa.array(out_d, type=pa.int64()),
+            "pos": pa.array(out_p, type=pa.int64()),
+        }
+    )
+
+
+def _dup_marks_partition(group: pa.Table) -> pa.Table:
+    """Gram-keyed partition → every occurrence that is NOT the first
+    (lowest (doc_id, pos)) of its gram run, fully vectorized: one
+    lexsort, run boundaries by key change, non-run-start mask."""
+    g = group.column("gram_key").to_numpy(zero_copy_only=False)
+    d = group.column("doc_id").to_numpy(zero_copy_only=False)
+    p = group.column("pos").to_numpy(zero_copy_only=False)
+    order = np.lexsort((p, d, g))
+    gs = g[order]
+    run_start = np.concatenate(([True], gs[1:] != gs[:-1]))
+    mask = ~run_start
+    return pa.table(
+        {
+            "doc_id": pa.array(d[order][mask], type=pa.int64()),
+            "pos": pa.array(p[order][mask], type=pa.int64()),
+        }
+    )
+
+
+def _merge_spans_partition(group: pa.Table, k: int) -> pa.Table:
+    """Doc-keyed partition of removal marks → maximal merged token
+    spans [span_start, span_end) per doc. The row loop is bounded by
+    the partition's DUPLICATE volume (marks), never the corpus."""
+    d = group.column("doc_id").to_numpy(zero_copy_only=False)
+    p = group.column("pos").to_numpy(zero_copy_only=False)
+    order = np.lexsort((p, d))
+    out_d, out_s, out_e = [], [], []
+    cur_doc, cur_s, cur_e = None, 0, -1
+    for doc, pos in zip(d[order], p[order]):
+        if doc != cur_doc or pos > cur_e:
+            if cur_doc is not None:
+                out_d.append(cur_doc)
+                out_s.append(cur_s)
+                out_e.append(cur_e)
+            cur_doc, cur_s, cur_e = doc, pos, pos + k
+        else:
+            cur_e = max(cur_e, pos + k)
+    if cur_doc is not None:
+        out_d.append(cur_doc)
+        out_s.append(cur_s)
+        out_e.append(cur_e)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_d, type=pa.int64()),
+            "span_start": pa.array(out_s, type=pa.int64()),
+            "span_end": pa.array(out_e, type=pa.int64()),
+        }
+    )
+
+
+def _dup_docs_ds(sf_dir: str, documents: pa.Table | None):
+    if documents is not None:
+        return ray.data.from_arrow(documents.select(["doc_id", "text"]))
+    return read_documents(sf_dir)
+
+
+def dup_span_marks(
+    sf_dir: str, k: int = 15, documents: pa.Table | None = None
+) -> pa.Table:
+    """Merged removal spans (doc_id, span_start, span_end) in token
+    space, sorted — the slim artifact both the stats query and the
+    applied rewrite consume."""
+    import functools
+
+    from website_indexer_ray.state.exchange import hash_exchange
+
+    ds = _dup_docs_ds(sf_dir, documents)
+    grams = ds.map_batches(
+        functools.partial(_dup_gram_rows, k=k), batch_format="pyarrow"
+    )
+    marks = hash_exchange(grams, "gram_key", _dup_marks_partition)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "span_start": pa.array([], type=pa.int64()),
+            "span_end": pa.array([], type=pa.int64()),
+        }
+    )
+    if marks is None or marks.num_rows == 0:
+        return empty
+    spans = hash_exchange(
+        ray.data.from_arrow(marks),
+        "doc_id",
+        functools.partial(_merge_spans_partition, k=k),
+    )
+    if spans is None:
+        return empty
+    return spans.take(
+        pc.sort_indices(
+            spans,
+            sort_keys=[("doc_id", "ascending"), ("span_start", "ascending")],
+        )
+    )
+
+
+def dup_span_removal(
+    sf_dir: str, k: int = 15, documents: pa.Table | None = None
+) -> pa.Table:
+    """Driver-query form: per affected doc, how much duplicated text
+    the rewrite removes — (doc_id, n_spans, n_tokens_removed), sorted.
+    Hash-exact duplicated-run detection ⇒ rows-only check; the planted-
+    duplicate excision semantics are pinned in pytest."""
+    spans = dup_span_marks(sf_dir, k, documents)
+    if spans.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_spans": pa.array([], type=pa.int64()),
+                "n_tokens_removed": pa.array([], type=pa.int64()),
+            }
+        )
+    from website_indexer_ray.util import agg_named
+
+    lengths = pc.subtract(spans.column("span_end"), spans.column("span_start"))
+    out = agg_named(
+        spans.append_column("len", lengths),
+        "doc_id",
+        [("len", "count"), ("len", "sum")],
+        ["doc_id", "n_spans", "n_tokens_removed"],
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))
+
+
+def dup_span_removal_ds(
+    sf_dir: str, k: int = 15, documents: pa.Table | None = None
+) -> "ray.data.Dataset":
+    """Applied rewrite as a streaming Dataset of (doc_id, text):
+    the merged span table (affected docs only, ≪ corpus) broadcasts
+    once; a map pass excises the marked token ranges from the ORIGINAL
+    tokens (first occurrences and untouched docs stay byte-identical —
+    untouched docs are passed through without re-joining)."""
+    from website_indexer_ray.util import cached_get
+
+    spans = dup_span_marks(sf_dir, k, documents)
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for doc, s, e in zip(
+        spans.column("doc_id").to_pylist(),
+        spans.column("span_start").to_pylist(),
+        spans.column("span_end").to_pylist(),
+    ):
+        by_doc.setdefault(doc, []).append((s, e))
+    spans_ref = ray.put(by_doc)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        todo = cached_get(spans_ref)
+        texts = []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            iv = todo.get(doc_id)
+            if not iv:
+                texts.append(text)
+                continue
+            toks = text.split()
+            keep = np.ones(len(toks), dtype=bool)
+            for s, e in iv:
+                keep[s:e] = False
+            texts.append(" ".join(t for t, m in zip(toks, keep) if m))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+
+    return _dup_docs_ds(sf_dir, documents).map_batches(apply, batch_format="pyarrow")
