@@ -394,3 +394,73 @@ class TestCurateIncremental:
             for f in glob.glob(f"{out}/kept/documents.parquet/*.parquet")
         )
         assert kept.column("doc_id").to_pylist() == [2]
+
+
+class TestCurateDupSpan:
+    """Opt-in ExactSubstr stage (dup_span_k): duplicated token runs
+    among SURVIVING docs are excised from all but the first
+    occurrence during the final keep pass."""
+
+    PASSAGE = ("alpha bravo charlie delta echo foxtrot golf hotel "
+               "india juliet kilo lima")
+
+    def _write(self, tmp_path):
+        d0 = ("the cat and the dog is in a house of the king near the "
+              "river " + self.PASSAGE)
+        d1 = ("a bird is on the tree and the sun of morning light was "
+              "warm " + self.PASSAGE)
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "text": pa.array([d0, d1, d0]),  # doc 2 = exact dup of 0
+                "source": pa.array(["s"] * 3),
+            }
+        )
+        d = tmp_path / "mini"
+        d.mkdir()
+        pq.write_table(docs, str(d / "documents.parquet"))
+        return str(d), d0, d1
+
+    def test_excision_and_first_occurrence_kept(self, ray_session, tmp_path):
+        sf, d0, d1 = self._write(tmp_path)
+        out = str(tmp_path / "out")
+        stats = curate.curate_corpus(
+            sf, out, min_tokens=5, max_tokens=10000, dup_span_k=10
+        )
+        counts = dict(
+            zip(stats.column("stage").to_pylist(),
+                stats.column("n_docs").to_pylist())
+        )
+        assert counts["dup_span_affected"] == 1
+        files = sorted(glob.glob(f"{out}/kept/documents.parquet/*.parquet"))
+        kept = pa.concat_tables(pq.read_table(f) for f in files)
+        by_id = dict(
+            zip(kept.column("doc_id").to_pylist(),
+                kept.column("text").to_pylist())
+        )
+        assert sorted(by_id) == [0, 1]  # doc 2 exact-dup dropped
+        assert by_id[0] == d0  # first occurrence byte-identical
+        assert by_id[1] == d1.replace(" " + self.PASSAGE, "")
+        assert "alpha" not in by_id[1]
+
+    def test_dropped_doc_cannot_anchor_a_run(self, ray_session):
+        """A dedup-dropped doc is excluded from gram emission, so a
+        passage shared ONLY with dropped docs stays intact in the
+        survivor."""
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "x " + TestCurateDupSpan.PASSAGE + " y",
+                        "p q r " + TestCurateDupSpan.PASSAGE + " s t",
+                    ]
+                ),
+            }
+        )
+        marks = textops.dup_span_marks(
+            "", k=10, documents=docs, exclude_ids=np.array([1])
+        )
+        assert marks.num_rows == 0  # doc 2's copy is now unique
+        marks_all = textops.dup_span_marks("", k=10, documents=docs)
+        assert set(marks_all.column("doc_id").to_pylist()) == {2}

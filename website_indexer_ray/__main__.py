@@ -213,6 +213,7 @@ def cmd_curate(args) -> int:
         n_shards=args.n_shards,
         max_ppl=args.max_ppl,
         snapshot_dir=args.snapshot_dir,
+        dup_span_k=args.dup_span_k,
     )
     print(
         json.dumps(
@@ -337,6 +338,7 @@ def main(argv=None) -> int:
     cu.add_argument("--n-shards", type=int, default=None)
     cu.add_argument("--max-ppl", type=float, default=None)
     cu.add_argument("--snapshot-dir", default=None)
+    cu.add_argument("--dup-span-k", type=int, default=None)
     cu.set_defaults(fn=cmd_curate)
 
     m = sub.add_parser("manage")

@@ -206,6 +206,7 @@ def curate_corpus(
     n_shards: int | None = None,
     max_ppl: float | None = None,
     snapshot_dir: str | None = None,
+    dup_span_k: int | None = None,
 ) -> pa.Table:
     """Run the full curation pipeline; returns the per-stage lineage
     table (stage, n_docs). Re-running resumes from the last committed
@@ -234,6 +235,11 @@ def curate_corpus(
         redaction kernels.
       - ``n_shards``: add a deterministic training-shard column
         (multiplicative-hash) to the kept output.
+      - ``dup_span_k``: ExactSubstr-style duplicated-span removal —
+        token runs of length >= k occurring in more than one SURVIVING
+        doc are excised from all but the first occurrence during the
+        final keep pass (dropped docs are excluded first, so a dropped
+        duplicate can never anchor a run and erase the kept copy).
       - ``max_ppl``: drop kept docs whose byte-bigram LM perplexity
         (CCNet-style; model trained once on the cleaned corpus, the
         512 KB log-prob table broadcast via one ``ray.put``) exceeds
@@ -294,6 +300,7 @@ def curate_corpus(
 
     # ---- stages 2+3: dedup drop sets + final keep pass --------------
     n_after_exact = n_cleaned
+    n_span_docs = None
     n_kept = _dir_rows(kept_data) if _committed(kept_dir) else None
     if n_kept is None:
         if n_cleaned == 0:
@@ -341,6 +348,21 @@ def curate_corpus(
                     ),
                 )
             dropped_ref = ray.put(dropped)
+
+            span_map_ref = None
+            if dup_span_k is not None:
+                from website_indexer_ray.pipelines.textops import (
+                    dup_span_marks,
+                    spans_by_doc,
+                )
+
+                span_map = spans_by_doc(
+                    dup_span_marks(
+                        filtered_dir, k=dup_span_k, exclude_ids=dropped
+                    )
+                )
+                n_span_docs = len(span_map)
+                span_map_ref = ray.put(span_map)
 
             ev_grams_ref = None
             if decon_max_overlap is not None:
@@ -414,6 +436,21 @@ def curate_corpus(
                     with np.errstate(invalid="ignore"):
                         mask &= ppl <= max_ppl
                 batch = batch.filter(pa.array(mask))
+                if batch.num_rows and span_map_ref is not None:
+                    from website_indexer_ray.pipelines.textops import (
+                        apply_spans_to_texts,
+                    )
+
+                    texts = apply_spans_to_texts(
+                        batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist(),
+                        cached_get(span_map_ref),
+                    )
+                    batch = batch.set_column(
+                        batch.schema.get_field_index("text"),
+                        "text",
+                        pa.array(texts, type=pa.string()),
+                    )
                 if batch.num_rows and redact_pii:
                     from website_indexer_ray.pipelines.corpusops import (
                         _redact_text,
@@ -454,6 +491,9 @@ def curate_corpus(
 
     stages = ["input", "cleaned", "after_exact_dedup", "kept"]
     counts = [n_input, n_cleaned, n_after_exact, n_kept]
+    if dup_span_k is not None:
+        stages.append("dup_span_affected")
+        counts.append(n_span_docs)
     rows = [(s, c) for s, c in zip(stages, counts) if c is not None]
     stats = pa.table(
         {

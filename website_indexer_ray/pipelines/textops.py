@@ -1686,9 +1686,14 @@ def doc_length_quantiles(
 # reach the driver, and the applied form re-emits untouched docs
 # byte-identical.
 
-def _dup_gram_rows(batch: pa.Table, k: int) -> pa.Table:
+def _dup_gram_rows(batch: pa.Table, k: int, exclude_ref=None) -> pa.Table:
     from website_indexer_ray.functions.xxh import xxh64
+    from website_indexer_ray.util import cached_get
 
+    if exclude_ref is not None:
+        excl = cached_get(exclude_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(~np.isin(ids, excl)))
     out_g, out_d, out_p = [], [], []
     mask63 = (1 << 63) - 1
     for doc_id, text in zip(
@@ -1765,18 +1770,29 @@ def _dup_docs_ds(sf_dir: str, documents: pa.Table | None):
 
 
 def dup_span_marks(
-    sf_dir: str, k: int = 15, documents: pa.Table | None = None
+    sf_dir: str,
+    k: int = 15,
+    documents: pa.Table | None = None,
+    exclude_ids: "np.ndarray | None" = None,
 ) -> pa.Table:
     """Merged removal spans (doc_id, span_start, span_end) in token
     space, sorted — the slim artifact both the stats query and the
-    applied rewrite consume."""
+    applied rewrite consume. ``exclude_ids`` (e.g. a dedup drop set)
+    removes docs from gram emission entirely, so a dropped first
+    occurrence can never anchor a run and excise the surviving copy."""
     import functools
 
     from website_indexer_ray.state.exchange import hash_exchange
 
     ds = _dup_docs_ds(sf_dir, documents)
+    exclude_ref = (
+        ray.put(np.asarray(exclude_ids, dtype=np.int64))
+        if exclude_ids is not None and len(exclude_ids)
+        else None
+    )
     grams = ds.map_batches(
-        functools.partial(_dup_gram_rows, k=k), batch_format="pyarrow"
+        functools.partial(_dup_gram_rows, k=k, exclude_ref=exclude_ref),
+        batch_format="pyarrow",
     )
     marks = hash_exchange(grams, "gram_key", _dup_marks_partition)
     empty = pa.table(
@@ -1831,6 +1847,38 @@ def dup_span_removal(
     return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))
 
 
+def apply_spans_to_texts(
+    ids, texts, spans_by_doc: dict
+) -> list[str]:
+    """Excise [start, end) token ranges from the ORIGINAL tokens;
+    docs absent from the span map pass through byte-identical."""
+    out = []
+    for doc_id, text in zip(ids, texts):
+        iv = spans_by_doc.get(doc_id)
+        if not iv:
+            out.append(text)
+            continue
+        toks = text.split()
+        keep = np.ones(len(toks), dtype=bool)
+        for s, e in iv:
+            keep[s:e] = False
+        out.append(" ".join(t for t, m in zip(toks, keep) if m))
+    return out
+
+
+def spans_by_doc(spans: pa.Table) -> dict:
+    """(doc_id, span_start, span_end) rows → {doc_id: [(s, e), ...]}
+    for broadcast."""
+    by: dict[int, list[tuple[int, int]]] = {}
+    for doc, s, e in zip(
+        spans.column("doc_id").to_pylist(),
+        spans.column("span_start").to_pylist(),
+        spans.column("span_end").to_pylist(),
+    ):
+        by.setdefault(doc, []).append((s, e))
+    return by
+
+
 def dup_span_removal_ds(
     sf_dir: str, k: int = 15, documents: pa.Table | None = None
 ) -> "ray.data.Dataset":
@@ -1842,30 +1890,15 @@ def dup_span_removal_ds(
     from website_indexer_ray.util import cached_get
 
     spans = dup_span_marks(sf_dir, k, documents)
-    by_doc: dict[int, list[tuple[int, int]]] = {}
-    for doc, s, e in zip(
-        spans.column("doc_id").to_pylist(),
-        spans.column("span_start").to_pylist(),
-        spans.column("span_end").to_pylist(),
-    ):
-        by_doc.setdefault(doc, []).append((s, e))
-    spans_ref = ray.put(by_doc)
+    spans_ref = ray.put(spans_by_doc(spans))
 
     def apply(batch: pa.Table) -> pa.Table:
         todo = cached_get(spans_ref)
-        texts = []
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            iv = todo.get(doc_id)
-            if not iv:
-                texts.append(text)
-                continue
-            toks = text.split()
-            keep = np.ones(len(toks), dtype=bool)
-            for s, e in iv:
-                keep[s:e] = False
-            texts.append(" ".join(t for t, m in zip(toks, keep) if m))
+        texts = apply_spans_to_texts(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+            todo,
+        )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
