@@ -119,6 +119,9 @@ def main() -> None:
             "snapshot_dedup_xchg",
             lambda d: textops.snapshot_dedup(d, verify_broadcast_max=0),
         ),
+        # duplicated-span removal: gram volume is O(tokens) slim rows,
+        # the heaviest routing of the family — the stat to watch
+        ("dup_span_removal", textops.dup_span_removal),
         ("group_quota_sample", corpusops.group_quota_sample),
         ("shuffle_shards", corpusops.shuffle_shards),
         ("seq_pack", corpusops.seq_pack),

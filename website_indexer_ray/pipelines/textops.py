@@ -1686,29 +1686,54 @@ def doc_length_quantiles(
 # reach the driver, and the applied form re-emits untouched docs
 # byte-identical.
 
+# Odd 64-bit multiplier (golden-ratio constant) for the polynomial
+# gram hash: h(i) = Σ_j crc32(tok[i+j])·B^(k-1-j) mod 2^64. Equal
+# k-grams hash equal by construction; 64-bit keys keep collisions
+# negligible at corpus scale, and the whole per-doc computation is k
+# vectorized uint64 fused-multiply-adds instead of one string join +
+# hash call per gram (the first version's per-gram Python xxh64 was
+# 10× the wall of everything else at the 50k-doc stress).
+_DUP_HASH_B = np.uint64(0x9E3779B185EBCA87)
+
+
 def _dup_gram_rows(batch: pa.Table, k: int, exclude_ref=None) -> pa.Table:
-    from website_indexer_ray.functions.xxh import xxh64
     from website_indexer_ray.util import cached_get
 
     if exclude_ref is not None:
         excl = cached_get(exclude_ref)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         batch = batch.filter(pa.array(~np.isin(ids, excl)))
-    out_g, out_d, out_p = [], [], []
-    mask63 = (1 << 63) - 1
+    g_parts, d_parts, p_parts = [], [], []
+    mask63 = np.uint64((1 << 63) - 1)
     for doc_id, text in zip(
         batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
     ):
-        toks = [t.lower() for t in text.split()]
-        for i in range(max(0, len(toks) - k + 1)):
-            out_g.append(xxh64(" ".join(toks[i : i + k])) & mask63)
-            out_d.append(doc_id)
-            out_p.append(i)
+        toks = text.split()  # positions index the ORIGINAL tokens
+        n_grams = len(toks) - k + 1
+        if n_grams <= 0:
+            continue
+        th = np.array(
+            [crc32(t.lower().encode()) for t in toks], dtype=np.uint64
+        )
+        acc = th[:n_grams].copy()
+        for j in range(1, k):
+            acc = acc * _DUP_HASH_B + th[j : n_grams + j]  # uint64 wraps
+        g_parts.append((acc & mask63).astype(np.int64))
+        d_parts.append(np.full(n_grams, doc_id, dtype=np.int64))
+        p_parts.append(np.arange(n_grams, dtype=np.int64))
+    if not g_parts:
+        return pa.table(
+            {
+                "gram_key": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
+            }
+        )
     return pa.table(
         {
-            "gram_key": pa.array(out_g, type=pa.int64()),
-            "doc_id": pa.array(out_d, type=pa.int64()),
-            "pos": pa.array(out_p, type=pa.int64()),
+            "gram_key": pa.array(np.concatenate(g_parts), type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(d_parts), type=pa.int64()),
+            "pos": pa.array(np.concatenate(p_parts), type=pa.int64()),
         }
     )
 
