@@ -449,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_lsh": annops.embedding_dedup_lsh,
         "semantic_dedup": annops.semantic_dedup,
         "dup_span_removal": textops.dup_span_removal,
+        "importance_sample": corpusops.importance_sample,
         "knn_lsh": annops.knn_lsh,
         "knn_ivf": annops.knn_ivf,
         "approx_top_tokens": textops.approx_top_tokens,

@@ -460,3 +460,80 @@ class TestGroupTopk:
         # a: 30-char docs 2,3 beat 10-char doc 1; b: all tied at 5 →
         # lowest doc_ids 4,5
         assert out.column("doc_id").to_pylist() == [2, 3, 4, 5]
+
+
+class TestImportanceSample:
+    """DSIR-style importance sampling (Xie et al. 2023): hashed
+    unigram+bigram features, log p_target − log q_raw per occurrence,
+    top-n selection. Weights are p/q importance ratios, so the
+    discrimination test uses a raw corpus whose domain frequencies are
+    SYMMETRIC — the target term alone must decide."""
+
+    PHYS = (
+        "quantum energy particle wave field physics electron proton "
+        "momentum spectrum "
+    ) * 3
+    COOK = (
+        "recipe butter flour sugar oven bake whisk dough salt pepper "
+    ) * 3
+
+    def _raw(self):
+        return pa.table(
+            {
+                "doc_id": pa.array(range(10), type=pa.int64()),
+                "text": pa.array(
+                    [self.PHYS if i < 5 else self.COOK for i in range(10)]
+                ),
+            }
+        )
+
+    def _target(self):
+        # target-domain vocabulary in a DIFFERENT word order (no
+        # shared bigrams with the raw docs needed; unigrams decide)
+        return pa.table(
+            {
+                "doc_id": pa.array([100, 101], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "physics momentum spectrum quantum wave electron "
+                        "energy particle",
+                        "proton field quantum energy physics spectrum wave",
+                    ]
+                ),
+            }
+        )
+
+    def test_target_domain_wins(self, ray_session):
+        from website_indexer_ray.pipelines import corpusops
+
+        out = corpusops.importance_sample(
+            "", n=5, target_documents=self._target(), documents=self._raw()
+        )
+        assert set(out.column("doc_id").to_pylist()) == {0, 1, 2, 3, 4}
+        # identical docs score identically (hash-stable integer weights)
+        assert len(set(out.column("logw_micro").to_pylist())) == 1
+
+    def test_ordering_and_determinism(self, ray_session):
+        from website_indexer_ray.pipelines import corpusops
+
+        a = corpusops.importance_sample(
+            "", n=10, target_documents=self._target(), documents=self._raw()
+        )
+        b = corpusops.importance_sample(
+            "", n=10, target_documents=self._target(), documents=self._raw()
+        )
+        assert a.equals(b)  # deterministic end to end
+        w = a.column("logw_micro").to_pylist()
+        assert w == sorted(w, reverse=True)
+        # ties broken by ascending doc_id
+        ids = a.column("doc_id").to_pylist()
+        for i in range(1, len(ids)):
+            if w[i] == w[i - 1]:
+                assert ids[i] > ids[i - 1]
+
+    def test_default_target_split_excluded(self, ray_session):
+        from website_indexer_ray.pipelines import corpusops
+
+        out = corpusops.importance_sample(SF_DIR, n=20)
+        assert out.num_rows == 20
+        assert all(d % 101 != 0 for d in out.column("doc_id").to_pylist())

@@ -917,3 +917,182 @@ def lm_perplexity_write(
 
     logp_ref = ray.put(_lm_model(sf_dir, train_documents))
     committed_parquet_write(_ppl_mapped(sf_dir, None, logp_ref), out_dir)
+
+
+# --- DSIR-style importance sampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling") ---------------------
+#
+# Select raw docs whose hashed-n-gram distribution looks like a TARGET
+# corpus: fit bag-of-hashed-ngram (unigram + bigram, xxh64 % m
+# buckets) unigram models for target p and raw q, score every raw doc
+# with log w(x) = Σ_b c_b(x)·(log p_b − log q_b), keep the top-n.
+#
+# Scale shape: the raw bucket counts come off the same sparse-partial
+# + adaptive-merge path as vocab_top_tokens (per-batch Counter rows,
+# keyed exchange when partials explode); the m-vector log-ratio (64 KB
+# at m=8192) broadcasts once; scoring is one streaming pass emitting
+# per-batch top-n partials, so only O(batches·n) slim rows reach the
+# driver. The target set is eval-sized by assumption (driver table).
+# Weights are emitted as integer micro-units (round(1e6·logw)) so the
+# output is hash-stable across float environments.
+
+_DSIR_BUCKETS = 8192
+_DSIR_TOK_RE = None  # compiled lazily in workers
+
+
+def _dsir_buckets_of(text: str, m: int) -> np.ndarray:
+    """Hashed unigram+bigram bucket ids for one doc (lowercased)."""
+    import re as _re
+
+    from website_indexer_ray.functions.xxh import xxh64
+
+    toks = _re.findall(r"[a-z0-9]+", text.lower())
+    out = [xxh64(t) % m for t in toks]
+    out.extend(xxh64(a + " " + b) % m for a, b in zip(toks, toks[1:]))
+    return np.asarray(out, dtype=np.int64)
+
+
+def _dsir_counts_table(tbl: pa.Table, m: int) -> np.ndarray:
+    """Dense m-vector of bucket counts for a driver-resident table."""
+    v = np.zeros(m, dtype=np.int64)
+    for t in tbl.column("text").to_pylist():
+        b = _dsir_buckets_of(t, m)
+        if len(b):
+            v += np.bincount(b, minlength=m)
+    return v
+
+
+def _dsir_corpus_counts(ds, m: int) -> np.ndarray:
+    """Dense m-vector for a Dataset via sparse (bucket, n) partials +
+    the adaptive merge (driver concat while small, bucket-keyed actor
+    exchange when partials explode)."""
+    from website_indexer_ray.pipelines.textops import (
+        _merge_partials_adaptive,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.zeros(m, dtype=np.int64)
+        for t in batch.column("text").to_pylist():
+            b = _dsir_buckets_of(t, m)
+            if len(b):
+                v += np.bincount(b, minlength=m)
+        nz = np.flatnonzero(v)
+        return pa.table(
+            {
+                "bucket": pa.array(nz, type=pa.int64()),
+                "n": pa.array(v[nz], type=pa.int64()),
+            }
+        )
+
+    partials = _merge_partials_adaptive(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        key="bucket",
+        reduce_fn=lambda t: agg_named(
+            t, "bucket", [("n", "sum")], ["bucket", "n"]
+        ),
+    )
+    merged = agg_named(partials, "bucket", [("n", "sum")], ["bucket", "n"])
+    v = np.zeros(m, dtype=np.int64)
+    v[merged.column("bucket").to_numpy(zero_copy_only=False)] = merged.column(
+        "n"
+    ).to_numpy(zero_copy_only=False)
+    return v
+
+
+def importance_sample(
+    sf_dir: str,
+    n: int = 100,
+    m: int = _DSIR_BUCKETS,
+    target_documents: pa.Table | None = None,
+    documents: pa.Table | None = None,
+) -> pa.Table:
+    """Top-n raw docs by DSIR importance log-weight against the target
+    distribution — (doc_id, logw_micro), ordered (logw desc, doc_id
+    asc). Default target is the ``doc_id % 101 == 0`` stand-in eval
+    split (the decontamination stage's convention); those docs are
+    excluded from the output. Hashed-feature scoring is approximate by
+    construction ⇒ rows-only driver check; topic-separation behavior
+    pinned in pytest."""
+    ds = _docs_ds(sf_dir, documents, ["doc_id", "text"])
+
+    exclude_target = False
+    if target_documents is None:
+        exclude_target = True
+
+        def _tgt_filter(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % _EVAL_MOD == 0))
+
+        parts = [
+            t
+            for t in (
+                ray.get(r)
+                for r in ds.map_batches(
+                    _tgt_filter, batch_format="pyarrow"
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        target_documents = (
+            pa.concat_tables(parts)
+            if parts
+            else pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "text": pa.array([], type=pa.string()),
+                }
+            )
+        )
+
+    tgt = _dsir_counts_table(target_documents, m).astype(np.float64)
+    raw = _dsir_corpus_counts(ds, m).astype(np.float64)
+    # add-one smoothing per bucket; totals include the smoothing mass
+    log_ratio = np.log((tgt + 1.0) / (tgt.sum() + m)) - np.log(
+        (raw + 1.0) / (raw.sum() + m)
+    )
+    ref = ray.put(log_ratio)
+
+    def score_topn(batch: pa.Table) -> pa.Table:
+        lr = cached_get(ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if exclude_target:
+            keep = ids % _EVAL_MOD != 0
+            batch = batch.filter(pa.array(keep))
+            ids = ids[keep]
+        w = np.empty(len(ids), dtype=np.float64)
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            b = _dsir_buckets_of(t, m)
+            w[i] = lr[b].sum() if len(b) else 0.0
+        micro = np.round(w * 1e6).astype(np.int64)
+        order = np.lexsort((ids, -micro))[: min(n, len(ids))]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], type=pa.int64()),
+                "logw_micro": pa.array(micro[order], type=pa.int64()),
+            }
+        )
+
+    partials = [
+        t
+        for t in (
+            ray.get(r)
+            for r in ds.map_batches(
+                score_topn, batch_format="pyarrow"
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "logw_micro": pa.array([], type=pa.int64()),
+        }
+    )
+    if not partials:
+        return empty
+    allp = pa.concat_tables(partials)
+    order = pc.sort_indices(
+        allp,
+        sort_keys=[("logw_micro", "descending"), ("doc_id", "ascending")],
+    )
+    return allp.take(order.slice(0, n))
