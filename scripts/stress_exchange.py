@@ -77,7 +77,51 @@ def build_corpus(sf_dir: str, replicas: int, filler_tokens: int = 150) -> str:
         path,
         row_group_size=4096,  # many row groups -> many blocks
     )
+    build_embeddings(sf_dir, replicas)
     return STRESS_DIR
+
+
+def build_embeddings(sf_dir: str, replicas: int) -> None:
+    """10x embeddings, deterministically: replica k of vector v is
+    np.roll(v, k) — same norm, near-zero cosine to the original for
+    typical vectors, so the dup-pair volume stays natural — while
+    every 100th vector's replicas stay VERBATIM (planted exact-dup
+    families keep the in-cluster drop path exercised)."""
+    import numpy as np
+
+    src = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = src.column("vec_id").to_numpy(zero_copy_only=False)
+    emb = src.column("embedding").combine_chunks()
+    flat = emb.flatten().to_numpy(zero_copy_only=False)
+    dim = len(flat) // len(ids)
+    mat = flat.reshape(len(ids), dim)
+    out_ids, out_vecs = [], []
+    for k in range(replicas):
+        out_ids.append(ids + k * REPLICA_STRIDE)
+        if k == 0:
+            out_vecs.append(mat)
+        else:
+            rolled = np.roll(mat, k % dim if k % dim else 1, axis=1)
+            keep_mask = ids % 100 == 0
+            v = rolled.copy()
+            v[keep_mask] = mat[keep_mask]
+            out_vecs.append(v)
+    all_ids = np.concatenate(out_ids)
+    all_vecs = np.concatenate(out_vecs)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(all_ids, type=pa.int64()),
+                "embedding": pa.array(
+                    list(all_vecs), type=pa.list_(pa.float64())
+                ),
+            }
+        ),
+        os.path.join(STRESS_DIR, "embeddings.parquet"),
+        row_group_size=4096,
+    )
 
 
 def main() -> None:
@@ -104,7 +148,7 @@ def main() -> None:
     ).num_rows
     print(json.dumps({"stress_docs": n_docs, "replicas": replicas}))
 
-    from website_indexer_ray.pipelines import corpusops, textops
+    from website_indexer_ray.pipelines import annops, corpusops, textops
     from website_indexer_ray.state.exchange import _pool
 
     results = {}
@@ -119,6 +163,9 @@ def main() -> None:
             "snapshot_dedup_xchg",
             lambda d: textops.snapshot_dedup(d, verify_broadcast_max=0),
         ),
+        # semantic dedup: full vectors ride the cluster exchange —
+        # peak = corpus bytes / n_reducers, the partitioning assumption
+        ("semantic_dedup", annops.semantic_dedup),
         # duplicated-span removal: gram volume is O(tokens) slim rows,
         # the heaviest routing of the family — the stat to watch
         ("dup_span_removal", textops.dup_span_removal),
