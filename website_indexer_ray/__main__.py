@@ -87,6 +87,7 @@ def cmd_crawl(args) -> int:
         respect_robots=args.respect_robots,
         n_seen_shards=args.seen_shards,
         fetch_concurrency=args.fetch_concurrency,
+        write_docs_table=args.docs_table,
     )
     try:
         result = CrawlEngine(cfg, args.out, crawl_id=args.crawl_id).run(
@@ -196,10 +197,26 @@ def cmd_curate(args) -> int:
     (pipelines/curate.py): clean → exact dedup → near dedup → kept
     corpus, checkpointed per stage and resumable."""
     _ray_ready()
-    from website_indexer_ray.pipelines.curate import curate_corpus
+    import os
+
+    from website_indexer_ray.pipelines.curate import (
+        curate_corpus,
+        documents_from_crawl,
+    )
+
+    if not args.sf_dir and not args.from_crawl:
+        print("curate: one of --sf-dir / --from-crawl is required", file=sys.stderr)
+        return 2
+    sf_dir = args.sf_dir
+    if args.from_crawl:
+        # bridge a finished crawl's docs artifact into the curation
+        # input shape first (resumable; committed dirs are reused)
+        sf_dir = documents_from_crawl(
+            args.from_crawl, os.path.join(args.out, "bridge")
+        )
 
     stats = curate_corpus(
-        args.sf_dir,
+        sf_dir,
         args.out,
         min_tokens=args.min_tokens,
         max_tokens=args.max_tokens,
@@ -296,6 +313,12 @@ def main(argv=None) -> int:
     c.add_argument("--seen-shards", type=int, default=8)
     c.add_argument("--fetch-concurrency", type=int, default=8)
     c.add_argument("--resume", action="store_true")
+    c.add_argument(
+        "--docs-table",
+        action="store_true",
+        help="also materialize the interleaved-span docs artifact "
+        "(enables `curate --from-crawl` on this checkpoint)",
+    )
     c.set_defaults(fn=cmd_crawl)
 
     q = sub.add_parser("query")
@@ -324,7 +347,13 @@ def main(argv=None) -> int:
     sv.set_defaults(fn=cmd_serve)
 
     cu = sub.add_parser("curate")
-    cu.add_argument("--sf-dir", required=True)
+    cu.add_argument("--sf-dir", default=None)
+    cu.add_argument(
+        "--from-crawl",
+        default=None,
+        help="a finished crawl checkpoint dir (run with write_docs_table); "
+        "its docs artifact is bridged into the curation input shape",
+    )
     cu.add_argument("--out", required=True)
     cu.add_argument("--min-tokens", type=int, default=20)
     cu.add_argument("--max-tokens", type=int, default=1000)

@@ -503,3 +503,77 @@ def curate_corpus(
     )
     pq.write_table(stats, os.path.join(out_dir, "stats.parquet"))
     return stats
+
+
+# --- crawl → curation bridge -----------------------------------------
+
+def documents_from_crawl(crawl_out: str, dest_dir: str) -> str:
+    """Project a finished crawl's interleaved-docs artifact (the
+    BASELINE input_hint shape: ``doc_id:string`` URL + span sequence)
+    into the curation input shape — ``dest_dir/documents.parquet/``
+    with (doc_id:int64, text, source) — so ``curate_corpus(dest_dir,
+    ...)`` runs directly on crawl output. This is the composed
+    end-to-end story: crawl → bridge → curate → training shards.
+
+      - ``text``: the doc's ``kind == 'text'`` spans joined in span
+        order (the cleaned-body spans the parser emitted);
+      - ``source``: the URL's lowercased host (feeds per-source quota
+        and mix stages);
+      - ``doc_id``: 63-bit xxh64 of the URL (collisions negligible);
+        the (doc_id, url) mapping streams to ``doc_map.parquet/``
+        alongside for provenance.
+
+    Both outputs go through the engine's commit protocol (resume =
+    skip committed), and everything streams — no driver
+    materialization of text."""
+    from urllib.parse import urlsplit
+
+    from website_indexer_ray.functions.xxh import xxh64
+    from website_indexer_ray.pipelines.engine import CrawlResult
+    from website_indexer_ray.util import committed_parquet_write
+
+    os.makedirs(dest_dir, exist_ok=True)
+    mask63 = (1 << 63) - 1
+
+    def project(batch: pa.Table) -> pa.Table:
+        urls = batch.column("doc_id").to_pylist()
+        spans = batch.column("spans").to_pylist()
+        texts = [
+            " ".join(s["text"] for s in sp if s["kind"] == "text")
+            for sp in spans
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [xxh64(u) & mask63 for u in urls], type=pa.int64()
+                ),
+                "text": pa.array(texts, type=pa.string()),
+                "source": pa.array(
+                    [urlsplit(u).netloc.lower() for u in urls],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    def id_map(batch: pa.Table) -> pa.Table:
+        urls = batch.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [xxh64(u) & mask63 for u in urls], type=pa.int64()
+                ),
+                "url": pa.array(urls, type=pa.string()),
+            }
+        )
+
+    docs = CrawlResult(crawl_out)
+    ds = docs.ray_docs()
+    committed_parquet_write(
+        ds.map_batches(project, batch_format="pyarrow"),
+        os.path.join(dest_dir, "documents.parquet"),
+    )
+    committed_parquet_write(
+        docs.ray_docs().map_batches(id_map, batch_format="pyarrow"),
+        os.path.join(dest_dir, "doc_map.parquet"),
+    )
+    return dest_dir
