@@ -433,6 +433,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_topk": corpusops.group_topk,
         "top_terms_per_doc": textops.top_terms_per_doc,
         "doc_length_quantiles": textops.doc_length_quantiles,
+        # streaming operator with an EXACT batch oracle: ordered
+        # source + watermarks ⇒ must hash-match the batch SQL
+        "streaming_window_counts": relational.streaming_window_counts,
         # rows-only entries last — every op below is approximate or
         # hash-identity BY DESIGN (LSH/IVF/HLL/Count-Min/winnowing),
         # so a driver row would carry only a rows>0 signal; the
@@ -627,6 +630,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_id
         """,
         "window_counts": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+                   COUNT(*) AS n
+            FROM events
+            GROUP BY window_start, event_type
+            ORDER BY window_start, event_type
+        """,
+        # the streaming form finalizes the identical windows (ordered
+        # source + watermark semantics), so the batch SQL IS its oracle
+        "streaming_window_counts": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
                    COUNT(*) AS n

@@ -1100,3 +1100,86 @@ class TestDocLengthQuantiles:
         )
         out = {r["q"]: r["n_chars"] for r in textops.doc_length_quantiles(str(d)).to_pylist()}
         assert out == {25: 3, 50: 5, 75: 5, 95: 9, 99: 9}
+
+
+class TestStreamingWindowCounts:
+    """Watermark-driven streaming window aggregate (state/streaming.py):
+    with an ordered source it must EQUAL the batch window_counts (and
+    its SQL oracle); with disorder beyond allowed_lateness, late events
+    are counted+dropped, never folded into finalized windows; windows
+    finalize incrementally while the stream runs."""
+
+    def test_equals_batch_aggregate(self, ray_session, con):
+        from website_indexer_ray.pipelines import relational
+
+        s = relational.streaming_window_counts(SF_DIR)
+        b = relational.window_counts(SF_DIR)
+        assert s.to_pydict() == b.to_pydict()
+        assert_matches_sql(
+            s,
+            con,
+            """SELECT date_trunc('hour', ts) AS window_start, event_type,
+                      CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+                      COUNT(*) AS n
+               FROM events GROUP BY window_start, event_type
+               ORDER BY window_start, event_type""",
+        )
+
+    def _shuffled_batches(self, batch_size=256):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            f"{SF_DIR}/events.parquet", columns=["ts", "event_type", "value"]
+        )
+        perm = np.random.default_rng(7).permutation(tbl.num_rows)
+        tbl = tbl.take(pa.array(perm))
+        return tbl, [
+            tbl.slice(i, batch_size) for i in range(0, tbl.num_rows, batch_size)
+        ]
+
+    def test_late_events_counted_not_folded(self, ray_session):
+        from website_indexer_ray.state.streaming import run_windowed_stream
+
+        tbl, batches = self._shuffled_batches()
+        out, n_late = run_windowed_stream(
+            batches, window_us=3600 * 1_000_000, lateness_us=0
+        )
+        assert n_late > 0  # a fully shuffled stream must drop some
+        # accounting is exact: every event either landed or is late
+        assert sum(out.column("n").to_pylist()) + n_late == tbl.num_rows
+
+    def test_generous_lateness_recovers_exactness(self, ray_session):
+        from website_indexer_ray.pipelines import relational
+        from website_indexer_ray.state.streaming import run_windowed_stream
+
+        _tbl, batches = self._shuffled_batches()
+        # lateness >= the stream's full time span bounds any disorder
+        out, n_late = run_windowed_stream(
+            batches,
+            window_us=3600 * 1_000_000,
+            lateness_us=10**18,
+        )
+        assert n_late == 0
+        assert out.to_pydict() == relational.window_counts(SF_DIR).to_pydict()
+
+    def test_incremental_emission(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from website_indexer_ray.state.streaming import run_windowed_stream
+
+        tbl = pq.read_table(
+            f"{SF_DIR}/events.parquet", columns=["ts", "event_type", "value"]
+        )
+        tbl = tbl.take(pa.compute.sort_indices(tbl, sort_keys=[("ts", "ascending")]))
+        batches = [tbl.slice(i, 64) for i in range(0, tbl.num_rows, 64)]
+        emissions = []
+        out, _ = run_windowed_stream(
+            batches,
+            window_us=3600 * 1_000_000,
+            lateness_us=0,
+            poll_every=2,
+            on_emit=lambda rows: emissions.append(len(rows)),
+        )
+        # windows finalized while the stream was still running
+        assert sum(emissions) > 0
+        assert sum(emissions) < out.num_rows  # and more followed later

@@ -890,3 +890,43 @@ def search_docs_text(sf_dir: str, q: str = "spark merge") -> pa.Table:
 
     out = _to_table(ds.map_batches(predicate, batch_format="pyarrow"))
     return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))
+
+
+def streaming_window_counts(
+    sf_dir: str,
+    window_s: int = 3600,
+    lateness_s: int = 900,
+    batch_size: int = 4096,
+) -> pa.Table:
+    """The STREAMING form of ``window_counts``: the same 1-hour
+    tumbling aggregate computed by watermark-driven window actors
+    (state/streaming.py) over an event-time-ordered stream —
+    incremental finalization, late-data accounting, state bounded by
+    open windows per shard instead of stream length.
+
+    The stream source stand-in is a ts-sorted read of the events
+    table drained in arrival-order batches (a real deployment swaps
+    in a per-shard log consumer). With the source ordered and any
+    ``lateness`` ≥ 0 no event is late, so the result must EQUAL the
+    batch ``window_counts`` — which is exactly the SQL oracle this
+    query is hash-checked against (a streaming operator with an exact
+    batch oracle)."""
+    import pyarrow.parquet as pq
+
+    from website_indexer_ray.state.streaming import run_windowed_stream
+
+    tbl = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    order = pc.sort_indices(tbl, sort_keys=[("ts", "ascending")])
+    tbl = tbl.take(order)
+
+    def batches():
+        for i in range(0, tbl.num_rows, batch_size):
+            yield tbl.slice(i, batch_size)
+
+    out, n_late = run_windowed_stream(
+        batches(), window_us=window_s * 1_000_000, lateness_us=lateness_s * 1_000_000
+    )
+    assert n_late == 0  # ordered source ⇒ nothing can be late
+    return out
