@@ -1183,3 +1183,38 @@ class TestStreamingWindowCounts:
         # windows finalized while the stream was still running
         assert sum(emissions) > 0
         assert sum(emissions) < out.num_rows  # and more followed later
+
+
+class TestApproxQuantiles:
+    """Mergeable centroid-digest quantiles: every estimate's RANK in
+    the exact sorted column must sit within the digest's error bound
+    of the requested rank."""
+
+    def test_rank_error_bounded(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from website_indexer_ray.pipelines import relational
+
+        qs = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+        out = relational.approx_quantiles(SF_DIR, qs=qs, max_centroids=256)
+        exact = np.sort(
+            pq.read_table(f"{SF_DIR}/events.parquet", columns=["value"])
+            .column("value")
+            .to_numpy(zero_copy_only=False)
+        )
+        n = len(exact)
+        # widest centroid ≈ batch_rows / max_centroids; at sf0.001 the
+        # whole table is a handful of blocks — allow 2 chunk widths
+        tol = max(2, 2 * n // 256)
+        for q, est in zip(
+            out.column("q").to_pylist(), out.column("value_est").to_pylist()
+        ):
+            rank = np.searchsorted(exact, est)
+            assert abs(rank - q * n) <= tol, (q, est, rank, q * n, tol)
+
+    def test_deterministic(self, ray_session):
+        from website_indexer_ray.pipelines import relational
+
+        a = relational.approx_quantiles(SF_DIR)
+        b = relational.approx_quantiles(SF_DIR)
+        assert a.equals(b)

@@ -930,3 +930,78 @@ def streaming_window_counts(
     )
     assert n_late == 0  # ordered source ⇒ nothing can be late
     return out
+
+
+# --- mergeable quantile sketch (centroid digest) ---------------------
+
+def _value_centroids(vals: np.ndarray, max_centroids: int) -> pa.Table:
+    """Equal-count centroid digest of one batch: sort, chunk into at
+    most ``max_centroids`` runs, emit (mean, count) per run. The
+    classic mergeable-digest shape (t-digest's uniform-δ special
+    case): rank error after one compression is bounded by the chunk
+    width, count/max_centroids."""
+    vals = np.sort(vals)
+    n = len(vals)
+    k = min(max_centroids, n)
+    edges = np.linspace(0, n, k + 1).astype(np.int64)
+    means, counts = [], []
+    for s, e in zip(edges[:-1], edges[1:]):
+        if e > s:
+            means.append(float(vals[s:e].mean()))
+            counts.append(int(e - s))
+    return pa.table(
+        {
+            "mean": pa.array(means, type=pa.float64()),
+            "count": pa.array(counts, type=pa.int64()),
+        }
+    )
+
+
+def approx_quantiles(
+    sf_dir: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    max_centroids: int = 256,
+) -> pa.Table:
+    """Approximate quantiles of the continuous ``events.value`` column
+    via a mergeable centroid digest — the quantile member of the
+    sketch family (HLL distinct, Count-Min heavy hitters, Bloom
+    membership): each batch reduces to ≤ max_centroids (mean, count)
+    centroids (a ~4 KB partial however large the batch); partials are
+    sorted by mean on the driver — a deterministic merge independent
+    of partial arrival order, unlike sequential digest merging — and
+    the estimate reads the cumulative counts at rank q·N.
+
+    Rank error is bounded by the widest centroid (≈ batch_rows /
+    max_centroids); the pytest gate asserts the measured rank error
+    of every estimate against the exact sorted column. Approximate ⇒
+    rows-only driver check."""
+    from website_indexer_ray.pipelines.textops import _to_table
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _value_centroids(
+            batch.column("value").to_numpy(zero_copy_only=False),
+            max_centroids,
+        )
+
+    cents = _to_table(ds.map_batches(partial, batch_format="pyarrow"))
+    order = pc.sort_indices(cents, sort_keys=[("mean", "ascending")])
+    means = cents.column("mean").take(order).to_numpy(zero_copy_only=False)
+    counts = cents.column("count").take(order).to_numpy(zero_copy_only=False)
+    # one deterministic re-compression: weighted equal-count chunks
+    total = int(counts.sum())
+    cum = np.cumsum(counts)
+    out_q, out_v = [], []
+    for q in qs:
+        rank = q * total
+        i = int(np.searchsorted(cum, rank, side="left"))
+        i = min(i, len(means) - 1)
+        out_q.append(float(q))
+        out_v.append(float(means[i]))
+    return pa.table(
+        {
+            "q": pa.array(out_q, type=pa.float64()),
+            "value_est": pa.array(out_v, type=pa.float64()),
+        }
+    )
