@@ -1,0 +1,228 @@
+"""Streaming tumbling-window aggregation with watermarks — the
+unbounded-stream operator class the Dataset API can't express (a
+Dataset is a finite collection; a stream needs per-event-time window
+state, watermark-driven finalization and late-data policy), so this is
+one of the engine's few raw-actor stages (the documented escape hatch,
+like the exchange reducers).
+
+Semantics (the standard event-time model):
+
+  - events carry event time ``ts``; tumbling windows of ``window_us``;
+  - each shard's WATERMARK is ``max(ts seen) − allowed_lateness``:
+    the promise that no event older than the watermark will be
+    accepted;
+  - a window FINALIZES (emits, immutable) once ``window_end ≤
+    watermark`` — consumers see results incrementally while the
+    stream runs, not only at the end;
+  - an event older than the watermark whose window already finalized
+    is LATE: counted and dropped, never silently folded into a wrong
+    window. With ``allowed_lateness`` ≥ the stream's actual disorder
+    bound, nothing is late and the streaming result equals the batch
+    aggregate exactly (the correctness gate).
+
+Scale shape: shards are hash partitions of the window-key space, so
+open-window state per shard is O(open windows × types / n_shards) —
+independent of stream length; finalized rows drain incrementally.
+Each shard holds integer cent sums (no float drift vs the SQL
+oracle). Routing ships one slim pre-aggregated sub-batch per (shard,
+batch) — the same partial-combiner discipline as the batch
+``window_counts``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+_NEG_INF = -(1 << 62)
+
+
+@ray.remote(num_cpus=0)
+class WindowShard:
+    """One hash partition of the streaming window state.
+
+    num_cpus=0 + driver-acked adds, mirroring the exchange's
+    ReduceShard: reservation-free actors never deadlock small test
+    sessions, and the per-wave ack is the backpressure."""
+
+    def __init__(self, window_us: int, lateness_us: int):
+        self.window_us = int(window_us)
+        self.lateness_us = int(lateness_us)
+        self.open: dict[tuple[int, str], list[int]] = {}
+        self.watermark = _NEG_INF
+        self.finalized: list[tuple[int, str, int, int]] = []
+        self.n_late = 0
+
+    def add(self, win_us, etypes, sums_c, counts, max_ts_us: int) -> None:
+        """One pre-aggregated sub-batch: per (window_start_us, type)
+        partial sums. Late partials (window already finalized) are
+        counted and dropped; then the watermark advances and newly
+        closed windows finalize."""
+        for w, e, s, n in zip(win_us, etypes, sums_c, counts):
+            w = int(w)
+            if w + self.window_us <= self.watermark:
+                self.n_late += int(n)
+                continue
+            slot = self.open.setdefault((w, e), [0, 0])
+            slot[0] += int(s)
+            slot[1] += int(n)
+        wm = int(max_ts_us) - self.lateness_us
+        if wm > self.watermark:
+            self.watermark = wm
+            self._finalize_closed()
+
+    def _finalize_closed(self) -> None:
+        closed = [
+            k for k in self.open if k[0] + self.window_us <= self.watermark
+        ]
+        for k in closed:
+            s, n = self.open.pop(k)
+            self.finalized.append((k[0], k[1], s, n))
+
+    def poll_finalized(self) -> list[tuple[int, str, int, int]]:
+        """Drain windows finalized so far (incremental emission)."""
+        out, self.finalized = self.finalized, []
+        return out
+
+    def flush(self) -> list[tuple[int, str, int, int]]:
+        """End of stream: every remaining open window finalizes."""
+        for k, (s, n) in self.open.items():
+            self.finalized.append((k[0], k[1], s, n))
+        self.open.clear()
+        return self.poll_finalized()
+
+    def late_count(self) -> int:
+        return self.n_late
+
+
+def _partial_by_window(
+    batch: pa.Table, window_us: int
+) -> tuple[np.ndarray, list[str], np.ndarray, np.ndarray, int]:
+    """Vectorized per-batch combiner: (window_start_us, event_type)
+    partial integer-cent sums + counts, plus the batch's max ts."""
+    ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    win = (ts // window_us) * window_us
+    etype = batch.column("event_type").to_pylist()
+    cents = np.rint(
+        batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+    ).astype(np.int64)
+    # group in-batch: codes over (win, etype)
+    uniq_types = sorted(set(etype))
+    tcode = {t: i for i, t in enumerate(uniq_types)}
+    codes = win * len(uniq_types) + np.array(
+        [tcode[t] for t in etype], dtype=np.int64
+    )
+    order = np.argsort(codes, kind="stable")
+    sc = codes[order]
+    bnd = np.flatnonzero(np.diff(sc)) + 1
+    starts = np.concatenate(([0], bnd))
+    ends = np.concatenate((bnd, [len(sc)]))
+    g_win = np.empty(len(starts), dtype=np.int64)
+    g_sum = np.empty(len(starts), dtype=np.int64)
+    g_n = np.empty(len(starts), dtype=np.int64)
+    g_type: list[str] = []
+    cents_sorted = cents[order]
+    win_sorted = win[order]
+    etype_sorted = [etype[i] for i in order]
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        g_win[i] = win_sorted[s]
+        g_type.append(etype_sorted[s])
+        g_sum[i] = cents_sorted[s:e].sum()
+        g_n[i] = e - s
+    return g_win, g_type, g_sum, g_n, int(ts.max())
+
+
+def run_windowed_stream(
+    batches,
+    window_us: int,
+    lateness_us: int,
+    n_shards: int = 4,
+    poll_every: int = 8,
+    on_emit=None,
+) -> tuple[pa.Table, int]:
+    """Drive a stream of Arrow batches through hash-sharded window
+    actors; returns (finalized windows table, late-event count).
+
+    ``batches`` is any iterator of Arrow tables in arrival order —
+    here a ts-sorted read stands in for the stream source; a real
+    deployment replaces it with a per-shard consumer. ``on_emit`` (if
+    given) receives each incremental drain — the evidence that
+    results flow before the stream ends."""
+    shards = [
+        WindowShard.remote(window_us, lateness_us) for _ in range(n_shards)
+    ]
+    rows: list[tuple[int, str, int, int]] = []
+    i = 0
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        g_win, g_type, g_sum, g_n, max_ts = _partial_by_window(
+            batch, window_us
+        )
+        shard_of = (g_win // window_us) % n_shards
+        acks = []
+        for sh in range(n_shards):
+            m = shard_of == sh
+            if not m.any():
+                continue
+            idx = np.flatnonzero(m)
+            acks.append(
+                shards[sh].add.remote(
+                    g_win[idx],
+                    [g_type[j] for j in idx],
+                    g_sum[idx],
+                    g_n[idx],
+                    max_ts,
+                )
+            )
+        ray.get(acks)  # backpressure: one in-flight wave
+        i += 1
+        if poll_every and i % poll_every == 0:
+            drained = [
+                r
+                for part in ray.get(
+                    [s.poll_finalized.remote() for s in shards]
+                )
+                for r in part
+            ]
+            if drained:
+                rows.extend(drained)
+                if on_emit is not None:
+                    on_emit(drained)
+    for part in ray.get([s.flush.remote() for s in shards]):
+        rows.extend(part)
+    n_late = sum(ray.get([s.late_count.remote() for s in shards]))
+    if not rows:
+        tbl = pa.table(
+            {
+                "window_start": pa.array([], type=pa.timestamp("us")),
+                "event_type": pa.array([], type=pa.string()),
+                "sum_value_c": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+        return tbl, n_late
+    win_us_col = pa.array([r[0] for r in rows], type=pa.int64())
+    tbl = pa.table(
+        {
+            "window_start": win_us_col.cast(pa.timestamp("us")),
+            "event_type": pa.array([r[1] for r in rows], type=pa.string()),
+            "sum_value_c": pa.array([r[2] for r in rows], type=pa.int64()),
+            "n": pa.array([r[3] for r in rows], type=pa.int64()),
+        }
+    )
+    import pyarrow.compute as pc
+
+    return (
+        tbl.take(
+            pc.sort_indices(
+                tbl,
+                sort_keys=[
+                    ("window_start", "ascending"),
+                    ("event_type", "ascending"),
+                ],
+            )
+        ),
+        n_late,
+    )
