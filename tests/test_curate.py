@@ -491,7 +491,8 @@ class TestCrawlToCurate:
         bridge_dir = curate.documents_from_crawl(crawl_out, str(tmp_path / "docs"))
         docs_files = glob.glob(f"{bridge_dir}/documents.parquet/*.parquet")
         bridged = pa.concat_tables(pq.read_table(f) for f in docs_files)
-        assert set(bridged.column_names) == {"doc_id", "text", "source"}
+        # url rides along for provenance; curation readers prune it
+        assert set(bridged.column_names) == {"doc_id", "text", "source", "url"}
 
         # text equals the joined kind=='text' spans, per URL
         originals = {
@@ -533,3 +534,77 @@ class TestCrawlToCurate:
         curate.documents_from_crawl(crawl_out, bridge_dir)
         after = sorted(glob.glob(f"{bridge_dir}/documents.parquet/*.parquet"))
         assert before == after
+
+
+class TestDupSpanGateAnchors:
+    """A doc the keep pass will drop via a PER-BATCH gate (perplexity /
+    decontamination) must not anchor a duplicated run's 'first
+    occurrence' — otherwise the surviving copy is excised and the
+    passage vanishes from the kept corpus entirely."""
+
+    def test_ppl_dropped_doc_cannot_anchor(self, ray_session, tmp_path):
+        import numpy as np
+
+        from website_indexer_ray.pipelines.corpusops import _lm_model, _ppl_scores
+
+        passage = ("alpha bravo charlie delta echo foxtrot golf hotel "
+                   "india juliet kilo lima")
+        # DIVERSE rare transitions (repeated garbage would self-train
+        # into the corpus LM and score LOW); common English repeated
+        # puts the model's mass on docs 1-2's transitions
+        garbage = " ".join(
+            f"{chr(113 + i % 6)}{chr(118 + i % 5)}{i % 10}{chr(106 + (i * 3) % 9)}"
+            for i in range(50)
+        )
+        # single non-repeating bodies: internal repetition would be
+        # real intra-doc duplication and get (correctly) excised
+        normal1 = (
+            "the cat and the dog is in the house of the king and the day "
+            "was warm while the men were in the halls as the sun was high "
+            "over the roofs so the children ran down to the river bank "
+        )
+        normal2 = (
+            "a man was at the door of the old farm and the rain fell on "
+            "the field while the birds flew over the hill into the wood "
+            "as the horse stood near the gate by the long stone wall "
+        )
+        texts = [
+            garbage + " " + passage,      # doc 0: high-ppl anchor
+            normal1 + passage,            # doc 1: normal, shares passage
+            normal2 + "a completely different tail of common words here",
+        ]
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "text": pa.array(texts),
+                "source": pa.array(["s"] * 3),
+            }
+        )
+        d = tmp_path / "mini"
+        d.mkdir()
+        pq.write_table(docs, str(d / "documents.parquet"))
+
+        # pick max_ppl between doc 0's (high) and docs 1-2's (low)
+        out1 = str(tmp_path / "probe")
+        curate.curate_corpus(str(d), out1, min_tokens=1, max_tokens=10**6,
+                             langs=("en", "und"))
+        logp = _lm_model(f"{out1}/filtered", None)
+        _, ppl = _ppl_scores(docs.column("text"), logp)
+        assert ppl[0] > max(ppl[1], ppl[2])
+        threshold = float((ppl[0] + max(ppl[1], ppl[2])) / 2)
+
+        out2 = str(tmp_path / "gated")
+        stats = curate.curate_corpus(
+            str(d), out2, min_tokens=1, max_tokens=10**6,
+            langs=("en", "und"), max_ppl=threshold, dup_span_k=10,
+        )
+        files = sorted(glob.glob(f"{out2}/kept/documents.parquet/*.parquet"))
+        kept = pa.concat_tables(pq.read_table(f) for f in files)
+        by_id = dict(
+            zip(kept.column("doc_id").to_pylist(),
+                kept.column("text").to_pylist())
+        )
+        assert sorted(by_id) == [1, 2]  # doc 0 dropped by the ppl gate
+        # doc 1's copy of the passage SURVIVES: the dropped doc 0 was
+        # excluded from anchoring, so the run is unique among survivors
+        assert by_id[1] == texts[1]

@@ -742,6 +742,32 @@ class TestDupSpanRemoval:
         assert out[1] == "PRE " + passage.upper() + " POST"
         assert out[2] == "x y"
 
+    def test_whitespace_outside_spans_preserved(self, ray_session):
+        """Excision is a byte-precise deletion: newlines/tabs/spacing
+        outside the excised ranges survive untouched in affected docs."""
+        from website_indexer_ray.pipelines import textops
+
+        passage, _ = self._corpus()
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "first paragraph\n\nsecond\tparagraph " + passage,
+                        "intro line\n\n" + passage + "\n\nclosing  para  here",
+                    ]
+                ),
+            }
+        )
+        out = {
+            r["doc_id"]: r["text"]
+            for r in textops.dup_span_removal_ds("", k=15, documents=docs).take_all()
+        }
+        # first occurrence byte-identical
+        assert out[1] == docs.column("text")[0].as_py()
+        # doc 2: the passage is gone, every byte around it unchanged
+        assert out[2] == "intro line\n\nclosing  para  here"
+
     def test_no_duplicates_is_identity(self, ray_session):
         from website_indexer_ray.pipelines import textops
 

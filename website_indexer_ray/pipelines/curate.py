@@ -190,6 +190,59 @@ def quota_dropped(
     return np.sort(out.column("doc_id").to_numpy(zero_copy_only=False))
 
 
+def _gate_dropped_ids(
+    filtered_data: str,
+    decon_max_overlap: int | None,
+    ev_grams_ref,
+    max_ppl: float | None,
+    logp_ref,
+) -> np.ndarray:
+    """One streaming pass over the cleaned corpus emitting the doc_ids
+    the decontamination / perplexity / eval-split gates will drop in
+    the keep pass — the same kernels, mask inverted, ids only."""
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        drop = np.zeros(len(ids), dtype=bool)
+        if decon_max_overlap is not None:
+            from website_indexer_ray.pipelines.corpusops import (
+                DECON_N,
+                _EVAL_MOD,
+                _eval_overlap_counts,
+            )
+
+            drop |= ids % _EVAL_MOD == 0
+            _, overlap = _eval_overlap_counts(
+                batch.column("text"), cached_get(ev_grams_ref), DECON_N
+            )
+            drop |= overlap > decon_max_overlap
+        if max_ppl is not None:
+            from website_indexer_ray.pipelines.corpusops import _ppl_scores
+
+            _, ppl = _ppl_scores(batch.column("text"), cached_get(logp_ref))
+            with np.errstate(invalid="ignore"):
+                drop |= ~(ppl <= max_ppl)  # NaN fails the gate too
+        return pa.table(
+            {"doc_id": pa.array(ids[drop], type=pa.int64())}
+        )
+
+    parts = [
+        t
+        for t in (
+            ray.get(r)
+            for r in ray.data.read_parquet(filtered_data)
+            .map_batches(gate, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return np.array([], dtype=np.int64)
+    return np.sort(
+        pa.concat_tables(parts).column("doc_id").to_numpy(zero_copy_only=False)
+    )
+
+
 def curate_corpus(
     sf_dir: str,
     out_dir: str,
@@ -349,21 +402,6 @@ def curate_corpus(
                 )
             dropped_ref = ray.put(dropped)
 
-            span_map_ref = None
-            if dup_span_k is not None:
-                from website_indexer_ray.pipelines.textops import (
-                    dup_span_marks,
-                    spans_by_doc,
-                )
-
-                span_map = spans_by_doc(
-                    dup_span_marks(
-                        filtered_dir, k=dup_span_k, exclude_ids=dropped
-                    )
-                )
-                n_span_docs = len(span_map)
-                span_map_ref = ray.put(span_map)
-
             ev_grams_ref = None
             if decon_max_overlap is not None:
                 from website_indexer_ray.pipelines.corpusops import (
@@ -407,6 +445,39 @@ def curate_corpus(
                 from website_indexer_ray.pipelines.corpusops import _lm_model
 
                 logp_ref = ray.put(_lm_model(filtered_dir, None))
+
+            span_map_ref = None
+            if dup_span_k is not None:
+                from website_indexer_ray.pipelines.textops import (
+                    dup_span_marks,
+                    spans_by_doc,
+                )
+
+                # A doc the keep pass will drop must not anchor a
+                # "first occurrence" (its copy would be the only one
+                # kept of a duplicated run). The dedup/quota drop set
+                # is known; the decon/ppl/eval gates are per-batch
+                # kernels, so when any is active one extra scan
+                # collects THEIR dropped ids too before span marking.
+                span_exclude = dropped
+                if decon_max_overlap is not None or max_ppl is not None:
+                    span_exclude = np.union1d(
+                        span_exclude,
+                        _gate_dropped_ids(
+                            filtered_data,
+                            decon_max_overlap,
+                            ev_grams_ref,
+                            max_ppl,
+                            logp_ref,
+                        ),
+                    )
+                span_map = spans_by_doc(
+                    dup_span_marks(
+                        filtered_dir, k=dup_span_k, exclude_ids=span_exclude
+                    )
+                )
+                n_span_docs = len(span_map)
+                span_map_ref = ray.put(span_map)
 
             def keep(batch: pa.Table) -> pa.Table:
                 dr = cached_get(dropped_ref)
@@ -520,8 +591,10 @@ def documents_from_crawl(crawl_out: str, dest_dir: str) -> str:
       - ``source``: the URL's lowercased host (feeds per-source quota
         and mix stages);
       - ``doc_id``: 63-bit xxh64 of the URL (collisions negligible);
-        the (doc_id, url) mapping streams to ``doc_map.parquet/``
-        alongside for provenance.
+        ``url`` rides along in the documents output (readers prune it)
+        and the (doc_id, url) provenance map is a column-pruned
+        projection of THAT parquet — the crawl artifact is read, and
+        every URL hashed, exactly once.
 
     Both outputs go through the engine's commit protocol (resume =
     skip committed), and everything streams — no driver
@@ -552,28 +625,19 @@ def documents_from_crawl(crawl_out: str, dest_dir: str) -> str:
                     [urlsplit(u).netloc.lower() for u in urls],
                     type=pa.string(),
                 ),
-            }
-        )
-
-    def id_map(batch: pa.Table) -> pa.Table:
-        urls = batch.column("doc_id").to_pylist()
-        return pa.table(
-            {
-                "doc_id": pa.array(
-                    [xxh64(u) & mask63 for u in urls], type=pa.int64()
-                ),
                 "url": pa.array(urls, type=pa.string()),
             }
         )
 
-    docs = CrawlResult(crawl_out)
-    ds = docs.ray_docs()
+    docs_dir = os.path.join(dest_dir, "documents.parquet")
     committed_parquet_write(
-        ds.map_batches(project, batch_format="pyarrow"),
-        os.path.join(dest_dir, "documents.parquet"),
+        CrawlResult(crawl_out).ray_docs().map_batches(
+            project, batch_format="pyarrow"
+        ),
+        docs_dir,
     )
     committed_parquet_write(
-        docs.ray_docs().map_batches(id_map, batch_format="pyarrow"),
+        ray.data.read_parquet(docs_dir, columns=["doc_id", "url"]),
         os.path.join(dest_dir, "doc_map.parquet"),
     )
     return dest_dir

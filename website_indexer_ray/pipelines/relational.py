@@ -904,26 +904,25 @@ def streaming_window_counts(
     incremental finalization, late-data accounting, state bounded by
     open windows per shard instead of stream length.
 
-    The stream source stand-in is a ts-sorted read of the events
-    table drained in arrival-order batches (a real deployment swaps
-    in a per-shard log consumer). With the source ordered and any
-    ``lateness`` ≥ 0 no event is late, so the result must EQUAL the
-    batch ``window_counts`` — which is exactly the SQL oracle this
-    query is hash-checked against (a streaming operator with an exact
-    batch oracle)."""
-    import pyarrow.parquet as pq
-
+    The stream source stand-in is a ts-ordered DISTRIBUTED sort of
+    the events table drained batch-by-batch (``Dataset.sort`` +
+    ``iter_batches`` — the driver only ever holds one batch, never
+    the table; a real deployment swaps in a per-shard log consumer).
+    With the source ordered and any ``lateness`` ≥ 0 no event is
+    late, so the result must EQUAL the batch ``window_counts`` —
+    which is exactly the SQL oracle this query is hash-checked
+    against (a streaming operator with an exact batch oracle)."""
     from website_indexer_ray.state.streaming import run_windowed_stream
 
-    tbl = pq.read_table(
+    ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
-    )
-    order = pc.sort_indices(tbl, sort_keys=[("ts", "ascending")])
-    tbl = tbl.take(order)
+    ).sort("ts")
 
     def batches():
-        for i in range(0, tbl.num_rows, batch_size):
-            yield tbl.slice(i, batch_size)
+        for b in ds.iter_batches(
+            batch_size=batch_size, batch_format="pyarrow"
+        ):
+            yield b
 
     out, n_late = run_windowed_stream(
         batches(), window_us=window_s * 1_000_000, lateness_us=lateness_s * 1_000_000
@@ -986,10 +985,18 @@ def approx_quantiles(
         )
 
     cents = _to_table(ds.map_batches(partial, batch_format="pyarrow"))
+    if cents.num_rows == 0:
+        return pa.table(
+            {
+                "q": pa.array([], type=pa.float64()),
+                "value_est": pa.array([], type=pa.float64()),
+            }
+        )
     order = pc.sort_indices(cents, sort_keys=[("mean", "ascending")])
     means = cents.column("mean").take(order).to_numpy(zero_copy_only=False)
     counts = cents.column("count").take(order).to_numpy(zero_copy_only=False)
-    # one deterministic re-compression: weighted equal-count chunks
+    # estimate = cumulative count read at rank q*N over the sorted
+    # centroid sequence (no further compression happens or is needed)
     total = int(counts.sum())
     cum = np.cumsum(counts)
     out_q, out_v = [], []

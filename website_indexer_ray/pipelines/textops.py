@@ -1687,13 +1687,27 @@ def doc_length_quantiles(
 # byte-identical.
 
 # Odd 64-bit multiplier (golden-ratio constant) for the polynomial
-# gram hash: h(i) = Σ_j crc32(tok[i+j])·B^(k-1-j) mod 2^64. Equal
-# k-grams hash equal by construction; 64-bit keys keep collisions
-# negligible at corpus scale, and the whole per-doc computation is k
-# vectorized uint64 fused-multiply-adds instead of one string join +
-# hash call per gram (the first version's per-gram Python xxh64 was
-# 10× the wall of everything else at the 50k-doc stress).
+# gram hash: h(i) = Σ_j t64(tok[i+j])·B^(k-1-j) mod 2^64, where
+# t64 packs two independent C-fast CRCs — crc32(t) and crc32(t+'\0')
+# (CRC of the extended message; NOT crc32 with a different seed, whose
+# linearity would add zero entropy) — into one 64-bit token hash.
+# Equal k-grams hash equal by construction, per-position entropy is
+# a full 64 bits (this op DELETES text, so the earlier 32-bit-per-
+# token variant's vocabulary-scale birthday collisions were a real
+# wrongful-excision risk), and the combine is k vectorized uint64
+# fused-multiply-adds instead of one string join + hash call per gram
+# (a per-gram pure-Python hash measured 3.3× total wall at the
+# 50k-doc stress).
 _DUP_HASH_B = np.uint64(0x9E3779B185EBCA87)
+
+
+def _token_hash64(toks: list[str]) -> np.ndarray:
+    lo_list = [crc32(t.lower().encode()) for t in toks]
+    # crc32(data, start) continues the CRC — crc32(b"\0", crc32(t)) ==
+    # crc32(t + b"\0") without re-encoding the token.
+    hi = np.array([crc32(b"\x00", v) for v in lo_list], dtype=np.uint64)
+    lo = np.array(lo_list, dtype=np.uint64)
+    return lo | (hi << np.uint64(32))
 
 
 def _dup_gram_rows(batch: pa.Table, k: int, exclude_ref=None) -> pa.Table:
@@ -1712,9 +1726,7 @@ def _dup_gram_rows(batch: pa.Table, k: int, exclude_ref=None) -> pa.Table:
         n_grams = len(toks) - k + 1
         if n_grams <= 0:
             continue
-        th = np.array(
-            [crc32(t.lower().encode()) for t in toks], dtype=np.uint64
-        )
+        th = _token_hash64(toks)
         acc = th[:n_grams].copy()
         for j in range(1, k):
             acc = acc * _DUP_HASH_B + th[j : n_grams + j]  # uint64 wraps
@@ -1875,19 +1887,38 @@ def dup_span_removal(
 def apply_spans_to_texts(
     ids, texts, spans_by_doc: dict
 ) -> list[str]:
-    """Excise [start, end) token ranges from the ORIGINAL tokens;
-    docs absent from the span map pass through byte-identical."""
+    """Excise [start, end) TOKEN ranges as byte-precise deletions on
+    the original text: each merged span deletes from its first token's
+    byte offset to the byte offset of the first surviving token after
+    it (or, at end of text, back through the preceding whitespace), so
+    every byte OUTSIDE the excised ranges — newlines, tabs, spacing —
+    survives untouched. Docs absent from the span map pass through
+    byte-identical (a join-and-resplit rewrite would silently collapse
+    all whitespace in any doc with even one span)."""
     out = []
     for doc_id, text in zip(ids, texts):
         iv = spans_by_doc.get(doc_id)
         if not iv:
             out.append(text)
             continue
-        toks = text.split()
-        keep = np.ones(len(toks), dtype=bool)
-        for s, e in iv:
-            keep[s:e] = False
-        out.append(" ".join(t for t, m in zip(toks, keep) if m))
+        toks = list(_WORD_RE.finditer(text))
+        n = len(toks)
+        cuts: list[tuple[int, int]] = []
+        for s, e in iv:  # merged spans: non-overlapping, ascending
+            s, e = min(s, n), min(e, n)
+            if e <= s:
+                continue
+            if e < n:
+                cuts.append((toks[s].start(), toks[e].start()))
+            else:
+                left = toks[s - 1].end() if s > 0 else 0
+                cuts.append((left, len(text)))
+        parts, prev = [], 0
+        for a, b in cuts:
+            parts.append(text[prev:a])
+            prev = b
+        parts.append(text[prev:])
+        out.append("".join(parts))
     return out
 
 
