@@ -436,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # streaming operator with an EXACT batch oracle: ordered
         # source + watermarks ⇒ must hash-match the batch SQL
         "streaming_window_counts": relational.streaming_window_counts,
+        "streaming_sessionize": relational.streaming_sessionize,
         # rows-only entries last — every op below is approximate or
         # hash-identity BY DESIGN (LSH/IVF/HLL/Count-Min/winnowing),
         # so a driver row would carry only a rows>0 signal; the
@@ -687,6 +688,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name ORDER BY n_name
         """,
         "sessionize": """
+            WITH d AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id,
+                   CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM d GROUP BY user_id ORDER BY user_id
+        """,
+        # streaming sessionization finalizes identical per-user counts
+        # (buffered event-time reordering + ordered source), so the
+        # batch SQL IS its oracle
+        "streaming_sessionize": """
             WITH d AS (
                 SELECT user_id,
                        CASE WHEN lag(ts) OVER w IS NULL

@@ -1244,3 +1244,73 @@ class TestApproxQuantiles:
         a = relational.approx_quantiles(SF_DIR)
         b = relational.approx_quantiles(SF_DIR)
         assert a.equals(b)
+
+
+class TestStreamingSessionize:
+    """Streaming gap-session windows: buffered reordering within the
+    lateness horizon is EXACT, so both an ordered source and a
+    shuffled source under generous lateness must equal the batch
+    sessionize; with zero lateness a shuffled stream drops late events
+    with exact accounting."""
+
+    def test_equals_batch(self, ray_session):
+        from website_indexer_ray.pipelines import relational
+
+        s = relational.streaming_sessionize(SF_DIR)
+        b = relational.sessionize(SF_DIR)
+        assert s.to_pydict() == b.to_pydict()
+
+    def _shuffled_batches(self, batch_size=256):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            f"{SF_DIR}/events.parquet", columns=["user_id", "ts"]
+        )
+        perm = np.random.default_rng(11).permutation(tbl.num_rows)
+        tbl = tbl.take(pa.array(perm))
+        return tbl, [
+            tbl.slice(i, batch_size) for i in range(0, tbl.num_rows, batch_size)
+        ]
+
+    def test_shuffled_with_generous_lateness_is_exact(self, ray_session):
+        from website_indexer_ray.pipelines import relational
+        from website_indexer_ray.state.streaming import run_sessionized_stream
+
+        _tbl, batches = self._shuffled_batches()
+        out, n_late = run_sessionized_stream(
+            batches, gap_us=30 * 60_000_000, lateness_us=10**18
+        )
+        assert n_late == 0
+        assert out.to_pydict() == relational.sessionize(SF_DIR).to_pydict()
+
+    def test_shuffled_zero_lateness_counts_late(self, ray_session):
+        from website_indexer_ray.state.streaming import run_sessionized_stream
+
+        tbl, batches = self._shuffled_batches()
+        out, n_late = run_sessionized_stream(
+            batches, gap_us=30 * 60_000_000, lateness_us=0
+        )
+        assert n_late > 0
+        assert sum(out.column("n_events").to_pylist()) + n_late == tbl.num_rows
+
+    def test_buffer_drains_with_watermark(self, ray_session):
+        """With bounded lateness the buffer holds only the disorder
+        horizon, not the whole stream — state is O(recent), evidence
+        for the bounded-state claim."""
+        import pyarrow.parquet as pq
+        import ray as _ray
+
+        from website_indexer_ray.state.streaming import SessionShard
+
+        tbl = pq.read_table(
+            f"{SF_DIR}/events.parquet", columns=["user_id", "ts"]
+        )
+        tbl = tbl.take(pa.compute.sort_indices(tbl, sort_keys=[("ts", "ascending")]))
+        shard = SessionShard.remote(30 * 60_000_000, 0)
+        users = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        tss = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        half = len(users) // 2
+        _ray.get(shard.add.remote(users[:half], tss[:half], int(tss[:half].max())))
+        processed, buffered = _ray.get(shard.progress.remote())
+        assert processed == half  # watermark == max ts ⇒ all ripe
+        assert buffered == 0

@@ -1012,3 +1012,37 @@ def approx_quantiles(
             "value_est": pa.array(out_v, type=pa.float64()),
         }
     )
+
+
+def streaming_sessionize(
+    sf_dir: str,
+    gap_minutes: int = 30,
+    lateness_s: int = 0,
+    batch_size: int = 4096,
+) -> pa.Table:
+    """The STREAMING form of ``sessionize``: gap-based session windows
+    maintained by hash-sharded actors (state/streaming.py
+    SessionShard) — events buffer until the watermark passes them,
+    then merge into per-user carries in event-time order, so bounded
+    disorder within ``lateness_s`` is reordered EXACTLY. Same
+    stand-in source as ``streaming_window_counts`` (distributed
+    ts-sort drained batch-by-batch); ordered source ⇒ nothing is late
+    ⇒ the result must EQUAL the batch ``sessionize`` and its SQL
+    oracle."""
+    from website_indexer_ray.state.streaming import run_sessionized_stream
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).sort("ts")
+
+    def batches():
+        for b in ds.iter_batches(batch_size=batch_size, batch_format="pyarrow"):
+            yield b
+
+    out, n_late = run_sessionized_stream(
+        batches(),
+        gap_us=int(gap_minutes) * 60_000_000,
+        lateness_us=lateness_s * 1_000_000,
+    )
+    assert n_late == 0  # ordered source ⇒ nothing can be late
+    return out

@@ -226,3 +226,132 @@ def run_windowed_stream(
         ),
         n_late,
     )
+
+
+@ray.remote(num_cpus=0)
+class SessionShard:
+    """One hash partition of streaming gap-based SESSION windows
+    (sessionization): events buffer until the watermark passes them,
+    then process in event-time order against a per-user carry
+    (last_ts + running session/event counts) — so bounded disorder
+    within ``allowed_lateness`` is reordered EXACTLY, not
+    approximated. State = one carry entry per user in the partition +
+    the buffer of events newer than the watermark; both independent
+    of stream length. An event older than the already-processed
+    horizon is late: counted and dropped."""
+
+    def __init__(self, gap_us: int, lateness_us: int):
+        self.gap_us = int(gap_us)
+        self.lateness_us = int(lateness_us)
+        self.carry: dict[int, list[int]] = {}  # user -> [last_ts, n_sessions, n_events]
+        self.buf_u: list[np.ndarray] = []
+        self.buf_t: list[np.ndarray] = []
+        self.processed_upto = _NEG_INF
+        self.max_ts = _NEG_INF
+        self.n_late = 0
+        self.n_processed = 0
+
+    def add(self, users: np.ndarray, tss: np.ndarray, max_ts_us: int) -> None:
+        late = tss < self.processed_upto
+        n_late = int(late.sum())
+        if n_late:
+            self.n_late += n_late
+            users, tss = users[~late], tss[~late]
+        if len(users):
+            self.buf_u.append(users.astype(np.int64))
+            self.buf_t.append(tss.astype(np.int64))
+        self.max_ts = max(self.max_ts, int(max_ts_us))
+        self._drain(self.max_ts - self.lateness_us)
+
+    def _drain(self, watermark: int) -> None:
+        if watermark <= self.processed_upto or not self.buf_u:
+            return
+        u = np.concatenate(self.buf_u)
+        t = np.concatenate(self.buf_t)
+        ripe = t <= watermark
+        if not ripe.any():
+            return
+        ru, rt = u[ripe], t[ripe]
+        self.buf_u = [u[~ripe]] if (~ripe).any() else []
+        self.buf_t = [t[~ripe]] if (~ripe).any() else []
+        order = np.lexsort((rt, ru))
+        ru, rt = ru[order], rt[order]
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(np.diff(ru)) + 1, [len(ru)])
+        )
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            user = int(ru[s])
+            ts_seq = rt[s:e]
+            st = self.carry.get(user)
+            if st is None:
+                n_new = 1 + int((np.diff(ts_seq) > self.gap_us).sum())
+                self.carry[user] = [int(ts_seq[-1]), n_new, len(ts_seq)]
+            else:
+                full = np.concatenate(([st[0]], ts_seq))
+                st[1] += int((np.diff(full) > self.gap_us).sum())
+                st[2] += len(ts_seq)
+                st[0] = int(ts_seq[-1])
+        self.n_processed += len(ru)
+        self.processed_upto = watermark
+
+    def flush(self) -> list[tuple[int, int, int]]:
+        """End of stream: everything buffered becomes ripe."""
+        self._drain(1 << 62)
+        return [
+            (user, st[1], st[2]) for user, st in self.carry.items()
+        ]
+
+    def progress(self) -> tuple[int, int]:
+        """(events processed into sessions, events still buffered)."""
+        return self.n_processed, int(sum(len(a) for a in self.buf_u))
+
+    def late_count(self) -> int:
+        return self.n_late
+
+
+def run_sessionized_stream(
+    batches,
+    gap_us: int,
+    lateness_us: int,
+    n_shards: int = 4,
+) -> tuple[pa.Table, int]:
+    """Drive (user_id, ts) batches through hash-sharded session actors;
+    returns (per-user (user_id, n_sessions, n_events) table sorted by
+    user, late-event count)."""
+    shards = [
+        SessionShard.remote(gap_us, lateness_us) for _ in range(n_shards)
+    ]
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        users = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        tss = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        max_ts = int(tss.max())
+        shard_of = users % n_shards
+        acks = []
+        for sh in range(n_shards):
+            idx = np.flatnonzero(shard_of == sh)
+            if len(idx):
+                acks.append(
+                    shards[sh].add.remote(users[idx], tss[idx], max_ts)
+                )
+        ray.get(acks)
+    rows = [r for part in ray.get([s.flush.remote() for s in shards]) for r in part]
+    n_late = sum(ray.get([s.late_count.remote() for s in shards]))
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "n_sessions": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_events": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+    import pyarrow.compute as pc
+
+    return (
+        tbl.take(pc.sort_indices(tbl, sort_keys=[("user_id", "ascending")])),
+        n_late,
+    )
