@@ -1314,3 +1314,79 @@ class TestStreamingSessionize:
         processed, buffered = _ray.get(shard.progress.remote())
         assert processed == half  # watermark == max ts ⇒ all ripe
         assert buffered == 0
+
+
+class TestStreamingCheckpoint:
+    """Shard snapshot/restore: kill the actors mid-stream, restore
+    into fresh ones, finish the stream — the result must be identical
+    to an uninterrupted run (the crawl engine's resume discipline,
+    extended to the streaming family)."""
+
+    def _event_batches(self, batch_size=128):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            f"{SF_DIR}/events.parquet", columns=["user_id", "ts", "event_type", "value"]
+        )
+        tbl = tbl.take(pa.compute.sort_indices(tbl, sort_keys=[("ts", "ascending")]))
+        return [tbl.slice(i, batch_size) for i in range(0, tbl.num_rows, batch_size)]
+
+    def test_session_shard_resume(self, ray_session):
+        import ray as _ray
+
+        from website_indexer_ray.state.streaming import SessionShard
+
+        batches = self._event_batches()
+        half = len(batches) // 2
+
+        def drive(shard, bs):
+            for b in bs:
+                users = b.column("user_id").to_numpy(zero_copy_only=False)
+                tss = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+                _ray.get(shard.add.remote(users, tss, int(tss.max())))
+
+        # uninterrupted reference
+        ref = SessionShard.remote(30 * 60_000_000, 0)
+        drive(ref, batches)
+        want = sorted(_ray.get(ref.flush.remote()))
+
+        # interrupted: snapshot at the boundary, kill, restore, resume
+        a = SessionShard.remote(30 * 60_000_000, 0)
+        drive(a, batches[:half])
+        snap = _ray.get(a.snapshot.remote())
+        _ray.kill(a)
+        b = SessionShard.remote(1, 1)  # wrong params, overwritten by restore
+        _ray.get(b.restore.remote(snap))
+        drive(b, batches[half:])
+        assert sorted(_ray.get(b.flush.remote())) == want
+
+    def test_window_shard_resume(self, ray_session):
+        import ray as _ray
+
+        from website_indexer_ray.state.streaming import (
+            WindowShard,
+            _partial_by_window,
+        )
+
+        batches = self._event_batches()
+        half = len(batches) // 2
+        W = 3600 * 1_000_000
+
+        def drive(shard, bs):
+            for batch in bs:
+                g_win, g_type, g_sum, g_n, max_ts = _partial_by_window(batch, W)
+                _ray.get(shard.add.remote(g_win, g_type, g_sum, g_n, max_ts))
+
+        ref = WindowShard.remote(W, 0)
+        drive(ref, batches)
+        want = sorted(_ray.get(ref.flush.remote()))
+
+        a = WindowShard.remote(W, 0)
+        drive(a, batches[:half])
+        snap = _ray.get(a.snapshot.remote())
+        _ray.kill(a)
+        b = WindowShard.remote(1, 1)
+        _ray.get(b.restore.remote(snap))
+        drive(b, batches[half:])
+        got = sorted(_ray.get(b.poll_finalized.remote()) + _ray.get(b.flush.remote()))
+        assert got == want

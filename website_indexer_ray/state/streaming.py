@@ -95,6 +95,32 @@ class WindowShard:
     def late_count(self) -> int:
         return self.n_late
 
+    # Checkpoint discipline mirrors the crawl engine's: a snapshot is
+    # a plain picklable dict taken at a batch boundary (adds are
+    # driver-acked, so boundaries are quiescent); restoring into a
+    # fresh actor resumes the stream from that boundary. At scale the
+    # driver persists the per-shard dicts next to the source offsets.
+    def snapshot(self) -> dict:
+        return {
+            "window_us": self.window_us,
+            "lateness_us": self.lateness_us,
+            "open": {f"{w}\x00{e}": list(v) for (w, e), v in self.open.items()},
+            "watermark": self.watermark,
+            "finalized": list(self.finalized),
+            "n_late": self.n_late,
+        }
+
+    def restore(self, snap: dict) -> None:
+        self.window_us = snap["window_us"]
+        self.lateness_us = snap["lateness_us"]
+        self.open = {}
+        for key, v in snap["open"].items():
+            w, e = key.split("\x00", 1)
+            self.open[(int(w), e)] = list(v)
+        self.watermark = snap["watermark"]
+        self.finalized = [tuple(r) for r in snap["finalized"]]
+        self.n_late = snap["n_late"]
+
 
 def _partial_by_window(
     batch: pa.Table, window_us: int
@@ -308,6 +334,36 @@ class SessionShard:
     def late_count(self) -> int:
         return self.n_late
 
+    def snapshot(self) -> dict:
+        u = np.concatenate(self.buf_u) if self.buf_u else np.empty(0, np.int64)
+        t = np.concatenate(self.buf_t) if self.buf_t else np.empty(0, np.int64)
+        return {
+            "gap_us": self.gap_us,
+            "lateness_us": self.lateness_us,
+            "carry": {int(k): list(v) for k, v in self.carry.items()},
+            "buf_u": u.tolist(),
+            "buf_t": t.tolist(),
+            "processed_upto": self.processed_upto,
+            "max_ts": self.max_ts,
+            "n_late": self.n_late,
+            "n_processed": self.n_processed,
+        }
+
+    def restore(self, snap: dict) -> None:
+        self.gap_us = snap["gap_us"]
+        self.lateness_us = snap["lateness_us"]
+        self.carry = {int(k): list(v) for k, v in snap["carry"].items()}
+        self.buf_u = (
+            [np.asarray(snap["buf_u"], dtype=np.int64)] if snap["buf_u"] else []
+        )
+        self.buf_t = (
+            [np.asarray(snap["buf_t"], dtype=np.int64)] if snap["buf_t"] else []
+        )
+        self.processed_upto = snap["processed_upto"]
+        self.max_ts = snap["max_ts"]
+        self.n_late = snap["n_late"]
+        self.n_processed = snap["n_processed"]
+
 
 def run_sessionized_stream(
     batches,
@@ -355,3 +411,4 @@ def run_sessionized_stream(
         tbl.take(pc.sort_indices(tbl, sort_keys=[("user_id", "ascending")])),
         n_late,
     )
+
