@@ -1390,3 +1390,41 @@ class TestStreamingCheckpoint:
         drive(b, batches[half:])
         got = sorted(_ray.get(b.poll_finalized.remote()) + _ray.get(b.flush.remote()))
         assert got == want
+
+
+class TestNewOpWriteForms:
+    """Sink forms of the session's O(corpus)-output ops reproduce the
+    table/ds forms exactly from their committed checkpoint dirs."""
+
+    def _read_dir(self, d, sort_col):
+        import glob
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(f"{d}/**/*.parquet", recursive=True))
+        t = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
+        return t.take(pc.sort_indices(t, sort_keys=[(sort_col, "ascending")]))
+
+    def test_dup_span_removal_write(self, ray_session, tmp_path):
+        from website_indexer_ray.pipelines import textops
+
+        out = str(tmp_path / "dsr")
+        textops.dup_span_removal_write(SF_DIR, out)
+        got = self._read_dir(out, "doc_id")
+        want = textops.dup_span_removal_ds(SF_DIR).take_all()
+        want_map = {r["doc_id"]: r["text"] for r in want}
+        got_map = dict(
+            zip(got.column("doc_id").to_pylist(), got.column("text").to_pylist())
+        )
+        assert got_map == want_map
+
+    def test_semantic_dedup_write(self, ray_session, tmp_path):
+        from website_indexer_ray.pipelines import annops
+
+        out = str(tmp_path / "sem")
+        annops.semantic_dedup_write(SF_DIR, out)
+        got = self._read_dir(out, "vec_id")
+        assert got.column("vec_id").to_pylist() == annops.semantic_dedup(
+            SF_DIR
+        ).column("vec_id").to_pylist()

@@ -829,3 +829,20 @@ def semantic_dedup(
         return pa.table({"vec_id": pa.array([], type=pa.int64())})
     tbl = pa.concat_tables(tables)
     return tbl.take(pc.sort_indices(tbl, sort_keys=[("vec_id", "ascending")]))
+
+
+def semantic_dedup_write(
+    sf_dir: str,
+    out_dir: str,
+    threshold: float = 0.4,
+    n_clusters: int | None = None,
+    seed: int = 5,
+) -> None:
+    """Sink form of semantic dedup: kept vec_ids stream to a committed
+    parquet dir (resume = skip committed); nothing O(corpus) on the
+    driver."""
+    from website_indexer_ray.util import committed_parquet_write
+
+    committed_parquet_write(
+        semantic_dedup_ds(sf_dir, threshold, n_clusters, seed), out_dir
+    )

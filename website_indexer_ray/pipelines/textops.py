@@ -1963,3 +1963,13 @@ def dup_span_removal_ds(
         )
 
     return _dup_docs_ds(sf_dir, documents).map_batches(apply, batch_format="pyarrow")
+
+
+def dup_span_removal_write(sf_dir: str, out_dir: str, k: int = 15) -> None:
+    """Sink form of the duplicated-span rewrite: the cleaned corpus
+    streams to a committed parquet dir (resume = skip committed) —
+    the production path for an O(corpus) output; the table form stays
+    the driver-query contract."""
+    from website_indexer_ray.util import committed_parquet_write
+
+    committed_parquet_write(dup_span_removal_ds(sf_dir, k), out_dir)
