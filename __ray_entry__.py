@@ -30,6 +30,10 @@ _ORACLE_DIR = "/tmp/wir_oracle/q-120"
 _ORACLE_RECORDS = f"{_ORACLE_DIR}/records/*.parquet"
 _ORACLE_SEEN = f"{_ORACLE_DIR}/seen/*.parquet"
 _ORACLE_LINEAGE = f"{_ORACLE_DIR}/lineage.parquet"
+# second nightly snapshot (deterministically mutated corpus) for the
+# recrawl-diff query
+_ORACLE_DIR_M = "/tmp/wir_oracle/m-120"
+_ORACLE_RECORDS_M = f"{_ORACLE_DIR_M}/records/*.parquet"
 
 
 def _ensure_oracle_exports() -> None:
@@ -41,20 +45,30 @@ def _ensure_oracle_exports() -> None:
     import shutil
 
     marker = os.path.join(_ORACLE_DIR, "_SUCCESS")
-    if os.path.exists(marker):
-        return
-    result = _crawl_result()
-    if os.path.exists(_ORACLE_DIR):
-        shutil.rmtree(_ORACLE_DIR)
-    os.makedirs(os.path.join(_ORACLE_DIR, "seen"), exist_ok=True)
-    result.ray_records().write_parquet(os.path.join(_ORACLE_DIR, "records"))
-    for f in glob.glob(os.path.join(result.seen_dir_latest(), "*.parquet")):
-        shutil.copy(f, os.path.join(_ORACLE_DIR, "seen", os.path.basename(f)))
-    shutil.copy(
-        os.path.join(result.out, "lineage.parquet"), _ORACLE_LINEAGE
-    )
-    with open(marker, "w") as f:
-        f.write("ok")
+    if not os.path.exists(marker):
+        result = _crawl_result()
+        if os.path.exists(_ORACLE_DIR):
+            shutil.rmtree(_ORACLE_DIR)
+        os.makedirs(os.path.join(_ORACLE_DIR, "seen"), exist_ok=True)
+        result.ray_records().write_parquet(os.path.join(_ORACLE_DIR, "records"))
+        for f in glob.glob(os.path.join(result.seen_dir_latest(), "*.parquet")):
+            shutil.copy(
+                f, os.path.join(_ORACLE_DIR, "seen", os.path.basename(f))
+            )
+        shutil.copy(
+            os.path.join(result.out, "lineage.parquet"), _ORACLE_LINEAGE
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    marker_m = os.path.join(_ORACLE_DIR_M, "_SUCCESS")
+    if not os.path.exists(marker_m):
+        result_m = _crawl_result(tag="m")
+        os.makedirs(_ORACLE_DIR_M, exist_ok=True)
+        result_m.ray_records().write_parquet(
+            os.path.join(_ORACLE_DIR_M, "records")
+        )
+        with open(marker_m, "w") as f:
+            f.write("ok")
 
 
 def _crawl_result(n_pages: int = 120, tag: str = "q"):
@@ -68,6 +82,11 @@ def _crawl_result(n_pages: int = 120, tag: str = "q"):
         from website_indexer_ray.pipelines.engine import CrawlEngine
 
         corpus, seeds = generate_corpus(n_pages=n_pages, seed=42)
+        if tag == "m":
+            # the deterministic "second nightly snapshot" variant
+            from website_indexer_ray.fixtures.gen import mutate_corpus_rev2
+
+            corpus = mutate_corpus_rev2(corpus)
         cfg = CrawlConfig(
             start_url=START_URL,
             n_seen_shards=4,
@@ -152,6 +171,16 @@ def _crawl_redirects(sf_dir: str):
         ]
     )
     return ds.map_batches(query.list_redirects, batch_format="pyarrow").sort("url")
+
+
+def _crawl_diff(sf_dir: str):
+    """Nightly-snapshot delta: pages added/removed/changed between the
+    q-120 crawl and its deterministically mutated rev2 recrawl."""
+    from website_indexer_ray.pipelines.recrawl import _DIFF_COLUMNS, crawl_diff
+
+    a = _crawl_result().ray_records(columns=_DIFF_COLUMNS)
+    b = _crawl_result(tag="m").ray_records(columns=_DIFF_COLUMNS)
+    return crawl_diff(a, b)
 
 
 def _crawl_seen(sf_dir: str):
@@ -437,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # source + watermarks ⇒ must hash-match the batch SQL
         "streaming_window_counts": relational.streaming_window_counts,
         "streaming_sessionize": relational.streaming_sessionize,
+        "crawl_diff": _crawl_diff,
         # rows-only entries last — every op below is approximate or
         # hash-identity BY DESIGN (LSH/IVF/HLL/Count-Min/winnowing),
         # so a driver row would carry only a rows>0 signal; the
@@ -638,6 +668,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY window_start, event_type
             ORDER BY window_start, event_type
+        """,
+        "crawl_diff": f"""
+            WITH a AS (SELECT url, html FROM {R} WHERE record_type = 'page'),
+                 b AS (SELECT url, html FROM read_parquet('{_ORACLE_RECORDS_M}')
+                       WHERE record_type = 'page')
+            SELECT COALESCE(a.url, b.url) AS url,
+                   CASE WHEN a.url IS NULL THEN 'added'
+                        WHEN b.url IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change
+            FROM a FULL OUTER JOIN b ON a.url = b.url
+            WHERE a.url IS NULL OR b.url IS NULL OR a.html <> b.html
+            ORDER BY url
         """,
         # the streaming form finalizes the identical windows (ordered
         # source + watermark semantics), so the batch SQL IS its oracle

@@ -665,3 +665,63 @@ class TestDocsArtifact:
             status = json.load(f)
         assert status["status"] == "Finished"
         assert "simulated artifact sink failure" in status["warnings"]["docs_artifact"]
+
+
+class TestCrawlDiff:
+    """Recrawl diffing (pipelines/recrawl.py): the delta between two
+    nightly snapshots, classified added/removed/changed, equal to the
+    DuckDB full-outer-join oracle."""
+
+    def test_diff_classes_and_oracle(self, ray_session, tmp_path):
+        import duckdb
+
+        from website_indexer_ray.config import CrawlConfig
+        from website_indexer_ray.fixtures.gen import mutate_corpus_rev2
+        from website_indexer_ray.pipelines.recrawl import (
+            crawl_diff_from_checkpoints,
+        )
+
+        corpus, seeds = generate_corpus(n_pages=60, seed=42)
+        cfg = CrawlConfig(start_url=START_URL, n_seen_shards=4,
+                          fetch_concurrency=4)
+        a_out, b_out = str(tmp_path / "a"), str(tmp_path / "b")
+        run_engine(corpus, seeds, cfg, a_out)
+        run_engine(mutate_corpus_rev2(corpus), seeds, cfg, b_out)
+
+        d = crawl_diff_from_checkpoints(a_out, b_out)
+        classes = set(d.column("change").to_pylist())
+        assert classes == {"added", "removed", "changed"}
+        assert "https://test.example/rev2-extra/" in d.filter(
+            __import__("pyarrow").compute.equal(d.column("change"), "added")
+        ).column("url").to_pylist()
+
+        con = duckdb.connect()
+        gold = con.execute(f"""
+            WITH a AS (SELECT url, html
+                       FROM read_parquet('{a_out}/records/gen=*/*.parquet')
+                       WHERE record_type='page'),
+                 b AS (SELECT url, html
+                       FROM read_parquet('{b_out}/records/gen=*/*.parquet')
+                       WHERE record_type='page')
+            SELECT COALESCE(a.url, b.url) AS url,
+                   CASE WHEN a.url IS NULL THEN 'added'
+                        WHEN b.url IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change
+            FROM a FULL OUTER JOIN b ON a.url = b.url
+            WHERE a.url IS NULL OR b.url IS NULL OR a.html <> b.html
+            ORDER BY url""").fetch_arrow_table()
+        assert d.to_pydict() == gold.to_pydict()
+
+    def test_identical_snapshots_empty_diff(self, ray_session, tmp_path):
+        from website_indexer_ray.config import CrawlConfig
+        from website_indexer_ray.pipelines.recrawl import (
+            crawl_diff_from_checkpoints,
+        )
+
+        corpus, seeds = generate_corpus(n_pages=30, seed=42)
+        cfg = CrawlConfig(start_url=START_URL, n_seen_shards=2,
+                          fetch_concurrency=2)
+        a_out, b_out = str(tmp_path / "a"), str(tmp_path / "b")
+        run_engine(corpus, seeds, cfg, a_out)
+        run_engine(corpus, seeds, cfg, b_out)
+        assert crawl_diff_from_checkpoints(a_out, b_out).num_rows == 0

@@ -366,3 +366,56 @@ def sample_site_corpus() -> tuple[pa.Table, pa.Table]:
         [{"url": SAMPLE_START_URL, "seed_batch": 0}], schema=SEEDS_SCHEMA
     )
     return corpus, seeds
+
+
+def mutate_corpus_rev2(corpus: pa.Table) -> pa.Table:
+    """Deterministic 'second nightly snapshot' of a corpus, exercising
+    every recrawl-diff class (pipelines/recrawl.py):
+
+      - every 7th page row (by position) gets an invisible HTML
+        comment appended → content CHANGED, parse results identical;
+      - row 3 additionally gains a visible link to a brand-new page,
+        and that page's corpus row is appended → one ADDED page;
+      - every 11th page row (positions > 0, skipping the start page)
+        is REMOVED from the corpus → the recrawl records it as an
+        error, so the page disappears from the page set.
+    """
+    import pyarrow.compute as pc
+
+    urls = corpus.column("url").to_pylist()
+    htmls = corpus.column("html").to_pylist()
+    keep = []
+    for i in range(corpus.num_rows):
+        if i > 0 and i % 11 == 0:
+            continue
+        keep.append(i)
+        if i % 7 == 0:
+            htmls[i] = (htmls[i] or "") + "<!-- rev2 -->"
+        if i == 3:
+            # inside the document — content after </html> is ignored
+            # by the (reference-parity) parser's link extraction
+            htmls[i] = (htmls[i] or "").replace(
+                "</body>", '<a href="/rev2-extra/">new</a></body>', 1
+            )
+    mutated = corpus.set_column(
+        corpus.schema.get_field_index("html"),
+        "html",
+        pa.array(htmls, type=pa.large_string()),
+    ).take(pa.array(keep, type=pa.int64()))
+    host = urls[0].split("/")[2]
+    extra = pa.table(
+        {
+            "url": pa.array([f"https://{host}/rev2-extra/"], type=pa.string()),
+            "host": pa.array([host], type=pa.string()),
+            "status_code": pa.array([200], type=pa.int32()),
+            "content_type": pa.array(["text/html"], type=pa.string()),
+            "location": pa.array([""], type=pa.string()),
+            "html": pa.array(
+                ["<html><head><title>rev2 extra</title></head>"
+                 "<body><p>new page</p></body></html>"],
+                type=pa.large_string(),
+            ),
+            "fetch_delay_ms": pa.array([0], type=pa.int32()),
+        }
+    )
+    return pa.concat_tables([mutated, extra.cast(mutated.schema)])

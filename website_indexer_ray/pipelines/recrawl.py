@@ -1,0 +1,118 @@
+"""Recrawl diffing — what changed between two crawl snapshots.
+
+The reference's production cadence is a nightly FULL re-crawl of the
+site (BASELINE.md: no incremental path); the first thing a consumer
+of nightly snapshots needs is the delta. ``crawl_diff`` compares two
+crawl checkpoints' page sets and returns (url, change) rows with
+``change ∈ {added, removed, changed}``:
+
+  - ``added``:   url is a page in B but not in A
+  - ``removed``: url is a page in A but not in B
+  - ``changed``: page in both, html bytes differ
+
+Scale shape: each side reduces to slim (url_hash, url, side,
+content_hash) rows inside the scan tasks — html never leaves them —
+and ONE url-keyed actor exchange co-locates both sides of every url,
+where the compare is a dict walk over the partition's pages. Only
+diff rows (≪ pages for a nightly delta) return. Content equality is
+64-bit-hash equality (xxh64 over the html; collisions negligible),
+which matches byte-equality for the oracle's purposes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from website_indexer_ray.functions.xxh import xxh64
+
+_DIFF_COLUMNS = ["record_type", "url", "html"]
+
+
+def _side_rows(batch: pa.Table, side: int) -> pa.Table:
+    pages = batch.filter(pc.equal(batch.column("record_type"), "page"))
+    urls = pages.column("url").to_pylist()
+    htmls = pages.column("html").to_pylist()
+    mask63 = (1 << 63) - 1
+    return pa.table(
+        {
+            "url_key": pa.array(
+                [xxh64(u) & mask63 for u in urls], type=pa.int64()
+            ),
+            "url": pa.array(urls, type=pa.string()),
+            "side": pa.array([side] * len(urls), type=pa.int32()),
+            "content_hash": pa.array(
+                [xxh64(h or "") & mask63 for h in htmls], type=pa.int64()
+            ),
+        }
+    )
+
+
+def _diff_partition(group: pa.Table) -> pa.Table:
+    """One url-hash partition holding both sides: classify each url.
+    The dict walk is bounded by the partition's PAGE count (slim
+    metadata rows, not content)."""
+    by_url: dict[str, list[int | None]] = {}
+    for url, side, ch in zip(
+        group.column("url").to_pylist(),
+        group.column("side").to_pylist(),
+        group.column("content_hash").to_pylist(),
+    ):
+        slot = by_url.setdefault(url, [None, None])
+        slot[side] = ch
+    out_u, out_c = [], []
+    for url, (a, b) in by_url.items():
+        if a is None:
+            out_u.append(url)
+            out_c.append("added")
+        elif b is None:
+            out_u.append(url)
+            out_c.append("removed")
+        elif a != b:
+            out_u.append(url)
+            out_c.append("changed")
+    return pa.table(
+        {
+            "url": pa.array(out_u, type=pa.string()),
+            "change": pa.array(out_c, type=pa.string()),
+        }
+    )
+
+
+def crawl_diff(records_a, records_b) -> pa.Table:
+    """Diff two crawls' page sets; ``records_a``/``records_b`` are
+    Datasets over the respective records checkpoints (pruned to
+    ``_DIFF_COLUMNS``). Returns (url, change) sorted by url."""
+    import functools
+
+    from website_indexer_ray.state.exchange import hash_exchange
+
+    tagged = records_a.map_batches(
+        functools.partial(_side_rows, side=0), batch_format="pyarrow"
+    ).union(
+        records_b.map_batches(
+            functools.partial(_side_rows, side=1), batch_format="pyarrow"
+        )
+    )
+    out = hash_exchange(tagged, "url_key", _diff_partition)
+    empty = pa.table(
+        {
+            "url": pa.array([], type=pa.string()),
+            "change": pa.array([], type=pa.string()),
+        }
+    )
+    if out is None:
+        return empty
+    return out.take(pc.sort_indices(out, sort_keys=[("url", "ascending")]))
+
+
+def crawl_diff_from_checkpoints(out_a: str, out_b: str) -> pa.Table:
+    """Convenience form over two crawl checkpoint dirs."""
+    from website_indexer_ray.pipelines.engine import CrawlResult
+
+    a = CrawlResult(out_a).ray_records(columns=_DIFF_COLUMNS)
+    b = CrawlResult(out_b).ray_records(columns=_DIFF_COLUMNS)
+    return crawl_diff(a, b)
