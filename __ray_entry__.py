@@ -63,6 +63,11 @@ def _ensure_oracle_exports() -> None:
     marker_m = os.path.join(_ORACLE_DIR_M, "_SUCCESS")
     if not os.path.exists(marker_m):
         result_m = _crawl_result(tag="m")
+        # crash-safe like the q-path: write_parquet APPENDS UUID-named
+        # files, so a dirty dir from a crashed prior attempt would
+        # double-count rows in the oracle join
+        if os.path.exists(_ORACLE_DIR_M):
+            shutil.rmtree(_ORACLE_DIR_M)
         os.makedirs(_ORACLE_DIR_M, exist_ok=True)
         result_m.ray_records().write_parquet(
             os.path.join(_ORACLE_DIR_M, "records")

@@ -380,8 +380,6 @@ def mutate_corpus_rev2(corpus: pa.Table) -> pa.Table:
         is REMOVED from the corpus → the recrawl records it as an
         error, so the page disappears from the page set.
     """
-    import pyarrow.compute as pc
-
     urls = corpus.column("url").to_pylist()
     htmls = corpus.column("html").to_pylist()
     keep = []

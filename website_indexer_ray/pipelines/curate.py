@@ -447,6 +447,7 @@ def curate_corpus(
                 logp_ref = ray.put(_lm_model(filtered_dir, None))
 
             span_map_ref = None
+            gate_dropped_ref = None
             if dup_span_k is not None:
                 from website_indexer_ray.pipelines.textops import (
                     dup_span_marks,
@@ -461,16 +462,19 @@ def curate_corpus(
                 # collects THEIR dropped ids too before span marking.
                 span_exclude = dropped
                 if decon_max_overlap is not None or max_ppl is not None:
-                    span_exclude = np.union1d(
-                        span_exclude,
-                        _gate_dropped_ids(
-                            filtered_data,
-                            decon_max_overlap,
-                            ev_grams_ref,
-                            max_ppl,
-                            logp_ref,
-                        ),
+                    gate_ids = _gate_dropped_ids(
+                        filtered_data,
+                        decon_max_overlap,
+                        ev_grams_ref,
+                        max_ppl,
+                        logp_ref,
                     )
+                    span_exclude = np.union1d(span_exclude, gate_ids)
+                    # the keep pass reuses this drop set instead of
+                    # re-running the (expensive) gate kernels over the
+                    # whole corpus a second time — the pre-scan IS the
+                    # gate, mask parity exact by construction
+                    gate_dropped_ref = ray.put(gate_ids)
                 span_map = spans_by_doc(
                     dup_span_marks(
                         filtered_dir, k=dup_span_k, exclude_ids=span_exclude
@@ -483,7 +487,12 @@ def curate_corpus(
                 dr = cached_get(dropped_ref)
                 ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
                 mask = ~np.isin(ids, dr)
-                if decon_max_overlap is not None:
+                if gate_dropped_ref is not None:
+                    # pre-scan already evaluated the decon/ppl/eval
+                    # gates for every doc — one isin instead of
+                    # re-running the kernels
+                    mask &= ~np.isin(ids, cached_get(gate_dropped_ref))
+                elif decon_max_overlap is not None:
                     from website_indexer_ray.pipelines.corpusops import (
                         DECON_N,
                         _EVAL_MOD,
@@ -495,7 +504,7 @@ def curate_corpus(
                         batch.column("text"), cached_get(ev_grams_ref), DECON_N
                     )
                     mask &= overlap <= decon_max_overlap
-                if max_ppl is not None:
+                if gate_dropped_ref is None and max_ppl is not None:
                     from website_indexer_ray.pipelines.corpusops import (
                         _ppl_scores,
                     )

@@ -21,11 +21,8 @@ which matches byte-equality for the oracle's purposes.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import ray
-import ray.data
 
 from website_indexer_ray.functions.xxh import xxh64
 

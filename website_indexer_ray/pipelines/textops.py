@@ -1687,26 +1687,34 @@ def doc_length_quantiles(
 # byte-identical.
 
 # Odd 64-bit multiplier (golden-ratio constant) for the polynomial
-# gram hash: h(i) = Σ_j t64(tok[i+j])·B^(k-1-j) mod 2^64, where
-# t64 packs two independent C-fast CRCs — crc32(t) and crc32(t+'\0')
-# (CRC of the extended message; NOT crc32 with a different seed, whose
-# linearity would add zero entropy) — into one 64-bit token hash.
-# Equal k-grams hash equal by construction, per-position entropy is
-# a full 64 bits (this op DELETES text, so the earlier 32-bit-per-
-# token variant's vocabulary-scale birthday collisions were a real
-# wrongful-excision risk), and the combine is k vectorized uint64
-# fused-multiply-adds instead of one string join + hash call per gram
-# (a per-gram pure-Python hash measured 3.3× total wall at the
-# 50k-doc stress).
+# gram hash: h(i) = Σ_j t64(tok[i+j])·B^(k-1-j) mod 2^64, where t64
+# packs crc32(token) with an INDEPENDENT vectorized byte-polynomial
+# over the token's first 16 bytes. The second word must not be any
+# CRC variant of the same bytes: a CRC's state is exactly 32 bits and
+# the update is affine, so crc32 with a different seed, an appended
+# suffix, or a prepended prefix is an affine function of crc32(t) for
+# equal-length tokens and adds ZERO entropy — a crc32-colliding token
+# pair would still collide. With the byte polynomial, a combined
+# collision needs a crc32 collision between tokens sharing their
+# first 16 bytes (tokens ≤16 bytes with equal prefixes are equal),
+# which is vanishing. This op DELETES text, so per-position entropy
+# matters; everything stays vectorized (the per-gram pure-Python hash
+# it replaced measured 3.3× total wall at the 50k-doc stress).
 _DUP_HASH_B = np.uint64(0x9E3779B185EBCA87)
+_TOKEN_BYTE_POWERS = np.uint64(0x100000001B3) ** np.arange(16, dtype=np.uint64)
 
 
 def _token_hash64(toks: list[str]) -> np.ndarray:
-    lo_list = [crc32(t.lower().encode()) for t in toks]
-    # crc32(data, start) continues the CRC — crc32(b"\0", crc32(t)) ==
-    # crc32(t + b"\0") without re-encoding the token.
-    hi = np.array([crc32(b"\x00", v) for v in lo_list], dtype=np.uint64)
-    lo = np.array(lo_list, dtype=np.uint64)
+    enc = [t.lower().encode() for t in toks]
+    lo = np.array([crc32(b) for b in enc], dtype=np.uint64)
+    padded = b"".join(b[:16].ljust(16, b"\x00") for b in enc)
+    mat = (
+        np.frombuffer(padded, dtype=np.uint8)
+        .reshape(len(enc), 16)
+        .astype(np.uint64)
+    )
+    hi = (mat * _TOKEN_BYTE_POWERS).sum(axis=1)  # uint64 wraps
+    hi ^= np.array([len(b) for b in enc], dtype=np.uint64)
     return lo | (hi << np.uint64(32))
 
 
