@@ -10,21 +10,25 @@ crawl checkpoints' page sets and returns (url, change) rows with
   - ``removed``: url is a page in A but not in B
   - ``changed``: page in both, html bytes differ
 
-Scale shape: each side reduces to slim (url_hash, url, side,
+Scale shape: each side reduces to slim (url_key, url, side,
 content_hash) rows inside the scan tasks — html never leaves them —
 and ONE url-keyed actor exchange co-locates both sides of every url,
-where the compare is a dict walk over the partition's pages. Only
-diff rows (≪ pages for a nightly delta) return. Content equality is
-64-bit-hash equality (xxh64 over the html; collisions negligible),
-which matches byte-equality for the oracle's purposes.
+where the compare is a dict walk over the partition's pages (keyed by
+the full url string, so a routing-key collision only co-locates two
+urls, never conflates them). Only diff rows (≪ pages for a nightly
+delta) return. Content equality is 64-bit blake2b equality (C-fast
+over the whole body — a pure-Python hash would cost milliseconds per
+page; collisions mean a missed change at 2^-64, negligible), which
+matches byte-equality for the oracle's purposes.
 """
 
 from __future__ import annotations
 
+from hashlib import blake2b
+from zlib import crc32
+
 import pyarrow as pa
 import pyarrow.compute as pc
-
-from website_indexer_ray.functions.xxh import xxh64
 
 _DIFF_COLUMNS = ["record_type", "url", "html"]
 
@@ -33,16 +37,23 @@ def _side_rows(batch: pa.Table, side: int) -> pa.Table:
     pages = batch.filter(pc.equal(batch.column("record_type"), "page"))
     urls = pages.column("url").to_pylist()
     htmls = pages.column("html").to_pylist()
-    mask63 = (1 << 63) - 1
     return pa.table(
         {
             "url_key": pa.array(
-                [xxh64(u) & mask63 for u in urls], type=pa.int64()
+                [crc32(u.encode()) for u in urls], type=pa.int64()
             ),
             "url": pa.array(urls, type=pa.string()),
             "side": pa.array([side] * len(urls), type=pa.int32()),
             "content_hash": pa.array(
-                [xxh64(h or "") & mask63 for h in htmls], type=pa.int64()
+                [
+                    int.from_bytes(
+                        blake2b((h or "").encode(), digest_size=8).digest(),
+                        "big",
+                    )
+                    >> 1
+                    for h in htmls
+                ],
+                type=pa.int64(),
             ),
         }
     )
