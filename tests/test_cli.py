@@ -117,3 +117,28 @@ class TestExitStatusMapping:
 
         assert map_exit_status(_classify_crawl_exception(PermissionError())) == 3
         assert map_exit_status(_classify_crawl_exception(FileNotFoundError())) == 3
+
+
+def test_diff_subcommand(ray_session, tmp_path, capsys):
+    """`diff --old A --new B` prints one JSON line per changed page."""
+    import json as _json
+
+    from website_indexer_ray.__main__ import main as cli_main
+    from website_indexer_ray.config import CrawlConfig
+    from website_indexer_ray.fixtures.gen import (
+        START_URL,
+        generate_corpus,
+        mutate_corpus_rev2,
+    )
+    from website_indexer_ray.pipelines.engine import CrawlEngine
+
+    corpus, seeds = generate_corpus(n_pages=30, seed=42)
+    cfg = CrawlConfig(start_url=START_URL, n_seen_shards=2, fetch_concurrency=2)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    CrawlEngine(cfg, a).run(corpus, seeds)
+    CrawlEngine(cfg, b).run(mutate_corpus_rev2(corpus), seeds)
+
+    rc = cli_main(["diff", "--old", a, "--new", b])
+    assert rc == 0
+    rows = [_json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert rows and {r["change"] for r in rows} <= {"added", "removed", "changed"}

@@ -168,6 +168,21 @@ def cmd_page(args) -> int:
     return 0
 
 
+def cmd_diff(args) -> int:
+    """Recrawl snapshot diff (pipelines/recrawl.py): pages
+    added/removed/changed between two crawl checkpoints, as JSON
+    lines or CSV-ish tab output."""
+    _ray_ready()
+    from website_indexer_ray.pipelines.recrawl import (
+        crawl_diff_from_checkpoints,
+    )
+
+    d = crawl_diff_from_checkpoints(args.old, args.new)
+    for row in d.to_pylist():
+        print(json.dumps(row))
+    return 0
+
+
 def cmd_list(args) -> int:
     """components/errors/redirects list views (viewer/urls.py:8-10)
     with their status_code filters; JSON lines or CSV."""
@@ -369,6 +384,11 @@ def main(argv=None) -> int:
     cu.add_argument("--snapshot-dir", default=None)
     cu.add_argument("--dup-span-k", type=int, default=None)
     cu.set_defaults(fn=cmd_curate)
+
+    df = sub.add_parser("diff")
+    df.add_argument("--old", required=True, help="previous crawl checkpoint dir")
+    df.add_argument("--new", required=True, help="newer crawl checkpoint dir")
+    df.set_defaults(fn=cmd_diff)
 
     m = sub.add_parser("manage")
     m.add_argument("action", choices=["list", "delete", "clean", "compact"])
