@@ -363,6 +363,26 @@ def _crawl_near_dup(sf_dir: str):
     return pa.table({"url": urls})
 
 
+def _cc_source_groups(sf_dir: str):
+    """Distributed connected components (large-star/small-star on the
+    keyed exchange) over docs chained by (source, lang) — the answer
+    is exactly a window min per group, so the multi-hop algorithm gets
+    a hash-exact SQL oracle."""
+    from website_indexer_ray.pipelines import graphops
+
+    return graphops.cc_source_groups(sf_dir)
+
+
+def _pagerank_pages(sf_dir: str):
+    """Integer-exact PageRank over the crawl's page link graph
+    (5 damped power iterations, micro-rank units — floor division
+    throughout, so the values hash-match the unrolled SQL oracle)."""
+    from website_indexer_ray.pipelines import graphops
+
+    ds = _crawl_result().ray_records(columns=["record_type", "url", "links"])
+    return graphops.pagerank(ds, iterations=5)
+
+
 def _search_title(sf_dir: str):
     return _search_ds("title", "Section")
 
@@ -416,13 +436,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": multimodal.media_features,
         "media_frame_sample": multimodal.media_frame_sample,
         "media_thumbnails": multimodal.media_thumbnails,
-        # viewer searches (C1, J2, J3 — rows-only, over crawl output)
+        # viewer searches (C1, J2, J3 — over crawl output).
+        # search_url/search_html are the same code path as
+        # search_title/search_text (query.search_pages_ds predicate
+        # family); they sit past the 50-slot window so the graph ops
+        # below get hard driver-gate rows instead.
         "search_title": _search_title,
-        "search_url": _search_url,
         "search_text": _search_text,
-        "search_html": _search_html,
         "search_components": _search_components,
         "search_links": _search_links,
+        # graph ops (pipelines/graphops.py): distributed connected
+        # components (large-star/small-star exchange rounds) and
+        # integer-exact PageRank over the crawl link graph — both
+        # hash-checked against exact SQL oracles.
+        "cc_source_groups": _cc_source_groups,
+        "pagerank_pages": _pagerank_pages,
         # relational operator classes (SQL-checkable)
         "agg_lineitem": relational.agg_lineitem,
         "top_revenue_orders": relational.top_revenue_orders,
@@ -472,6 +500,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_window_counts": relational.streaming_window_counts,
         "streaming_sessionize": relational.streaming_sessionize,
         "crawl_diff": _crawl_diff,
+        "search_url": _search_url,
+        "search_html": _search_html,
         # rows-only entries last — every op below is approximate or
         # hash-identity BY DESIGN (LSH/IVF/HLL/Count-Min/winnowing),
         # so a driver row would carry only a rows>0 signal; the
@@ -501,6 +531,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _pagerank_sql(R: str, iterations: int = 5, scale: int = 10**12,
+                  damping_pct: int = 85) -> str:
+    """Unrolled integer-exact PageRank oracle: the same floor-division
+    recurrence graphops.pagerank runs, one CTE per iteration (standard
+    SQL forbids aggregates in a recursive term, so fixed iterations
+    unroll)."""
+    base = f"({100 - damping_pct} * {scale}) // (100 * (SELECT n FROM cnt))"
+    ctes = [
+        f"pages AS (SELECT url FROM {R} WHERE record_type = 'page')",
+        "cnt AS (SELECT COUNT(*) AS n FROM pages)",
+        f"rawlinks AS (SELECT url AS src, unnest(links) AS dst FROM {R} "
+        "WHERE record_type = 'page')",
+        "edges AS (SELECT l.src, l.dst FROM rawlinks l "
+        "JOIN pages p ON p.url = l.dst)",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT url, {scale} // (SELECT n FROM cnt) AS pr FROM pages)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"r{i} AS (SELECT p.url, CAST({base} + COALESCE(SUM("
+            f"(r.pr * {damping_pct}) // (100 * d.outdeg)), 0) AS BIGINT) AS pr "
+            "FROM pages p "
+            "LEFT JOIN edges e ON e.dst = p.url "
+            f"LEFT JOIN r{i - 1} r ON r.url = e.src "
+            "LEFT JOIN deg d ON d.src = e.src "
+            "GROUP BY p.url)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT url, pr FROM r{iterations} ORDER BY url"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     # Crawl-surface oracles read the exported checkpoint tables; the
     # export is triggered here too so the files exist regardless of
@@ -508,6 +571,15 @@ def oracle_sql() -> dict[str, str]:
     _ensure_oracle_exports()
     R = f"read_parquet('{_ORACLE_RECORDS}')"
     return {
+        "cc_source_groups": """
+            SELECT doc_id,
+                   CAST(MIN(doc_id) OVER (PARTITION BY source, lang)
+                        AS BIGINT) AS component_id
+            FROM documents
+            QUALIFY COUNT(*) OVER (PARTITION BY source, lang) > 1
+            ORDER BY doc_id
+        """,
+        "pagerank_pages": _pagerank_sql(R),
         "crawl_pages": f"""
             SELECT timestamp, url, title, language FROM {R}
             WHERE record_type = 'page' ORDER BY url

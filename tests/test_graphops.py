@@ -1,0 +1,206 @@
+"""Graph operators (pipelines/graphops.py): distributed connected
+components (large-star/small-star exchange rounds) and integer-exact
+PageRank, checked against a sequential union-find, a pure-Python
+power-iteration reference, and the same DuckDB oracles the driver
+gate runs."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+from website_indexer_ray.pipelines import graphops
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _uf_components(edges):
+    """Sequential union-find: node -> min id of its component, over
+    nodes incident to at least one non-self-loop edge."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in nodes}
+
+
+def _edges_table(a, b):
+    return pa.table(
+        {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())}
+    )
+
+
+class TestConnectedComponents:
+    @pytest.mark.parametrize("n,m,seed", [(100, 60, 0), (200, 150, 1), (500, 480, 2), (50, 200, 3)])
+    def test_matches_union_find_on_random_graphs(self, n, m, seed):
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, n, m)
+        b = rng.integers(0, n, m)
+        expected = _uf_components(zip(a.tolist(), b.tolist()))
+        out = graphops.connected_components(_edges_table(a, b))
+        got = dict(zip(out["node"].to_pylist(), out["component"].to_pylist()))
+        assert got == expected
+
+    def test_path_graph_logarithmic_rounds(self):
+        # a 2000-node path: min-label propagation would need 2000
+        # rounds; star rounds converge within the 64-round bound.
+        k = 2000
+        out = graphops.connected_components(
+            _edges_table(np.arange(k - 1), np.arange(1, k))
+        )
+        assert out["node"].to_pylist() == list(range(k))
+        assert out["component"].to_pylist() == [0] * k
+
+    def test_self_loops_and_duplicates_ignored(self):
+        out = graphops.connected_components(
+            _edges_table([5, 5, 1, 2, 2], [5, 5, 2, 1, 1])
+        )
+        assert out["node"].to_pylist() == [1, 2]
+        assert out["component"].to_pylist() == [1, 1]
+
+    def test_empty(self):
+        out = graphops.connected_components(_edges_table([], []))
+        assert out.num_rows == 0
+        assert out.schema.names == ["node", "component"]
+
+
+class TestCCGroupQueries:
+    def test_cc_dup_groups_planted(self, tmp_path):
+        # plant two duplicate groups (sizes 4 and 3, whitespace/case
+        # variants of the same normalized text) among unique docs
+        texts = {
+            0: "The quick brown fox",
+            1: "the  quick brown FOX ",  # dup of 0
+            2: "something else entirely",
+            3: "THE QUICK  BROWN FOX",  # dup of 0
+            4: "unique document four",
+            5: "  the quick brown fox",  # dup of 0
+            6: "repeated paragraph here",
+            7: "Repeated  Paragraph HERE",  # dup of 6
+            8: "repeated paragraph here ",  # dup of 6
+        }
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(sorted(texts), type=pa.int64()),
+                    "text": [texts[k] for k in sorted(texts)],
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        out = graphops.cc_dup_groups(str(tmp_path))
+        got = dict(zip(out["doc_id"].to_pylist(), out["component_id"].to_pylist()))
+        assert got == {0: 0, 1: 0, 3: 0, 5: 0, 6: 6, 7: 6, 8: 6}
+
+    def test_cc_source_groups_matches_oracle(self):
+        out = graphops.cc_source_groups(SF_DIR)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        gold = con.execute(
+            """
+            SELECT doc_id,
+                   CAST(MIN(doc_id) OVER (PARTITION BY source, lang)
+                        AS BIGINT) AS component_id
+            FROM documents
+            QUALIFY COUNT(*) OVER (PARTITION BY source, lang) > 1
+            ORDER BY doc_id
+            """
+        ).fetch_arrow_table()
+        assert out.num_rows == gold.num_rows > 0
+        assert out["doc_id"].to_pylist() == gold["doc_id"].to_pylist()
+        assert out["component_id"].to_pylist() == gold["component_id"].to_pylist()
+
+
+def _records_table():
+    """Tiny crawl-records-shaped table: A→B,C + external X (dropped);
+    B→C; C→A (a cycle); D dangling; one non-page row."""
+    rows = [
+        ("page", "A", ["B", "C", "X"]),
+        ("page", "B", ["C"]),
+        ("page", "C", ["A"]),
+        ("page", "D", []),
+        ("error", "E", []),
+    ]
+    return pa.table(
+        {
+            "record_type": [r[0] for r in rows],
+            "url": [r[1] for r in rows],
+            "links": pa.array([r[2] for r in rows], type=pa.list_(pa.string())),
+        }
+    )
+
+
+def _pagerank_reference(nodes, edges, iterations=5, scale=10**12, d=85):
+    outdeg: dict[str, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    base = ((100 - d) * scale) // (100 * n)
+    r = {v: scale // n for v in nodes}
+    for _ in range(iterations):
+        nr = {v: base for v in nodes}
+        for s, t in edges:
+            nr[t] += (r[s] * d) // (100 * outdeg[s])
+        r = nr
+    return r
+
+
+class TestPagerank:
+    def test_matches_reference_and_handles_dangling(self):
+        got = graphops.pagerank(ray.data.from_arrow(_records_table()), iterations=5)
+        expected = _pagerank_reference(
+            ["A", "B", "C", "D"], [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A")]
+        )
+        assert dict(zip(got["url"].to_pylist(), got["pr"].to_pylist())) == expected
+        # sorted by url, ints, dangling D present with base-only mass
+        assert got["url"].to_pylist() == ["A", "B", "C", "D"]
+        assert got["pr"].to_pylist()[3] == 37_500_000_000
+
+    def test_matches_sql_oracle(self, tmp_path):
+        # the exact SQL the driver oracle runs (unrolled CTEs), over
+        # the same records parquet
+        import __ray_entry__ as e
+
+        path = tmp_path / "records.parquet"
+        pq.write_table(_records_table(), path)
+        got = graphops.pagerank(ray.data.from_arrow(_records_table()), iterations=5)
+        gold = duckdb.connect().execute(
+            e._pagerank_sql(f"read_parquet('{path}')")
+        ).fetch_arrow_table()
+        assert got["url"].to_pylist() == gold["url"].to_pylist()
+        assert got["pr"].to_pylist() == gold["pr"].to_pylist()
+
+    def test_mass_conservation_bound(self):
+        # total integer mass never exceeds scale (floor division only
+        # ever loses mass) and never drops below the base floor
+        got = graphops.pagerank(ray.data.from_arrow(_records_table()), iterations=3)
+        total = sum(got["pr"].to_pylist())
+        assert total <= 10**12
+        assert min(got["pr"].to_pylist()) >= ((100 - 85) * 10**12) // (100 * 4)
+
+    def test_empty_input(self):
+        empty = _records_table().slice(4, 1)  # only the error row
+        got = graphops.pagerank(ray.data.from_arrow(empty))
+        assert got.num_rows == 0
+        assert got.schema.names == ["url", "pr"]

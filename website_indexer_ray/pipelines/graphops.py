@@ -1,0 +1,501 @@
+"""Distributed graph operators over slim edge lists.
+
+Two graph primitives a crawl corpus invites but the reference never
+computes — it stores the page→link graph (the ``crawler_page_links``
+bridge table, /root/reference/crawler/models.py:91-95) and only ever
+substring-searches it (/root/reference/crawler/search.py:25-42):
+
+- ``connected_components``: the alternating large-star / small-star
+  algorithm (Kiveris et al. 2014, "Connected Components in MapReduce
+  and Beyond") on the actor-reducer hash exchange.  Converges in
+  O(log n) rounds on ANY graph — naive min-label propagation needs
+  O(diameter) rounds, so a duplicate-chain of 10^6 docs would take
+  10^6 rounds vs ~20 here.  Each round is one keyed exchange whose
+  partition body is pure numpy (lexsort + minimum.reduceat); only
+  (node, node) int64 pairs ever move, never payloads.
+
+- ``pagerank``: damped power iteration over the crawled-page link
+  graph in EXACT integer arithmetic (micro-rank units, floor
+  division), so the result hash-matches a SQL oracle digit for digit
+  — no floating-point accumulation-order sensitivity under
+  parallelism.  Each iteration is two keyed exchanges: join ranks to
+  out-edges co-partitioned by src (a page's rank row and all its
+  out-edges hash to the same partition, so out-degree is just the
+  co-located group size), then sum contributions by dst.
+  ``pagerank_write`` is the scale form: every exchange lands in a
+  committed parquet sink and the next stage streams from it, so rank
+  vectors never materialize on the driver and a killed run resumes at
+  the last committed stage.
+
+Partitioning assumptions (custom-operator rule): one partition's rows
+fit a reducer's heap — size ``n_reducers`` to key volume; edge lists
+are slim (2-3 int64/string columns).  The CC edge table between
+rounds is held as driver-side Arrow (same contract as the near-dup
+pair lists: orders of magnitude smaller than the corpus); at 10^10
+nodes the rounds chain through exchange sinks exactly like
+``pagerank_write``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from website_indexer_ray.state.exchange import hash_exchange
+from website_indexer_ray.util import agg_named
+
+_I64 = pa.int64()
+
+# --- connected components (large-star / small-star) ------------------
+
+_MIX_A = np.uint64(0x9E3779B97F4A7C15)
+_MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _edge_sig(a: np.ndarray, b: np.ndarray) -> tuple[int, int]:
+    """Order-insensitive multiset signature of an edge list (count +
+    64-bit checksum) — the convergence test between star rounds."""
+    ua = a.astype(np.uint64)
+    ub = b.astype(np.uint64)
+    ha = (ua ^ (ua >> np.uint64(33))) * _MIX_A
+    hb = (ub ^ (ub >> np.uint64(29))) * _MIX_B
+    h = ha ^ (hb + _MIX_A + (ha << np.uint64(6)) + (ha >> np.uint64(2)))
+    return len(a), int(h.sum(dtype=np.uint64))
+
+
+def _dedup_edges(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    if not len(a):
+        return a, b
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    return a[keep], b[keep]
+
+
+def _group_min(k: np.ndarray, w: np.ndarray):
+    """Rows sorted by k: per-group min(w ∪ {k}) broadcast back to rows.
+    Returns (m_per_row, bounds, k_first_per_group, m_per_group)."""
+    bounds = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    gmin = np.minimum.reduceat(w, bounds)
+    kf = k[bounds]
+    m = np.minimum(gmin, kf)
+    lens = np.diff(np.r_[bounds, len(k)])
+    return np.repeat(m, lens), kf, m
+
+
+def _large_star_body(t: pa.Table) -> pa.Table:
+    """Partition body: for each key node u, link every strictly-larger
+    neighbor to min(N(u) ∪ {u})."""
+    k = t.column("k").to_numpy(zero_copy_only=False)
+    w = t.column("w").to_numpy(zero_copy_only=False)
+    order = np.lexsort((w, k))
+    k, w = k[order], w[order]
+    m_rows, _, _ = _group_min(k, w)
+    mask = w > k
+    a, b = _dedup_edges(w[mask], m_rows[mask])
+    return pa.table({"a": pa.array(a, type=_I64), "b": pa.array(b, type=_I64)})
+
+
+def _small_star_body(t: pa.Table) -> pa.Table:
+    """Partition body: key node u holds only strictly-smaller
+    neighbors; link them (and u) to the group minimum."""
+    k = t.column("k").to_numpy(zero_copy_only=False)
+    w = t.column("w").to_numpy(zero_copy_only=False)
+    order = np.lexsort((w, k))
+    k, w = k[order], w[order]
+    m_rows, kf, m_group = _group_min(k, w)
+    mask = w != m_rows
+    a = np.concatenate([w[mask], kf])
+    b = np.concatenate([m_rows[mask], m_group])
+    a, b = _dedup_edges(a, b)
+    return pa.table({"a": pa.array(a, type=_I64), "b": pa.array(b, type=_I64)})
+
+
+def _route_edges(a: np.ndarray, b: np.ndarray, large: bool, n_reducers: int):
+    """Edge list → routed (k, w) Dataset for one star round, split
+    into blocks so routing parallelizes."""
+    if large:
+        k = np.concatenate([a, b])
+        w = np.concatenate([b, a])
+    else:
+        k = np.maximum(a, b)
+        w = np.minimum(a, b)
+    tbl = pa.table({"k": pa.array(k, type=_I64), "w": pa.array(w, type=_I64)})
+    step = max(65_536, -(-len(k) // max(1, n_reducers)))
+    parts = [tbl.slice(i, step) for i in range(0, max(1, len(k)), step)]
+    return ray.data.from_arrow(parts)
+
+
+def _empty_cc() -> pa.Table:
+    return pa.table(
+        {"node": pa.array([], type=_I64), "component": pa.array([], type=_I64)}
+    )
+
+
+def connected_components(
+    edges: pa.Table,
+    a_col: str = "a",
+    b_col: str = "b",
+    n_reducers: int = 8,
+    max_rounds: int = 64,
+) -> pa.Table:
+    """Connected components of an undirected int64 edge list →
+    (node, component) where component = min node id of the component.
+    Every node incident to an input edge appears exactly once.
+
+    Alternates large-star / small-star exchanges until the edge set is
+    stable; at the fixpoint every component is a star rooted at its
+    minimum node (Kiveris et al. 2014, Thm 1-3)."""
+    a = edges.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    b = edges.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    loop = a != b
+    a, b = _dedup_edges(a[loop], b[loop])
+    if not len(a):
+        return _empty_cc()
+    sig = None
+    for _ in range(max_rounds):
+        out = hash_exchange(
+            _route_edges(a, b, True, n_reducers), "k", _large_star_body, n_reducers
+        )
+        la = out.column("a").to_numpy(zero_copy_only=False)
+        lb = out.column("b").to_numpy(zero_copy_only=False)
+        out = hash_exchange(
+            _route_edges(la, lb, False, n_reducers), "k", _small_star_body, n_reducers
+        )
+        a, b = _dedup_edges(
+            out.column("a").to_numpy(zero_copy_only=False),
+            out.column("b").to_numpy(zero_copy_only=False),
+        )
+        new_sig = _edge_sig(a, b)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:  # pragma: no cover - O(log n) bound makes this unreachable
+        raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+    roots = np.setdiff1d(np.unique(b), a)
+    node = np.concatenate([a, roots])
+    comp = np.concatenate([b, roots])
+    order = np.argsort(node, kind="stable")
+    return pa.table(
+        {
+            "node": pa.array(node[order], type=_I64),
+            "component": pa.array(comp[order], type=_I64),
+        }
+    )
+
+
+def _chain_body(t: pa.Table) -> pa.Table:
+    """Partition body: per group key, chain the sorted member ids as
+    consecutive edges (a path graph).  The chain construction makes
+    the downstream oracle trivial (min per group) while forcing the
+    CC ALGORITHM to do real multi-hop work — a group of k members is
+    a path needing O(log k) star rounds, not a clique the first round
+    would collapse."""
+    h = t.column("gkey").to_numpy(zero_copy_only=False)
+    d = t.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((d, h))
+    h, d = h[order], d[order]
+    same = h[1:] == h[:-1]
+    return pa.table(
+        {
+            "a": pa.array(d[:-1][same], type=_I64),
+            "b": pa.array(d[1:][same], type=_I64),
+        }
+    )
+
+
+def _cc_over_group_chains(ds, n_reducers: int) -> pa.Table:
+    """(doc_id, gkey) Dataset → CC over the per-group chain edges →
+    (doc_id, component_id), one row per doc in a group of size ≥ 2."""
+    chains = hash_exchange(ds, "gkey", _chain_body, n_reducers)
+    if chains is None:
+        return pa.table(
+            {"doc_id": pa.array([], type=_I64), "component_id": pa.array([], type=_I64)}
+        )
+    comp = connected_components(chains, n_reducers=n_reducers)
+    return comp.rename_columns(["doc_id", "component_id"])
+
+
+def cc_dup_groups(sf_dir: str, n_reducers: int = 8) -> pa.Table:
+    """Exact-duplicate groups of the documents table as connected
+    components: docs sharing normalized text are chained, and CC
+    recovers component = min(doc_id) per duplicate group.  Only
+    (doc_id, text_hash) rows shuffle; text never leaves the scan."""
+    from website_indexer_ray.pipelines.textops import (
+        _content_hash64,
+        normalize_text,
+        read_documents,
+    )
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        hashes = [
+            _content_hash64(normalize_text(t)) & 0x7FFFFFFFFFFFFFFF
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), _I64),
+                "gkey": pa.array(hashes, type=_I64),
+            }
+        )
+
+    routed = read_documents(sf_dir).map_batches(hash_batch, batch_format="pyarrow")
+    return _cc_over_group_chains(routed, n_reducers)
+
+
+def cc_source_groups(sf_dir: str, n_reducers: int = 8) -> pa.Table:
+    """Connected components over docs chained by (source, lang):
+    component_id = min(doc_id) among same-source-same-language docs.
+    A ~25-member group is a 25-node path, so the star rounds do real
+    multi-hop propagation while the oracle is a plain window min —
+    the exactly-checkable driver form of ``connected_components``."""
+    from website_indexer_ray.pipelines.textops import _content_hash64, read_documents
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        keys = [
+            _content_hash64(f"{s}\x1f{g}") & 0x7FFFFFFFFFFFFFFF
+            for s, g in zip(
+                batch.column("source").to_pylist(), batch.column("lang").to_pylist()
+            )
+        ]
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), _I64),
+                "gkey": pa.array(keys, type=_I64),
+            }
+        )
+
+    routed = read_documents(
+        sf_dir, columns=["doc_id", "source", "lang"]
+    ).map_batches(hash_batch, batch_format="pyarrow")
+    return _cc_over_group_chains(routed, n_reducers)
+
+
+# --- PageRank (integer-exact damped power iteration) -----------------
+
+_HASH_MASK = 0x7FFFFFFFFFFFFFFF
+
+
+def _url_key(s: str) -> int:
+    from website_indexer_ray.pipelines.textops import _content_hash64
+
+    return _content_hash64(s) & _HASH_MASK
+
+
+def _keys_of(strings: list[str]) -> pa.Array:
+    return pa.array([_url_key(s) for s in strings], type=_I64)
+
+
+def _tag_graph(batch: pa.Table) -> pa.Table:
+    """Page rows → tagged union routed by h(dst) so each partition can
+    semi-join link targets against the crawled-page set: kind 0 = node
+    (crawled page url, routed by h(url)); kind 1 = edge candidate."""
+    pages = batch.filter(pc.equal(batch.column("record_type"), "page"))
+    urls = pages.column("url").to_pylist()
+    links = pages.column("links").to_pylist()
+    kind, src, dst, key = [], [], [], []
+    for u in urls:
+        kind.append(0)
+        src.append(u)
+        dst.append("")
+        key.append(_url_key(u))
+    for u, ls in zip(urls, links):
+        for l in ls or []:
+            kind.append(1)
+            src.append(u)
+            dst.append(l)
+            key.append(_url_key(l))
+    return pa.table(
+        {
+            "kind": pa.array(kind, type=_I64),
+            "src": pa.array(src, type=pa.string()),
+            "dst": pa.array(dst, type=pa.string()),
+            "key": pa.array(key, type=_I64),
+        }
+    )
+
+
+def _graph_body(t: pa.Table) -> pa.Table:
+    """Partition body: keep edge candidates whose dst IS a crawled
+    page (string-exact semi-join — the int key only routes, so hash
+    collisions cannot corrupt the graph), re-key surviving edges by
+    h(src) for the iteration exchanges, and pass node rows through."""
+    nodes = t.filter(pc.equal(t.column("kind"), 0))
+    edges = t.filter(pc.equal(t.column("kind"), 1))
+    node_set = nodes.select(["src"]).rename_columns(["node_url"])
+    kept = edges.join(node_set, keys=["dst"], right_keys=["node_url"], join_type="inner")
+    kept = kept.set_column(
+        kept.schema.get_field_index("key"),
+        "key",
+        _keys_of(kept.column("src").to_pylist()),
+    )
+    return pa.concat_tables([nodes, kept.select(["kind", "src", "dst", "key"])])
+
+
+def _contrib_body(damping_pct: int):
+    def body(t: pa.Table) -> pa.Table:
+        ranks = t.filter(pc.equal(t.column("kind"), 0)).select(["url", "pr"])
+        ranks = ranks.rename_columns(["r_url", "pr"])
+        edges = t.filter(pc.equal(t.column("kind"), 1)).select(["url", "dst"])
+        if not edges.num_rows:
+            return pa.table(
+                {
+                    "key": pa.array([], type=_I64),
+                    "url": pa.array([], type=pa.string()),
+                    "c": pa.array([], type=_I64),
+                }
+            )
+        deg = agg_named(edges, "url", [("dst", "count")], ["url", "outdeg"])
+        e = edges.join(deg, keys=["url"]).join(ranks, keys=["url"], right_keys=["r_url"])
+        pr = e.column("pr").to_numpy(zero_copy_only=False)
+        od = e.column("outdeg").to_numpy(zero_copy_only=False)
+        contrib = (pr * damping_pct) // (100 * od)
+        dsts = e.column("dst").to_pylist()
+        return pa.table(
+            {
+                "key": _keys_of(dsts),
+                "url": pa.array(dsts, type=pa.string()),
+                "c": pa.array(contrib, type=_I64),
+            }
+        )
+
+    return body
+
+
+def _sum_body(base: int):
+    def body(t: pa.Table) -> pa.Table:
+        nodes = t.filter(pc.equal(t.column("kind"), 0)).select(["url", "key"])
+        contribs = t.filter(pc.equal(t.column("kind"), 1)).select(["url", "c"])
+        sums = agg_named(contribs, "url", [("c", "sum")], ["s_url", "s"])
+        out = nodes.join(sums, keys=["url"], right_keys=["s_url"], join_type="left outer")
+        s = pc.fill_null(pc.cast(out.column("s"), _I64), 0)
+        return pa.table(
+            {
+                "url": out.column("url"),
+                "key": out.column("key"),
+                "pr": pc.add(s, pa.scalar(base, type=_I64)),
+            }
+        )
+
+    return body
+
+
+def _from_arrow_split(tbl: pa.Table, n_blocks: int):
+    step = max(4096, -(-tbl.num_rows // max(1, n_blocks)))
+    parts = [tbl.slice(i, step) for i in range(0, max(1, tbl.num_rows), step)]
+    return ray.data.from_arrow(parts)
+
+
+def _empty_pr() -> pa.Table:
+    return pa.table(
+        {"url": pa.array([], type=pa.string()), "pr": pa.array([], type=_I64)}
+    )
+
+
+def pagerank(
+    records_ds,
+    iterations: int = 5,
+    n_reducers: int = 8,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> pa.Table:
+    """PageRank over the crawled-page link graph → (url, pr) sorted by
+    url, in exact integer micro-rank units: r0 = scale//N;
+    r_{i+1}(v) = ((100-d)·scale)//(100·N) + Σ_{u→v} (r_i(u)·d)//(100·outdeg(u)).
+    All floor divisions, so the result is hash-identical to the SQL
+    oracle regardless of summation order.  Dangling-node mass is
+    dropped (the standard no-redistribution variant) to keep the
+    semantics exactly SQL-expressible.
+
+    ``records_ds`` is the crawl checkpoint Dataset pruned to
+    (record_type, url, links).  Graph build = one exchange (semi-join
+    link targets against the page set, strings compared exactly —
+    int keys only route); each iteration = two exchanges (rank×edge
+    join co-partitioned by src where outdeg is the co-located group
+    size; contribution sum by dst).  Table mode holds the slim
+    (url, pr) vector on the driver for the query contract;
+    ``pagerank_write`` is the sink form where every stage lands in a
+    committed parquet checkpoint instead."""
+    graph = hash_exchange(
+        records_ds.map_batches(_tag_graph, batch_format="pyarrow"),
+        "key",
+        _graph_body,
+        n_reducers,
+    )
+    if graph is None:
+        return _empty_pr()
+    nodes = graph.filter(pc.equal(graph.column("kind"), 0)).select(["src", "key"])
+    nodes = nodes.rename_columns(["url", "key"])
+    edges = graph.filter(pc.equal(graph.column("kind"), 1)).select(["src", "dst", "key"])
+    n = nodes.num_rows
+    if not n:
+        return _empty_pr()
+    base = ((100 - damping_pct) * scale) // (100 * n)
+    ranks = pa.table(
+        {
+            "url": nodes.column("url"),
+            "key": nodes.column("key"),
+            "pr": pa.array([scale // n] * n, type=_I64),
+        }
+    )
+    empty_str = pa.nulls(0, pa.string())
+    for _ in range(iterations):
+        routed1 = pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "key": edges.column("key"),
+                        "kind": pa.array([1] * edges.num_rows, type=_I64),
+                        "url": edges.column("src"),
+                        "dst": edges.column("dst"),
+                        "pr": pa.array([0] * edges.num_rows, type=_I64),
+                    }
+                ),
+                pa.table(
+                    {
+                        "key": ranks.column("key"),
+                        "kind": pa.array([0] * ranks.num_rows, type=_I64),
+                        "url": ranks.column("url"),
+                        "dst": pa.array([""] * ranks.num_rows, type=pa.string()),
+                        "pr": ranks.column("pr"),
+                    }
+                ),
+            ]
+        )
+        contribs = hash_exchange(
+            _from_arrow_split(routed1, n_reducers),
+            "key",
+            _contrib_body(damping_pct),
+            n_reducers,
+        )
+        if contribs is None:
+            contribs = pa.table(
+                {"key": pa.array([], type=_I64), "url": empty_str, "c": pa.array([], type=_I64)}
+            )
+        routed2 = pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "key": contribs.column("key"),
+                        "kind": pa.array([1] * contribs.num_rows, type=_I64),
+                        "url": contribs.column("url"),
+                        "c": contribs.column("c"),
+                    }
+                ),
+                pa.table(
+                    {
+                        "key": nodes.column("key"),
+                        "kind": pa.array([0] * nodes.num_rows, type=_I64),
+                        "url": nodes.column("url"),
+                        "c": pa.array([0] * nodes.num_rows, type=_I64),
+                    }
+                ),
+            ]
+        )
+        ranks = hash_exchange(
+            _from_arrow_split(routed2, n_reducers), "key", _sum_body(base), n_reducers
+        )
+    out = ranks.select(["url", "pr"])
+    return out.take(pc.sort_indices(out, sort_keys=[("url", "ascending")]))
