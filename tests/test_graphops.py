@@ -132,6 +132,24 @@ class TestCCGroupQueries:
         assert out["component_id"].to_pylist() == gold["component_id"].to_pylist()
 
 
+def test_near_dedup_distributed_cc_equals_union_find():
+    """The star-round CC and the driver union-find label components
+    identically (min doc_id), so the near-dup keep list is the same
+    through either path."""
+    from website_indexer_ray.pipelines import textops
+
+    def ids(ds):
+        return sorted(
+            i
+            for b in ds.iter_batches(batch_format="pyarrow")
+            for i in b["doc_id"].to_pylist()
+        )
+
+    uf = ids(textops.near_dedup_keep_ds(SF_DIR))
+    cc = ids(textops.near_dedup_keep_ds(SF_DIR, distributed_cc=True))
+    assert uf == cc and len(uf) > 0
+
+
 def _records_table():
     """Tiny crawl-records-shaped table: A→B,C + external X (dropped);
     B→C; C→A (a cycle); D dangling; one non-page row."""
@@ -204,3 +222,49 @@ class TestPagerank:
         got = graphops.pagerank(ray.data.from_arrow(empty))
         assert got.num_rows == 0
         assert got.schema.names == ["url", "pr"]
+
+
+class TestPagerankWrite:
+    def _collect(self, ds):
+        tbl = pa.concat_tables(
+            [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+        )
+        return sorted(zip(tbl["url"].to_pylist(), tbl["pr"].to_pylist()))
+
+    def test_sink_form_matches_table_mode(self, tmp_path):
+        table_mode = graphops.pagerank(
+            ray.data.from_arrow(_records_table()), iterations=3
+        )
+        sink_mode = graphops.pagerank_write(
+            ray.data.from_arrow(_records_table()), str(tmp_path / "pr"), iterations=3
+        )
+        expected = list(
+            zip(table_mode["url"].to_pylist(), table_mode["pr"].to_pylist())
+        )
+        assert self._collect(sink_mode) == expected
+
+    def test_resume_extends_iteration_prefix_and_recovers_crash(self, tmp_path):
+        import os
+
+        out = str(tmp_path / "pr")
+        graphops.pagerank_write(
+            ray.data.from_arrow(_records_table()), out, iterations=2
+        )
+        # the 2-iteration run is a committed prefix: stage dirs for
+        # iterations 1-2 must not be recomputed by the 4-iteration call
+        stamp = os.path.getmtime(
+            os.path.join(out, "ranks-2", "_SUCCESS")
+        )
+        # simulate a crash in a LATER stage by pre-creating a dirty,
+        # uncommitted contrib-3 (no _SUCCESS): the resume must redo it
+        os.makedirs(os.path.join(out, "contrib-3"), exist_ok=True)
+        with open(os.path.join(out, "contrib-3", "part-99999.parquet"), "w") as f:
+            f.write("garbage")
+        got = graphops.pagerank_write(
+            ray.data.from_arrow(_records_table()), out, iterations=4
+        )
+        assert os.path.getmtime(os.path.join(out, "ranks-2", "_SUCCESS")) == stamp
+        fresh = graphops.pagerank(ray.data.from_arrow(_records_table()), iterations=4)
+        assert self._collect(got) == list(
+            zip(fresh["url"].to_pylist(), fresh["pr"].to_pylist())
+        )

@@ -499,3 +499,169 @@ def pagerank(
         )
     out = ranks.select(["url", "pr"])
     return out.take(pc.sort_indices(out, sort_keys=[("url", "ascending")]))
+
+
+def _read_sink(sink_dir: str, schema: pa.Schema):
+    """Committed exchange sink → Dataset (empty-with-schema when the
+    exchange produced no rows — only a ``_SUCCESS`` manifest)."""
+    import glob as _glob
+    import os
+
+    files = sorted(_glob.glob(os.path.join(sink_dir, "*.parquet")))
+    if not files:
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.read_parquet(files)
+
+
+_GRAPH_SCHEMA = pa.schema(
+    [("kind", _I64), ("src", pa.string()), ("dst", pa.string()), ("key", _I64)]
+)
+_CONTRIB_SCHEMA = pa.schema([("key", _I64), ("url", pa.string()), ("c", _I64)])
+_RANK_SCHEMA = pa.schema([("url", pa.string()), ("key", _I64), ("pr", _I64)])
+
+
+def pagerank_write(
+    records_ds,
+    out_dir: str,
+    iterations: int = 5,
+    n_reducers: int = 8,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+):
+    """Sink form of ``pagerank`` for graphs whose rank vector cannot
+    live on the driver: every stage (graph build, each iteration's
+    contribution and rank exchanges) lands in its own committed
+    parquet dir under ``out_dir``, and the next stage STREAMS from it
+    — nothing O(nodes) or O(edges) ever materializes driver-side.
+    A killed run resumes at the last committed stage (the crawl
+    checkpoints' ``_SUCCESS`` protocol), and a finished k-iteration
+    run is a valid prefix for a later (k+j)-iteration call.  Returns
+    the final ranks as a url-keyed Dataset (url, pr)."""
+    import json
+    import os
+
+    from website_indexer_ray.state.exchange import sink_committed
+
+    graph_dir = os.path.join(out_dir, "graph")
+    if not sink_committed(graph_dir):
+        hash_exchange(
+            records_ds.map_batches(_tag_graph, batch_format="pyarrow"),
+            "key",
+            _graph_body,
+            n_reducers,
+            sink_dir=graph_dir,
+        )
+
+    def _nodes_ds():
+        ds = _read_sink(graph_dir, _GRAPH_SCHEMA)
+        return ds.map_batches(
+            lambda b: b.filter(pc.equal(b.column("kind"), 0)),
+            batch_format="pyarrow",
+        )
+
+    meta_path = os.path.join(out_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            n = json.load(f)["n_nodes"]
+    else:
+        n = _nodes_ds().count()
+        with open(meta_path, "w") as f:
+            json.dump({"n_nodes": n}, f)
+    if not n:
+        return ray.data.from_arrow(
+            pa.schema([("url", pa.string()), ("pr", _I64)]).empty_table()
+        )
+    base = ((100 - damping_pct) * scale) // (100 * n)
+    r0 = scale // n
+
+    from website_indexer_ray.util import committed_parquet_write
+
+    ranks_dir = os.path.join(out_dir, "ranks-0")
+
+    def _init_ranks(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": b.column("src"),
+                "key": b.column("key"),
+                "pr": pa.array([r0] * b.num_rows, type=_I64),
+            }
+        )
+
+    committed_parquet_write(
+        _nodes_ds().map_batches(_init_ranks, batch_format="pyarrow"), ranks_dir
+    )
+
+    def _edge_rows(b: pa.Table) -> pa.Table:
+        e = b.filter(pc.equal(b.column("kind"), 1))
+        return pa.table(
+            {
+                "key": e.column("key"),
+                "kind": pa.array([1] * e.num_rows, type=_I64),
+                "url": e.column("src"),
+                "dst": e.column("dst"),
+                "pr": pa.array([0] * e.num_rows, type=_I64),
+            }
+        )
+
+    def _rank_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b.column("key"),
+                "kind": pa.array([0] * b.num_rows, type=_I64),
+                "url": b.column("url"),
+                "dst": pa.array([""] * b.num_rows, type=pa.string()),
+                "pr": b.column("pr"),
+            }
+        )
+
+    def _contrib_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b.column("key"),
+                "kind": pa.array([1] * b.num_rows, type=_I64),
+                "url": b.column("url"),
+                "c": b.column("c"),
+            }
+        )
+
+    def _node_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b.column("key"),
+                "kind": pa.array([0] * b.num_rows, type=_I64),
+                "url": b.column("src"),
+                "c": pa.array([0] * b.num_rows, type=_I64),
+            }
+        )
+
+    prev_ranks = ranks_dir
+    for i in range(1, iterations + 1):
+        contrib_dir = os.path.join(out_dir, f"contrib-{i}")
+        if not sink_committed(contrib_dir):
+            routed = (
+                _read_sink(graph_dir, _GRAPH_SCHEMA)
+                .map_batches(_edge_rows, batch_format="pyarrow")
+                .union(
+                    _read_sink(prev_ranks, _RANK_SCHEMA).map_batches(
+                        _rank_rows, batch_format="pyarrow"
+                    )
+                )
+            )
+            hash_exchange(
+                routed, "key", _contrib_body(damping_pct), n_reducers,
+                sink_dir=contrib_dir,
+            )
+        rank_dir = os.path.join(out_dir, f"ranks-{i}")
+        if not sink_committed(rank_dir):
+            routed = (
+                _read_sink(contrib_dir, _CONTRIB_SCHEMA)
+                .map_batches(_contrib_rows, batch_format="pyarrow")
+                .union(_nodes_ds().map_batches(_node_rows, batch_format="pyarrow"))
+            )
+            hash_exchange(
+                routed, "key", _sum_body(base), n_reducers, sink_dir=rank_dir
+            )
+        prev_ranks = rank_dir
+    return _read_sink(prev_ranks, _RANK_SCHEMA).map_batches(
+        lambda b: b.select(["url", "pr"]), batch_format="pyarrow"
+    )

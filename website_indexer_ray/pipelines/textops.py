@@ -857,17 +857,36 @@ def _dropped_from_pairs(pairs: pa.Table) -> np.ndarray:
 
 
 def near_dedup_keep_ds(
-    sf_dir: str, jaccard_threshold: float = 0.5
+    sf_dir: str, jaccard_threshold: float = 0.5, distributed_cc: bool = False
 ) -> "ray.data.Dataset":
     """Dataset-returning form of near-duplicate removal: MinHash-LSH
-    pairs → union-find components → drop-set broadcast once via
+    pairs → connected components → drop-set broadcast once via
     ``ray.put`` → kept doc_ids emitted as a streaming ``map_batches``
     filter. Nothing O(corpus) ever lands on the driver — consume with
-    ``write_parquet`` or feed the next stage."""
+    ``write_parquet`` or feed the next stage.
+
+    Components come from the driver union-find by default (the pair
+    list is orders of magnitude smaller than the corpus); with
+    ``distributed_cc=True`` they come from the large-star/small-star
+    exchange rounds (graphops.connected_components) instead — the
+    path for pair lists too big for one heap.  Both label components
+    by min(doc_id), so the outputs are identical (pinned in pytest)."""
     from website_indexer_ray.util import cached_get
 
     pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold)
-    dropped_ref = ray.put(_dropped_from_pairs(pairs))
+    if distributed_cc:
+        from website_indexer_ray.pipelines.graphops import connected_components
+
+        comp = connected_components(pairs, a_col="doc_a", b_col="doc_b")
+        non_root = comp.filter(
+            pc.not_equal(comp.column("node"), comp.column("component"))
+        )
+        dropped = np.sort(
+            non_root.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        dropped_ref = ray.put(dropped)
+    else:
+        dropped_ref = ray.put(_dropped_from_pairs(pairs))
     ds = read_documents(sf_dir, columns=["doc_id"])
 
     def keep(batch: pa.Table) -> pa.Table:
