@@ -528,6 +528,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic but not SQL-expressible (per-byte LM scan);
         # exact gate = naive-reference parity in test_corpusops
         "lm_perplexity": corpusops.lm_perplexity,
+        # deterministic but not SQL-expressible (BPE merge recurrence);
+        # exact gate = hand-computed merges in test_trainops TestBPE
+        "bpe_token_count": textops.bpe_token_count,
     }
 
 

@@ -1428,3 +1428,67 @@ class TestNewOpWriteForms:
         assert got.column("vec_id").to_pylist() == annops.semantic_dedup(
             SF_DIR
         ).column("vec_id").to_pylist()
+
+
+class TestBPE:
+    """BPE tokenizer training: distributed word counts + bounded
+    driver merge learning; hand-computed merges pin the algorithm."""
+
+    def _write_docs(self, tmp_path, texts):
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": texts,
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        return str(tmp_path)
+
+    def test_merges_hand_computed(self, tmp_path):
+        from website_indexer_ray.pipelines import textops
+
+        sf = self._write_docs(tmp_path, ["aaab aaab", "aaab"])
+        m = textops.bpe_train(sf, n_merges=10)
+        got = list(zip(m["left"].to_pylist(), m["right"].to_pylist()))
+        # word 'aaab'x3: (a,a)=6 wins; then (aa,a)/(a,b)/(b,</w>) tie
+        # at 3 -> lexicographic min (a,b); then (aa,ab) < (ab,</w>);
+        # then (aaab,</w>); then no pairs remain.
+        assert got == [
+            ("a", "a"),
+            ("a", "b"),
+            ("aa", "ab"),
+            ("aaab", "</w>"),
+        ]
+
+    def test_token_counts_under_learned_merges(self, tmp_path):
+        from website_indexer_ray.pipelines import textops
+
+        sf = self._write_docs(tmp_path, ["aaab aaab aaab", "aaab aab", "xy"])
+        # n_merges=2 learns (a,a) at count 9, then (b,</w>) at count 5
+        # (aaab contributes 4 and aab 1); greedy lowest-rank-first:
+        #   aaab -> (aa, a, b</w>) = 3   aab -> (aa, b</w>) = 2
+        #   xy   -> (x, y, </w>)   = 3
+        tc = textops.bpe_token_count(sf, n_merges=2)
+        got = dict(
+            zip(tc["doc_id"].to_pylist(), tc["n_bpe_tokens"].to_pylist())
+        )
+        assert got == {0: 9, 1: 5, 2: 3}
+        # with enough merges every word collapses to one token
+        tc_full = textops.bpe_token_count(sf, n_merges=12)
+        assert tc_full["n_bpe_tokens"].to_pylist() == [3, 2, 1]
+
+    def test_deterministic_and_bounded(self):
+        from website_indexer_ray.pipelines import textops
+
+        a = textops.bpe_train(SF_DIR, n_merges=20)
+        b = textops.bpe_train(SF_DIR, n_merges=20)
+        assert a.equals(b)
+        assert a.num_rows == 20
+        tc = textops.bpe_token_count(SF_DIR, n_merges=20)
+        assert tc.num_rows == 500
+        counts = tc["n_bpe_tokens"].to_pylist()
+        assert min(counts) > 0

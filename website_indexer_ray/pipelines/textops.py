@@ -693,6 +693,181 @@ def vocab_top_tokens(sf_dir: str, k: int = 100) -> pa.Table:
     return merged.take(order.slice(0, k))
 
 
+# --- BPE tokenizer training ------------------------------------------
+
+_BPE_TOKEN_RE = re.compile(r"[a-z0-9]+")
+_BPE_EOW = "</w>"
+
+
+def _bpe_word_counts(sf_dir: str) -> pa.Table:
+    """Distributed word-frequency table — the corpus-scale half of BPE
+    training.  Per-batch Counters shrink the text ~1000x before
+    anything leaves the scan task; the adaptive merge flips to a
+    word-hash-keyed exchange when the vocabulary explodes."""
+    from collections import Counter
+
+    from website_indexer_ray.util import agg_named
+
+    ds = read_documents(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(_BPE_TOKEN_RE.findall(t.lower()))
+        words = list(c.keys())
+        return pa.table(
+            {
+                "word": pa.array(words, type=pa.string()),
+                "word_hash": pa.array(
+                    [crc32(w.encode()) for w in words], type=pa.int64()
+                ),
+                "n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    partials = _merge_partials_adaptive(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        key="word_hash",
+        reduce_fn=lambda t: agg_named(
+            t,
+            ["word", "word_hash"],
+            [("n", "sum")],
+            ["word", "word_hash", "n"],
+        ),
+    )
+    return agg_named(partials, "word", [("n", "sum")], ["word", "n"])
+
+
+def _bpe_merges(words: list[str], counts: list[int], n_merges: int):
+    """Sequential BPE merge learning over the WORD-FREQUENCY table
+    (Sennrich et al. 2016) — the standard reduction: a 100-TB corpus
+    collapses to a vocab-sized table first, so the driver-side loop is
+    bounded by distinct words × n_merges, never corpus size.
+    Deterministic tie-break: count desc, then pair lexicographic."""
+    from collections import Counter
+
+    vocab: dict[tuple, int] = {}
+    for w, c in zip(words, counts):
+        key = tuple(w) + (_BPE_EOW,)
+        vocab[key] = vocab.get(key, 0) + c
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: Counter = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pair_counts[(syms[i], syms[i + 1])] += c
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        joined = best[0] + best[1]
+        new_vocab: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def bpe_train(sf_dir: str, n_merges: int = 50) -> pa.Table:
+    """Train a BPE tokenizer on the corpus → merge table
+    (rank, left, right).  Distributed part: the word-count exchange
+    (_bpe_word_counts).  Bounded part: merge learning over the word
+    table on the driver — vocab-sized, not corpus-sized, exactly how
+    production tokenizer trainers decompose the problem.  Fully
+    deterministic (count-desc / pair-lexicographic tie-break), so the
+    merges are independent of batching and partitioning (pinned in
+    pytest)."""
+    wc = _bpe_word_counts(sf_dir)
+    order = pc.sort_indices(wc, sort_keys=[("word", "ascending")])
+    wc = wc.take(order)
+    merges = _bpe_merges(
+        wc.column("word").to_pylist(),
+        wc.column("n").to_pylist(),
+        n_merges,
+    )
+    return pa.table(
+        {
+            "rank": pa.array(range(len(merges)), type=pa.int64()),
+            "left": pa.array([m[0] for m in merges], type=pa.string()),
+            "right": pa.array([m[1] for m in merges], type=pa.string()),
+        }
+    )
+
+
+def _bpe_encode_len(word: str, rank_of: dict[tuple[str, str], int]) -> int:
+    """Greedy BPE apply (lowest-rank pair first) → token count."""
+    syms = list(word) + [_BPE_EOW]
+    while len(syms) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(syms) - 1):
+            r = rank_of.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return len(syms)
+
+
+def bpe_token_count(sf_dir: str, n_merges: int = 50) -> pa.Table:
+    """Per-doc BPE token counts under a corpus-trained tokenizer:
+    merges learned once (bpe_train), broadcast once via ``ray.put``,
+    applied per batch with a per-actor word→length cache (words repeat
+    heavily, so the greedy merge loop runs ~once per DISTINCT word per
+    actor, not per occurrence).  Deterministic but not
+    SQL-expressible (the merge recurrence) ⇒ rows-only driver check;
+    the exact gate is the hand-computed-merge and batching-
+    independence pytests."""
+    from website_indexer_ray.util import cached_get
+
+    merges = bpe_train(sf_dir, n_merges)
+    rank_of = {
+        (l, r): i
+        for i, (l, r) in enumerate(
+            zip(merges.column("left").to_pylist(), merges.column("right").to_pylist())
+        )
+    }
+    rank_ref = ray.put(rank_of)
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        ranks = cached_get(rank_ref)
+        cache: dict[str, int] = {}
+        out = []
+        for t in batch.column("text").to_pylist():
+            n = 0
+            for w in _BPE_TOKEN_RE.findall(t.lower()):
+                ln = cache.get(w)
+                if ln is None:
+                    ln = _bpe_encode_len(w, ranks)
+                    cache[w] = ln
+                n += ln
+            out.append(n)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_bpe_tokens": pa.array(out, type=pa.int64()),
+            }
+        )
+
+    ds = read_documents(sf_dir).map_batches(count_batch, batch_format="pyarrow")
+    return _collect_sorted(ds, "doc_id")
+
+
 def _paragraph_exploded(sf_dir: str):
     """documents → (doc_id, seg_hash) rows, one per '. '-segment."""
     ds = read_documents(sf_dir)
