@@ -1,0 +1,163 @@
+"""Scale-stress the graph operators: connected components over a
+~2M-edge / ~1M-node graph and PageRank (sink form) over a ~500k-node
+link graph — evidence for the round count bound (O(log n) star
+rounds), the exchange partitioning assumption (reducer peak bytes),
+and that the sink-form PageRank never materializes the rank vector on
+the driver.
+
+Both graphs are synthesized DETERMINISTICALLY (seeded RNG + fixed
+structure; no external data):
+  - CC graph: 5,000 chains of 100 nodes each (500k nodes) plus
+    1.5M random extra edges over another 500k nodes — chains force
+    multi-hop propagation, randoms give realistic component mixing.
+    Ground truth = a driver union-find over the same edge list.
+  - PR graph: 500k pages, each linking to 4 deterministic pseudo-
+    random targets (2M edges).  Checked for mass conservation
+    (integer mass only ever shrinks) and node coverage.
+
+Usage: python scripts/stress_graphops.py [n_chains] [chain_len] [n_random_nodes] [pr_nodes]
+Prints one JSON line per op and a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyarrow as pa
+
+
+def main() -> None:
+    n_chains = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000
+    chain_len = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    n_rand_nodes = int(sys.argv[3]) if len(sys.argv) > 3 else 500_000
+    pr_nodes = int(sys.argv[4]) if len(sys.argv) > 4 else 500_000
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from website_indexer_ray.pipelines import graphops
+    from website_indexer_ray.state.exchange import _pool
+
+    results = {}
+
+    # ---- connected components ---------------------------------------
+    rng = np.random.default_rng(42)
+    chain_base = np.arange(n_chains * chain_len).reshape(n_chains, chain_len)
+    chain_a = chain_base[:, :-1].ravel()
+    chain_b = chain_base[:, 1:].ravel()
+    rand_lo = n_chains * chain_len
+    n_rand_edges = 3 * n_rand_nodes
+    rand_a = rng.integers(rand_lo, rand_lo + n_rand_nodes, n_rand_edges)
+    rand_b = rng.integers(rand_lo, rand_lo + n_rand_nodes, n_rand_edges)
+    a = np.concatenate([chain_a, rand_a]).astype(np.int64)
+    b = np.concatenate([chain_b, rand_b]).astype(np.int64)
+    edges = pa.table(
+        {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())}
+    )
+
+    shards = _pool(8)
+    ray.get([s.reset_peak.remote() for s in shards])
+    t0 = time.monotonic()
+    comp = graphops.connected_components(edges, n_reducers=8)
+    wall = time.monotonic() - t0
+    peaks = ray.get([s.peak_bytes.remote() for s in _pool(8)])
+
+    # ground truth: driver union-find (numpy-assisted path compression)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        if x == y:
+            continue
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    node = comp.column("node").to_numpy(zero_copy_only=False)
+    cgot = comp.column("component").to_numpy(zero_copy_only=False)
+    ok = all(find(int(n)) == int(c) for n, c in zip(node[::997], cgot[::997]))
+    n_components = len(np.unique(cgot))
+    results["connected_components"] = {
+        "edges": len(a),
+        "nodes": int(comp.num_rows),
+        "components": int(n_components),
+        "wall_s": round(wall, 2),
+        "reducer_peak_mb": round(max(peaks) / 1e6, 1),
+        "sampled_ground_truth_ok": bool(ok),
+    }
+    print(json.dumps({"connected_components": results["connected_components"]}))
+
+    # ---- PageRank (sink form) ----------------------------------------
+    out_dir = "/tmp/wir_stress_graph/pr"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    urls = [f"https://stress.example/p{i}" for i in range(pr_nodes)]
+    tgt = (
+        (np.arange(pr_nodes)[:, None] * 2_654_435_761 + np.array([1, 7, 31, 101]))
+        % pr_nodes
+    )
+    links = [[urls[j] for j in row] for row in tgt]
+    records = pa.table(
+        {
+            "record_type": pa.array(["page"] * pr_nodes),
+            "url": pa.array(urls),
+            "links": pa.array(links, type=pa.list_(pa.string())),
+        }
+    )
+    n_blocks = 64
+    step = -(-pr_nodes // n_blocks)
+    ds = ray.data.from_arrow(
+        [records.slice(i, step) for i in range(0, pr_nodes, step)]
+    )
+    shards = _pool(8)
+    ray.get([s.reset_peak.remote() for s in shards])
+    t0 = time.monotonic()
+    ranks = graphops.pagerank_write(ds, out_dir, iterations=3, n_reducers=8)
+    total_mass = sum(
+        int(s)
+        for batch in ranks.iter_batches(batch_format="pyarrow")
+        for s in [pa.compute.sum(batch.column("pr")).as_py()]
+    )
+    n_ranked = ranks.count()
+    wall = time.monotonic() - t0
+    peaks = ray.get([s.peak_bytes.remote() for s in _pool(8)])
+    results["pagerank_write"] = {
+        "nodes": pr_nodes,
+        "edges": int(tgt.size),
+        "iterations": 3,
+        "wall_s": round(wall, 2),
+        "reducer_peak_mb": round(max(peaks) / 1e6, 1),
+        "ranked_nodes": int(n_ranked),
+        "mass_ratio": round(total_mass / 10**12, 4),
+    }
+    print(json.dumps({"pagerank_write": results["pagerank_write"]}))
+    print(json.dumps({"summary": results}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
