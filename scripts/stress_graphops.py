@@ -137,14 +137,14 @@ def main() -> None:
     ray.get([s.reset_peak.remote() for s in shards])
     t0 = time.monotonic()
     ranks = graphops.pagerank_write(ds, out_dir, iterations=3, n_reducers=8)
+    wall = time.monotonic() - t0  # operator only; verification below
+    peaks = ray.get([s.peak_bytes.remote() for s in _pool(8)])
     total_mass = sum(
         int(s)
         for batch in ranks.iter_batches(batch_format="pyarrow")
         for s in [pa.compute.sum(batch.column("pr")).as_py()]
     )
     n_ranked = ranks.count()
-    wall = time.monotonic() - t0
-    peaks = ray.get([s.peak_bytes.remote() for s in _pool(8)])
     results["pagerank_write"] = {
         "nodes": pr_nodes,
         "edges": int(tgt.size),

@@ -243,6 +243,19 @@ class TestPagerankWrite:
         )
         assert self._collect(sink_mode) == expected
 
+    def test_resume_with_different_params_refuses(self, tmp_path):
+        out = str(tmp_path / "pr")
+        graphops.pagerank_write(
+            ray.data.from_arrow(_records_table()), out, iterations=1
+        )
+        with pytest.raises(ValueError, match="different parameters"):
+            graphops.pagerank_write(
+                ray.data.from_arrow(_records_table()),
+                out,
+                iterations=2,
+                damping_pct=50,
+            )
+
     def test_resume_extends_iteration_prefix_and_recovers_crash(self, tmp_path):
         import os
 

@@ -76,7 +76,7 @@ def _dedup_edges(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def _group_min(k: np.ndarray, w: np.ndarray):
     """Rows sorted by k: per-group min(w ∪ {k}) broadcast back to rows.
-    Returns (m_per_row, bounds, k_first_per_group, m_per_group)."""
+    Returns (m_per_row, k_first_per_group, m_per_group)."""
     bounds = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
     gmin = np.minimum.reduceat(w, bounds)
     kf = k[bounds]
@@ -143,7 +143,8 @@ def connected_components(
 ) -> pa.Table:
     """Connected components of an undirected int64 edge list →
     (node, component) where component = min node id of the component.
-    Every node incident to an input edge appears exactly once.
+    Every node incident to a non-self-loop edge appears exactly once
+    (pure self-loop nodes are dropped with their edges).
 
     Alternates large-star / small-star exchanges until the edge set is
     stable; at the fixpoint every component is a star rooted at its
@@ -251,11 +252,15 @@ def cc_source_groups(sf_dir: str, n_reducers: int = 8) -> pa.Table:
     A ~25-member group is a 25-node path, so the star rounds do real
     multi-hop propagation while the oracle is a plain window min —
     the exactly-checkable driver form of ``connected_components``."""
+    import json
+
     from website_indexer_ray.pipelines.textops import _content_hash64, read_documents
 
     def hash_batch(batch: pa.Table) -> pa.Table:
+        # JSON-encode the key tuple so NULL and the literal string
+        # "None" stay distinct groups, matching SQL PARTITION BY
         keys = [
-            _content_hash64(f"{s}\x1f{g}") & 0x7FFFFFFFFFFFFFFF
+            _content_hash64(json.dumps([s, g])) & 0x7FFFFFFFFFFFFFFF
             for s, g in zip(
                 batch.column("source").to_pylist(), batch.column("lang").to_pylist()
             )
@@ -321,24 +326,31 @@ def _graph_body(t: pa.Table) -> pa.Table:
     """Partition body: keep edge candidates whose dst IS a crawled
     page (string-exact semi-join — the int key only routes, so hash
     collisions cannot corrupt the graph), re-key surviving edges by
-    h(src) for the iteration exchanges, and pass node rows through."""
+    h(src) for the iteration exchanges (preserving the routing key,
+    which is exactly h(dst), as ``dst_key`` so no iteration ever
+    re-hashes), and pass node rows through."""
     nodes = t.filter(pc.equal(t.column("kind"), 0))
+    nodes = nodes.append_column("dst_key", pa.array([0] * nodes.num_rows, type=_I64))
     edges = t.filter(pc.equal(t.column("kind"), 1))
     node_set = nodes.select(["src"]).rename_columns(["node_url"])
     kept = edges.join(node_set, keys=["dst"], right_keys=["node_url"], join_type="inner")
+    kept = kept.append_column("dst_key", kept.column("key"))
     kept = kept.set_column(
         kept.schema.get_field_index("key"),
         "key",
         _keys_of(kept.column("src").to_pylist()),
     )
-    return pa.concat_tables([nodes, kept.select(["kind", "src", "dst", "key"])])
+    cols = ["kind", "src", "dst", "key", "dst_key"]
+    return pa.concat_tables([nodes.select(cols), kept.select(cols)])
 
 
 def _contrib_body(damping_pct: int):
     def body(t: pa.Table) -> pa.Table:
         ranks = t.filter(pc.equal(t.column("kind"), 0)).select(["url", "pr"])
         ranks = ranks.rename_columns(["r_url", "pr"])
-        edges = t.filter(pc.equal(t.column("kind"), 1)).select(["url", "dst"])
+        edges = t.filter(pc.equal(t.column("kind"), 1)).select(
+            ["url", "dst", "dst_key"]
+        )
         if not edges.num_rows:
             return pa.table(
                 {
@@ -347,16 +359,17 @@ def _contrib_body(damping_pct: int):
                     "c": pa.array([], type=_I64),
                 }
             )
-        deg = agg_named(edges, "url", [("dst", "count")], ["url", "outdeg"])
+        deg = agg_named(
+            edges.select(["url", "dst"]), "url", [("dst", "count")], ["url", "outdeg"]
+        )
         e = edges.join(deg, keys=["url"]).join(ranks, keys=["url"], right_keys=["r_url"])
         pr = e.column("pr").to_numpy(zero_copy_only=False)
         od = e.column("outdeg").to_numpy(zero_copy_only=False)
         contrib = (pr * damping_pct) // (100 * od)
-        dsts = e.column("dst").to_pylist()
         return pa.table(
             {
-                "key": _keys_of(dsts),
-                "url": pa.array(dsts, type=pa.string()),
+                "key": e.column("dst_key"),
+                "url": e.column("dst"),
                 "c": pa.array(contrib, type=_I64),
             }
         )
@@ -428,7 +441,9 @@ def pagerank(
         return _empty_pr()
     nodes = graph.filter(pc.equal(graph.column("kind"), 0)).select(["src", "key"])
     nodes = nodes.rename_columns(["url", "key"])
-    edges = graph.filter(pc.equal(graph.column("kind"), 1)).select(["src", "dst", "key"])
+    edges = graph.filter(pc.equal(graph.column("kind"), 1)).select(
+        ["src", "dst", "key", "dst_key"]
+    )
     n = nodes.num_rows
     if not n:
         return _empty_pr()
@@ -450,6 +465,7 @@ def pagerank(
                         "kind": pa.array([1] * edges.num_rows, type=_I64),
                         "url": edges.column("src"),
                         "dst": edges.column("dst"),
+                        "dst_key": edges.column("dst_key"),
                         "pr": pa.array([0] * edges.num_rows, type=_I64),
                     }
                 ),
@@ -459,6 +475,7 @@ def pagerank(
                         "kind": pa.array([0] * ranks.num_rows, type=_I64),
                         "url": ranks.column("url"),
                         "dst": pa.array([""] * ranks.num_rows, type=pa.string()),
+                        "dst_key": pa.array([0] * ranks.num_rows, type=_I64),
                         "pr": ranks.column("pr"),
                     }
                 ),
@@ -514,7 +531,13 @@ def _read_sink(sink_dir: str, schema: pa.Schema):
 
 
 _GRAPH_SCHEMA = pa.schema(
-    [("kind", _I64), ("src", pa.string()), ("dst", pa.string()), ("key", _I64)]
+    [
+        ("kind", _I64),
+        ("src", pa.string()),
+        ("dst", pa.string()),
+        ("key", _I64),
+        ("dst_key", _I64),
+    ]
 )
 _CONTRIB_SCHEMA = pa.schema([("key", _I64), ("url", pa.string()), ("c", _I64)])
 _RANK_SCHEMA = pa.schema([("url", pa.string()), ("key", _I64), ("pr", _I64)])
@@ -559,14 +582,28 @@ def pagerank_write(
             batch_format="pyarrow",
         )
 
+    # Commit the run parameters with the node count: resume reuses
+    # committed stages, so resuming with DIFFERENT parameters would
+    # silently mix damping factors / scales across iterations.  (Same
+    # contract as the crawl checkpoints: one out_dir == one (input,
+    # params) run; re-parameterize into a fresh dir.)
+    params = {"scale": scale, "damping_pct": damping_pct, "n_reducers": n_reducers}
     meta_path = os.path.join(out_dir, "meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            n = json.load(f)["n_nodes"]
+            meta = json.load(f)
+        if {k: meta.get(k) for k in params} != params:
+            raise ValueError(
+                f"pagerank_write resume with different parameters: committed "
+                f"{meta} vs requested {params}; use a fresh out_dir"
+            )
+        n = meta["n_nodes"]
     else:
         n = _nodes_ds().count()
-        with open(meta_path, "w") as f:
-            json.dump({"n_nodes": n}, f)
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n_nodes": n, **params}, f)
+        os.replace(tmp, meta_path)  # atomic: a crash never leaves a torn file
     if not n:
         return ray.data.from_arrow(
             pa.schema([("url", pa.string()), ("pr", _I64)]).empty_table()
@@ -599,6 +636,7 @@ def pagerank_write(
                 "kind": pa.array([1] * e.num_rows, type=_I64),
                 "url": e.column("src"),
                 "dst": e.column("dst"),
+                "dst_key": e.column("dst_key"),
                 "pr": pa.array([0] * e.num_rows, type=_I64),
             }
         )
@@ -610,6 +648,7 @@ def pagerank_write(
                 "kind": pa.array([0] * b.num_rows, type=_I64),
                 "url": b.column("url"),
                 "dst": pa.array([""] * b.num_rows, type=pa.string()),
+                "dst_key": pa.array([0] * b.num_rows, type=_I64),
                 "pr": b.column("pr"),
             }
         )

@@ -808,6 +808,12 @@ def bpe_train(sf_dir: str, n_merges: int = 50) -> pa.Table:
     )
 
 
+# Per-worker word→token-length cache for bpe_token_count, keyed by the
+# broadcast merge-table ref so a new tokenizer never reuses stale
+# lengths; cleared on key change (one live tokenizer per worker).
+_BPE_LEN_CACHE: dict[str, dict[str, int]] = {}
+
+
 def _bpe_encode_len(word: str, rank_of: dict[tuple[str, str], int]) -> int:
     """Greedy BPE apply (lowest-rank pair first) → token count."""
     syms = list(word) + [_BPE_EOW]
@@ -827,9 +833,11 @@ def _bpe_encode_len(word: str, rank_of: dict[tuple[str, str], int]) -> int:
 def bpe_token_count(sf_dir: str, n_merges: int = 50) -> pa.Table:
     """Per-doc BPE token counts under a corpus-trained tokenizer:
     merges learned once (bpe_train), broadcast once via ``ray.put``,
-    applied per batch with a per-actor word→length cache (words repeat
-    heavily, so the greedy merge loop runs ~once per DISTINCT word per
-    actor, not per occurrence).  Deterministic but not
+    applied per batch with a per-WORKER word→length cache (a module
+    global keyed by the merge-table ref, so it survives across the
+    tasks a worker process runs; words repeat heavily, so the greedy
+    merge loop runs ~once per DISTINCT word per worker, not per
+    occurrence).  Deterministic but not
     SQL-expressible (the merge recurrence) ⇒ rows-only driver check;
     the exact gate is the hand-computed-merge and batching-
     independence pytests."""
@@ -843,10 +851,14 @@ def bpe_token_count(sf_dir: str, n_merges: int = 50) -> pa.Table:
         )
     }
     rank_ref = ray.put(rank_of)
+    ref_key = rank_ref.hex()
 
     def count_batch(batch: pa.Table) -> pa.Table:
         ranks = cached_get(rank_ref)
-        cache: dict[str, int] = {}
+        cache = _BPE_LEN_CACHE.get(ref_key)
+        if cache is None:
+            _BPE_LEN_CACHE.clear()  # one live tokenizer per worker
+            cache = _BPE_LEN_CACHE[ref_key] = {}
         out = []
         for t in batch.column("text").to_pylist():
             n = 0
