@@ -110,6 +110,38 @@ def main() -> None:
     }
     print(json.dumps({"connected_components": results["connected_components"]}))
 
+    # ---- connected components, hot-hub skew case ----------------------
+    # A 1M-leaf star: every edge shares node 0, so the large-star round
+    # co-locates the hub's entire adjacency in ONE reducer partition —
+    # the documented worst case (peak = max node degree, not graph
+    # size). Converges in one round (the star is already a star).
+    n_leaves = 1_000_000
+    star = pa.table(
+        {
+            "a": pa.array(np.zeros(n_leaves, dtype=np.int64)),
+            "b": pa.array(np.arange(1, n_leaves + 1, dtype=np.int64)),
+        }
+    )
+    shards = _pool(8)
+    ray.get([s.reset_peak.remote() for s in shards])
+    t0 = time.monotonic()
+    comp = graphops.connected_components(star, n_reducers=8)
+    wall = time.monotonic() - t0
+    peaks = ray.get([s.peak_bytes.remote() for s in _pool(8)])
+    assert comp.num_rows == n_leaves + 1
+    assert len(np.unique(comp.column("component").to_numpy())) == 1
+    results["connected_components_hot_hub"] = {
+        "edges": n_leaves,
+        "max_degree": n_leaves,
+        "wall_s": round(wall, 2),
+        "reducer_peak_mb": round(max(peaks) / 1e6, 1),
+    }
+    print(
+        json.dumps(
+            {"connected_components_hot_hub": results["connected_components_hot_hub"]}
+        )
+    )
+
     # ---- PageRank (sink form) ----------------------------------------
     out_dir = "/tmp/wir_stress_graph/pr"
     import shutil

@@ -69,6 +69,16 @@ class TestConnectedComponents:
         assert out["node"].to_pylist() == list(range(k))
         assert out["component"].to_pylist() == [0] * k
 
+    def test_star_graph_hot_hub(self):
+        # every edge shares the hub: the hub's whole adjacency lands in
+        # one partition (documented worst case) and must still resolve
+        k = 10_000
+        out = graphops.connected_components(
+            _edges_table(np.zeros(k, dtype=np.int64), np.arange(1, k + 1))
+        )
+        assert out.num_rows == k + 1
+        assert set(out["component"].to_pylist()) == {0}
+
     def test_self_loops_and_duplicates_ignored(self):
         out = graphops.connected_components(
             _edges_table([5, 5, 1, 2, 2], [5, 5, 2, 1, 1])
