@@ -128,6 +128,36 @@ class TestHTMLRendering:
         assert 'name="q"' in text  # the search form
         assert "http://localhost:8000/child/" in text
 
+    def test_base_shell_structure(self, base_url):
+        """The shell mirrors base.html's landmarks (skip-nav, grid
+        main, footer — the exact elements the reference parser strips,
+        parser.py:133-151) and links a served stylesheet."""
+        _s, _h, body = get(f"{base_url}/?format=html")
+        text = body.decode()
+        for marker in (
+            'class="skip-nav"',
+            'class="u-layout-grid" id="main"',
+            'class="o-footer"',
+            "/static/css/main.css",
+        ):
+            assert marker in text, marker
+        status, headers, css = get(f"{base_url}/static/css/main.css")
+        assert status == 200
+        assert headers["Content-Type"].startswith("text/css")
+        assert b".skip-nav__link" in css
+
+    def test_page_detail_breadcrumbs_and_title(self, base_url):
+        _s, _h, body = get(
+            f"{base_url}/page/?url=http://localhost:8000/&format=html"
+        )
+        text = body.decode()
+        assert 'class="m-breadcrumbs"' in text  # detail pages get crumbs
+        assert "<title>Sample homepage" in text
+        # the list view has no breadcrumbs (matches the reference:
+        # page_list.html renders none)
+        _s, _h, body = get(f"{base_url}/?format=html")
+        assert 'class="m-breadcrumbs"' not in body.decode()
+
     def test_search_summary_wording_html(self, base_url):
         _s, _h, body = get(f"{base_url}/?search_type=title&q=child&format=html")
         assert '2 pages with &quot;child&quot; in the page title' in body.decode()

@@ -122,10 +122,67 @@ def _esc(s) -> str:
     return html.escape(str(s if s is not None else ""))
 
 
+# Base shell mirroring the reference viewer's template structure
+# (viewer/templates/viewer/base.html): skip-nav link, grid main with a
+# breadcrumbs slot, footer — deliberately the same .skip-nav /
+# .u-layout-grid / .o-footer landmarks the reference's own PARSER
+# strips before text extraction (crawler/parser.py:133-151), so pages
+# this viewer serves are realistic crawl targets for the engine.
 _HTML_SHELL = (
-    "<!DOCTYPE html><html lang=\"en\"><head><meta charset=\"utf-8\">"
-    "<title>website-indexer viewer</title></head><body>{body}</body></html>"
+    '<!DOCTYPE html><html lang="en"><head>'
+    '<meta charset="utf-8">'
+    '<meta name="viewport" content="width=device-width, initial-scale=1">'
+    "<title>{title}</title>"
+    '<link rel="stylesheet" href="/static/css/main.css">'
+    "</head><body>"
+    '<div class="skip-nav">'
+    '<a class="skip-nav__link" href="#main">Skip to main content</a></div>'
+    '<main class="u-layout-grid" id="main">'
+    '<div class="u-layout-grid__wrapper">{breadcrumbs}'
+    '<div class="u-layout-grid__main">{body}</div>'
+    "</div></main>"
+    '<footer class="o-footer"><div class="wrapper">'
+    "Web page index viewer</div></footer>"
+    "</body></html>"
 )
+
+_BREADCRUMBS = (
+    '<div class="u-layout-grid__breadcrumbs">'
+    '<nav class="m-breadcrumbs" aria-label="Breadcrumbs">/ '
+    '<a class="m-breadcrumbs__crumb" href="/?format=html">'
+    "Web page index</a></nav></div>"
+)
+
+_DEFAULT_TITLE = "Web page index"
+
+_MAIN_CSS = """\
+:root { color-scheme: light; }
+body { margin: 0; font-family: system-ui, sans-serif; color: #101820;
+       line-height: 1.5; }
+.skip-nav__link { position: absolute; left: -9999px; }
+.skip-nav__link:focus { position: static; display: inline-block;
+                        padding: .5em; }
+.u-layout-grid__wrapper { max-width: 60rem; margin: 0 auto;
+                          padding: 1rem 1.5rem 3rem; }
+.m-breadcrumbs { font-size: .875rem; padding: .5rem 0; color: #5a5d61; }
+.m-breadcrumbs__crumb { color: #0072ce; }
+a { color: #0072ce; }
+form input[type=search] { padding: .4em; min-width: 16rem; }
+form select, form button { padding: .4em; }
+.m-notification { border-left: 4px solid #20aa3f; background: #f0f8eb;
+                  padding: .75rem 1rem; margin: 1rem 0; }
+.m-notification--warning { border-left-color: #ff9e1b;
+                           background: #fff6ec; }
+.m-list, .results-list ul { list-style: none; padding: 0; }
+.results-list__item { padding: .75rem 0; border-bottom: 1px solid #e3e4e5; }
+.results-list__item h4 { margin: 0 0 .25rem; }
+nav.pagination, nav { margin: 1rem 0; }
+table { border-collapse: collapse; }
+td, th { border: 1px solid #e3e4e5; padding: .3rem .6rem;
+         text-align: left; }
+footer.o-footer { border-top: 1px solid #e3e4e5; padding: 1rem 1.5rem;
+                  color: #5a5d61; font-size: .875rem; }
+"""
 
 
 class ViewerHandler(BaseHTTPRequestHandler):
@@ -190,6 +247,8 @@ class ViewerHandler(BaseHTTPRequestHandler):
                         ),
                     }
                 )
+            elif route == "/static/css/main.css":
+                self._send(200, _MAIN_CSS.encode(), "text/css; charset=utf-8")
             elif route == "/help":
                 if self._wants_html(qs):
                     self._html(self._render_help())
@@ -200,10 +259,13 @@ class ViewerHandler(BaseHTTPRequestHandler):
         except Exception as exc:  # pragma: no cover - defensive 500
             self._json({"detail": f"{type(exc).__name__}: {exc}"}, 500)
 
-    def _html(self, body: str):
-        self._send(
-            200, _HTML_SHELL.format(body=body).encode(), "text/html; charset=utf-8"
+    def _html(self, body: str, title: str = _DEFAULT_TITLE, crumbs: bool = False):
+        page = _HTML_SHELL.format(
+            title=_esc(title),
+            breadcrumbs=_BREADCRUMBS if crumbs else "",
+            body=body,
         )
+        self._send(200, page.encode(), "text/html; charset=utf-8")
 
     def _wants_html(self, qs: dict) -> bool:
         if qs.get("format") == "html":
@@ -396,7 +458,9 @@ class ViewerHandler(BaseHTTPRequestHandler):
                 f'<div>Language: {_esc(row["language"])}</div>'
                 f'<h2>Components</h2><ul>{comps}</ul>'
                 f'<h2>Links</h2><ul>{links}</ul>'
-                f'<h2>Text</h2><p>{_esc(row["text"])}</p>'
+                f'<h2>Text</h2><p>{_esc(row["text"])}</p>',
+                title=row["title"] or _DEFAULT_TITLE,
+                crumbs=True,  # page_detail.html renders breadcrumbs
             )
             return
         self._json(row)
