@@ -769,7 +769,15 @@ class CrawlEngine:
                 num_cpus=cfg.fetch_num_cpus,
             )
         t_w = time.monotonic()
-        records_ds.write_parquet(records_dir)
+        # Write tasks are IO-bound parquet encodes that sit idle while
+        # the latency wave drains, but the streaming executor's
+        # allocator reserves their full default CPU against the fetch
+        # op's budget — and the reservation split is slightly
+        # size-dependent, which is exactly the asymmetry the scaling
+        # measurement is sensitive to. A fractional reservation lets
+        # the fetch wave claim its configured slots-per-CPU at every
+        # cluster size.
+        records_ds.write_parquet(records_dir, ray_remote_args={"num_cpus": 0.25})
         if os.environ.get("WIR_TIMING"):
             print(f"[timing]   fetch+write={time.monotonic()-t_w:.2f}", flush=True)
         t_c = time.monotonic()
