@@ -492,6 +492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-backed but past the driver's 50-row recording window;
         # exact gate = the same SQL in tests/test_trainops.py
         "snapshot_dedup": textops.snapshot_dedup,
+        "similarity_join": textops.similarity_join,
         "group_topk": corpusops.group_topk,
         "top_terms_per_doc": textops.top_terms_per_doc,
         "doc_length_quantiles": textops.doc_length_quantiles,
@@ -574,6 +575,30 @@ def oracle_sql() -> dict[str, str]:
     _ensure_oracle_exports()
     R = f"read_parquet('{_ORACLE_RECORDS}')"
     return {
+        "similarity_join": r"""
+            WITH dtok AS (
+              SELECT DISTINCT doc_id, w FROM (
+                SELECT doc_id,
+                       unnest(string_split(lower(trim(
+                           regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+                FROM documents) WHERE w <> ''
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM dtok GROUP BY doc_id),
+            inter AS (
+              SELECT q.doc_id AS query_id, d.doc_id AS doc_id, COUNT(*) AS i
+              FROM dtok q JOIN dtok d ON q.w = d.w AND q.doc_id <> d.doc_id
+              WHERE q.doc_id % 29 = 0
+              GROUP BY 1, 2
+            )
+            SELECT i.query_id, i.doc_id,
+                   CAST((100 * i.i) // (sq.n + sd.n - i.i) AS BIGINT)
+                       AS jaccard_pct
+            FROM inter i
+            JOIN sizes sq ON sq.doc_id = i.query_id
+            JOIN sizes sd ON sd.doc_id = i.doc_id
+            WHERE 100 * i.i >= 20 * (sq.n + sd.n - i.i)
+            ORDER BY i.query_id, i.doc_id
+        """,
         "cc_source_groups": """
             SELECT doc_id,
                    CAST(MIN(doc_id) OVER (PARTITION BY source, lang)

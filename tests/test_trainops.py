@@ -1492,3 +1492,50 @@ class TestBPE:
         assert tc.num_rows == 500
         counts = tc["n_bpe_tokens"].to_pylist()
         assert min(counts) > 0
+
+
+class TestSimilarityJoin:
+    """Set-similarity join (broadcast-small-side form) vs the exact
+    token-Jaccard SQL oracle."""
+
+    SQL = r"""
+        WITH dtok AS (
+          SELECT DISTINCT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(string_split(lower(trim(
+                       regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+            FROM documents) WHERE w <> ''
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM dtok GROUP BY doc_id),
+        inter AS (
+          SELECT q.doc_id AS query_id, d.doc_id AS doc_id, COUNT(*) AS i
+          FROM dtok q JOIN dtok d ON q.w = d.w AND q.doc_id <> d.doc_id
+          WHERE q.doc_id % 29 = 0
+          GROUP BY 1, 2
+        )
+        SELECT i.query_id, i.doc_id,
+               CAST((100 * i.i) // (sq.n + sd.n - i.i) AS BIGINT)
+                   AS jaccard_pct
+        FROM inter i
+        JOIN sizes sq ON sq.doc_id = i.query_id
+        JOIN sizes sd ON sd.doc_id = i.doc_id
+        WHERE 100 * i.i >= 20 * (sq.n + sd.n - i.i)
+        ORDER BY i.query_id, i.doc_id
+    """
+
+    def test_matches_sql(self, ray_session, con):
+        from website_indexer_ray.pipelines import textops
+
+        out = textops.similarity_join(SF_DIR)
+        assert_matches_sql(out, con, self.SQL)
+
+    def test_join_invariants(self, ray_session):
+        from website_indexer_ray.pipelines import textops
+
+        out = textops.similarity_join(SF_DIR, threshold_pct=35)
+        q = out["query_id"].to_pylist()
+        d = out["doc_id"].to_pylist()
+        j = out["jaccard_pct"].to_pylist()
+        assert all(x % 29 == 0 for x in q)  # query side membership
+        assert all(a != b for a, b in zip(q, d))  # no self pairs
+        assert out.num_rows > 0 and min(j) >= 35  # threshold honored

@@ -693,6 +693,73 @@ def vocab_top_tokens(sf_dir: str, k: int = 100) -> pa.Table:
     return merged.take(order.slice(0, k))
 
 
+# --- set-similarity join ---------------------------------------------
+
+def similarity_join(
+    sf_dir: str, threshold_pct: int = 20, query_mod: int = 29
+) -> pa.Table:
+    """Set-similarity join (the streaming-set-similarity-join operator
+    class): match every document against a query set by word-token
+    Jaccard, keeping pairs with similarity ≥ threshold_pct.
+
+    Query side = docs with doc_id % query_mod == 0 (deterministic,
+    corpus-derived — no external data).  This is the broadcast-small-
+    side form: the query token sets ship once via ``ray.put`` and every
+    corpus batch joins against them in one streaming pass — no shuffle,
+    the pattern for query-against-corpus joins at 100 TB.  (Big-big
+    similarity joins go through the MinHash-LSH machinery instead:
+    minhash_lsh_pairs' bucket exchange.)  All-integer similarity
+    ((100·|∩|) // |∪|, kept when 100·|∩| ≥ t·|∪|) so the result
+    hash-matches the SQL oracle exactly."""
+    from website_indexer_ray.util import cached_get
+
+    docs = read_documents(sf_dir)
+
+    qsets: dict[int, frozenset] = {}
+    for batch in docs.iter_batches(batch_format="pyarrow"):
+        ids = batch.column("doc_id").to_pylist()
+        txts = batch.column("text").to_pylist()
+        for i, t in zip(ids, txts):
+            if i % query_mod == 0:
+                qsets[i] = frozenset(normalize_text(t).split())
+    q_ref = ray.put(sorted(qsets.items()))
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        queries = cached_get(q_ref)
+        out_q, out_d, out_j = [], [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            dset = frozenset(normalize_text(t).split())
+            if not dset:
+                continue
+            for qid, qset in queries:
+                if qid == did:
+                    continue
+                inter = len(dset & qset)
+                if not inter:
+                    continue
+                union = len(dset) + len(qset) - inter
+                if 100 * inter >= threshold_pct * union:
+                    out_q.append(qid)
+                    out_d.append(did)
+                    out_j.append((100 * inter) // union)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "jaccard_pct": pa.array(out_j, type=pa.int64()),
+            }
+        )
+
+    out = _to_table(docs.map_batches(join_batch, batch_format="pyarrow"))
+    return out.take(
+        pc.sort_indices(
+            out, sort_keys=[("query_id", "ascending"), ("doc_id", "ascending")]
+        )
+    )
+
+
 # --- BPE tokenizer training ------------------------------------------
 
 _BPE_TOKEN_RE = re.compile(r"[a-z0-9]+")
