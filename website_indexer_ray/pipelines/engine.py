@@ -833,7 +833,9 @@ class CrawlEngine:
             .groupby(["host", "salt"])
             .map_groups(fn, batch_format="pyarrow", num_cpus=cfg.fetch_num_cpus)
         )
-        records_ds.write_parquet(records_dir)
+        # Same fractional write reservation as the unsalted path (the
+        # write op's default reservation starves the fetch budget).
+        records_ds.write_parquet(records_dir, ray_remote_args={"num_cpus": 0.25})
 
     # ---- budgeted (order-sensitive) claim ---------------------------
     def _budgeted_claim_table(self, shards, total_requested: int) -> pa.Table:
