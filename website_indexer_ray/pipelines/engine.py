@@ -73,6 +73,7 @@ from website_indexer_ray.stages.fetch import (
 )
 from website_indexer_ray.stages.predicates import PredicateStage
 from website_indexer_ray.state import seen as seen_state
+from website_indexer_ray.util import cluster_cpus as _cluster_cpus_cached
 from website_indexer_ray.state.politeness import HostBudget
 
 FRONTIER_WITH_METHOD = FRONTIER_SCHEMA.append(pa.field("method", pa.string()))
@@ -777,7 +778,14 @@ class CrawlEngine:
         # measurement is sensitive to. A fractional reservation lets
         # the fetch wave claim its configured slots-per-CPU at every
         # cluster size.
-        records_ds.write_parquet(records_dir, ray_remote_args={"num_cpus": 0.25})
+        # concurrency bounds ADMISSION (each write task holds an input
+        # block + its encoded buffer) so the fractional reservation
+        # can't quadruple peak write memory on a tight node.
+        records_ds.write_parquet(
+            records_dir,
+            ray_remote_args={"num_cpus": 0.25},
+            concurrency=_cluster_cpus_cached(),
+        )
         if os.environ.get("WIR_TIMING"):
             print(f"[timing]   fetch+write={time.monotonic()-t_w:.2f}", flush=True)
         t_c = time.monotonic()
@@ -834,8 +842,13 @@ class CrawlEngine:
             .map_groups(fn, batch_format="pyarrow", num_cpus=cfg.fetch_num_cpus)
         )
         # Same fractional write reservation as the unsalted path (the
-        # write op's default reservation starves the fetch budget).
-        records_ds.write_parquet(records_dir, ray_remote_args={"num_cpus": 0.25})
+        # write op's default reservation starves the fetch budget),
+        # admission-bounded to ~one write task per CPU.
+        records_ds.write_parquet(
+            records_dir,
+            ray_remote_args={"num_cpus": 0.25},
+            concurrency=_cluster_cpus_cached(),
+        )
 
     # ---- budgeted (order-sensitive) claim ---------------------------
     def _budgeted_claim_table(self, shards, total_requested: int) -> pa.Table:

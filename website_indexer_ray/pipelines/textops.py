@@ -695,6 +695,11 @@ def vocab_top_tokens(sf_dir: str, k: int = 100) -> pa.Table:
 
 # --- set-similarity join ---------------------------------------------
 
+# Per-worker inverted index (token -> query positions) for
+# similarity_join, keyed by the broadcast ref; cleared on key change.
+_SIMJOIN_INDEX: dict[str, dict] = {}
+
+
 def similarity_join(
     sf_dir: str, threshold_pct: int = 20, query_mod: int = 29
 ) -> pa.Table:
@@ -715,17 +720,36 @@ def similarity_join(
 
     docs = read_documents(sf_dir)
 
+    # Query side built DISTRIBUTED (the decontaminate pattern): the
+    # membership filter runs in map tasks; only the small query slice
+    # is collected — the driver never streams the corpus.
+    def _is_query(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % query_mod == 0))
+
+    q_ds = docs.map_batches(_is_query, batch_format="pyarrow")
+    q_tables = [t for t in (ray.get(r) for r in q_ds.to_arrow_refs()) if t.num_rows]
     qsets: dict[int, frozenset] = {}
-    for batch in docs.iter_batches(batch_format="pyarrow"):
-        ids = batch.column("doc_id").to_pylist()
-        txts = batch.column("text").to_pylist()
-        for i, t in zip(ids, txts):
-            if i % query_mod == 0:
-                qsets[i] = frozenset(normalize_text(t).split())
+    for t in q_tables:
+        for i, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            qsets[int(i)] = frozenset(normalize_text(txt).split())
     q_ref = ray.put(sorted(qsets.items()))
 
     def join_batch(batch: pa.Table) -> pa.Table:
         queries = cached_get(q_ref)
+        # Per-worker inverted index token -> query positions: a doc is
+        # intersected only against queries sharing >= 1 token (pairs
+        # with an empty intersection were skipped anyway, so this is a
+        # pure prefilter — output identical, cost proportional to
+        # actual token overlap instead of docs x queries).
+        idx = _SIMJOIN_INDEX.get(q_ref.hex())
+        if idx is None:
+            inv: dict[str, list[int]] = {}
+            for pos, (_qid, qset) in enumerate(queries):
+                for w in qset:
+                    inv.setdefault(w, []).append(pos)
+            _SIMJOIN_INDEX.clear()  # one live query set per worker
+            idx = _SIMJOIN_INDEX[q_ref.hex()] = inv
         out_q, out_d, out_j = [], [], []
         for did, t in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
@@ -733,12 +757,16 @@ def similarity_join(
             dset = frozenset(normalize_text(t).split())
             if not dset:
                 continue
-            for qid, qset in queries:
+            cand: set[int] = set()
+            for w in dset:
+                hits = idx.get(w)
+                if hits:
+                    cand.update(hits)
+            for pos in cand:
+                qid, qset = queries[pos]
                 if qid == did:
                     continue
                 inter = len(dset & qset)
-                if not inter:
-                    continue
                 union = len(dset) + len(qset) - inter
                 if 100 * inter >= threshold_pct * union:
                     out_q.append(qid)
