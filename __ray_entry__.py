@@ -383,6 +383,16 @@ def _pagerank_pages(sf_dir: str):
     return graphops.pagerank(ds, iterations=5)
 
 
+def _triangle_counts(sf_dir: str):
+    """Per-page triangle counts in the undirected link graph
+    (degree-ordered wedge generation through one pair-keyed exchange;
+    wedge volume bounded O(m^1.5))."""
+    from website_indexer_ray.pipelines import graphops
+
+    ds = _crawl_result().ray_records(columns=["record_type", "url", "links"])
+    return graphops.triangle_count(ds, per_node=True)
+
+
 def _search_title(sf_dir: str):
     return _search_ds("title", "Section")
 
@@ -501,6 +511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_window_counts": relational.streaming_window_counts,
         "streaming_sessionize": relational.streaming_sessionize,
         "crawl_diff": _crawl_diff,
+        "triangle_counts_pages": _triangle_counts,
         "search_url": _search_url,
         "search_html": _search_html,
         # rows-only entries last — every op below is approximate or
@@ -608,6 +619,24 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "pagerank_pages": _pagerank_sql(R),
+        "triangle_counts_pages": f"""
+            WITH pages AS (SELECT url FROM {R} WHERE record_type = 'page'),
+            rawlinks AS (SELECT url AS src, unnest(links) AS dst FROM {R}
+                         WHERE record_type = 'page'),
+            ed AS (SELECT l.src, l.dst FROM rawlinks l
+                   JOIN pages p ON p.url = l.dst WHERE l.src <> l.dst),
+            e AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                                  GREATEST(src, dst) AS b FROM ed),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM e e1
+                    JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+            corners AS (SELECT x AS url FROM tri
+                        UNION ALL SELECT y FROM tri
+                        UNION ALL SELECT z FROM tri)
+            SELECT url, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM corners GROUP BY url ORDER BY url
+        """,
         "crawl_pages": f"""
             SELECT timestamp, url, title, language FROM {R}
             WHERE record_type = 'page' ORDER BY url

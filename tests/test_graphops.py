@@ -234,6 +234,53 @@ class TestPagerank:
         assert got.schema.names == ["url", "pr"]
 
 
+class TestTriangleCount:
+    def _rec(self, rows):
+        return pa.table(
+            {
+                "record_type": [r[0] for r in rows],
+                "url": [r[1] for r in rows],
+                "links": pa.array(
+                    [r[2] for r in rows], type=pa.list_(pa.string())
+                ),
+            }
+        )
+
+    def test_known_graphs(self):
+        k4 = self._rec(
+            [("page", u, [v for v in "ABCD" if v != u]) for u in "ABCD"]
+        )
+        out = graphops.triangle_count(ray.data.from_arrow(k4))
+        assert out["n_triangles"].to_pylist() == [4]
+        per = graphops.triangle_count(ray.data.from_arrow(k4), per_node=True)
+        assert per["n_triangles"].to_pylist() == [3, 3, 3, 3]
+        star = self._rec(
+            [("page", "H", ["A", "B", "C"])]
+            + [("page", u, []) for u in "ABC"]
+        )
+        assert graphops.triangle_count(ray.data.from_arrow(star))[
+            "n_triangles"
+        ].to_pylist() == [0]
+
+    def test_direction_and_duplicates_collapse(self):
+        # A->B and B->A is ONE undirected edge; duplicate links ignored
+        g = self._rec(
+            [
+                ("page", "A", ["B", "B", "C"]),
+                ("page", "B", ["A", "C"]),
+                ("page", "C", ["A"]),
+            ]
+        )
+        out = graphops.triangle_count(ray.data.from_arrow(g))
+        assert out["n_triangles"].to_pylist() == [1]
+
+    def test_empty(self):
+        g = self._rec([("error", "E", [])])
+        assert graphops.triangle_count(ray.data.from_arrow(g))[
+            "n_triangles"
+        ].to_pylist() == [0]
+
+
 class TestPagerankWrite:
     def _collect(self, ds):
         tbl = pa.concat_tables(

@@ -518,6 +518,159 @@ def pagerank(
     return out.take(pc.sort_indices(out, sort_keys=[("url", "ascending")]))
 
 
+def triangle_count(
+    records_ds, n_reducers: int = 8, per_node: bool = False
+) -> pa.Table:
+    """Triangles in the undirected crawled-page link graph — the
+    degree-ordered node-iterator (Schank 2007 / the standard MapReduce
+    form): every node emits wedges only among its HIGHER-ordered
+    neighbors (order = (degree, url)), bounding total wedge volume by
+    O(m^1.5) regardless of hot hubs, and one pair-keyed exchange
+    matches wedges against the edge set (string-exact — int keys only
+    route).  Returns one row (n_triangles) or per-node counts
+    (per_node=True; each triangle credited to all three corners).
+
+    The graph build reuses the pagerank semi-join exchange; the
+    undirected edge list held between stages is slim (two url columns,
+    same contract as the CC/near-dup pair tables)."""
+    graph = hash_exchange(
+        records_ds.map_batches(_tag_graph, batch_format="pyarrow"),
+        "key",
+        _graph_body,
+        n_reducers,
+    )
+    empty = pa.table({"n_triangles": pa.array([0], type=_I64)})
+    if graph is None:
+        return empty if not per_node else pa.table(
+            {"url": pa.array([], type=pa.string()), "n_triangles": pa.array([], type=_I64)}
+        )
+    edges = graph.filter(pc.equal(graph.column("kind"), 1))
+    if not edges.num_rows:
+        return empty if not per_node else pa.table(
+            {"url": pa.array([], type=pa.string()), "n_triangles": pa.array([], type=_I64)}
+        )
+    src = edges.column("src")
+    dst = edges.column("dst")
+    lo = pc.if_else(pc.less(src, dst), src, dst)
+    hi = pc.if_else(pc.less(src, dst), dst, src)
+    und = pa.table({"a": lo, "b": hi}).filter(pc.not_equal(lo, hi))
+    und = und.group_by(["a", "b"]).aggregate([])  # distinct undirected edges
+
+    # adjacency rows routed by hash(node); wedges need neighbor degrees,
+    # so the slim (node, degree) table broadcasts once
+    both = pa.table(
+        {
+            "node": pa.concat_arrays(
+                [und.column("a").combine_chunks(), und.column("b").combine_chunks()]
+            ),
+            "nbr": pa.concat_arrays(
+                [und.column("b").combine_chunks(), und.column("a").combine_chunks()]
+            ),
+        }
+    )
+    deg = agg_named(both, "node", [("nbr", "count")], ["node", "deg"])
+    deg_ref = ray.put(
+        dict(zip(deg.column("node").to_pylist(), deg.column("deg").to_pylist()))
+    )
+
+    def wedge_body(t: pa.Table) -> pa.Table:
+        from website_indexer_ray.util import cached_get
+
+        degs = cached_get(deg_ref)
+        adj: dict[str, list[str]] = {}
+        for u, v in zip(t.column("node").to_pylist(), t.column("nbr").to_pylist()):
+            adj.setdefault(u, []).append(v)
+        keys, aa, bb, ww, kind = [], [], [], [], []
+        for u, nbrs in adj.items():
+            ou = (degs[u], u)
+            hi_n = sorted(v for v in nbrs if (degs[v], v) > ou)
+            for i in range(len(hi_n)):
+                for j in range(i + 1, len(hi_n)):
+                    v, w = hi_n[i], hi_n[j]
+                    keys.append(_url_key(v + "\x1f" + w))
+                    aa.append(v)
+                    bb.append(w)
+                    ww.append(u)
+                    kind.append(1)
+        return pa.table(
+            {
+                "key": pa.array(keys, type=_I64),
+                "a": pa.array(aa, type=pa.string()),
+                "b": pa.array(bb, type=pa.string()),
+                "corner": pa.array(ww, type=pa.string()),
+                "kind": pa.array(kind, type=_I64),
+            }
+        )
+
+    both = both.append_column("node_key", _keys_of(both.column("node").to_pylist()))
+    wedge_tbl = hash_exchange(
+        _from_arrow_split(both, n_reducers), "node_key", wedge_body, n_reducers
+    )
+    if wedge_tbl is None:
+        return empty if not per_node else pa.table(
+            {"url": pa.array([], type=pa.string()), "n_triangles": pa.array([], type=_I64)}
+        )
+    edge_rows = pa.table(
+        {
+            "key": _keys_of(
+                [
+                    a + "\x1f" + b
+                    for a, b in zip(
+                        und.column("a").to_pylist(), und.column("b").to_pylist()
+                    )
+                ]
+            ),
+            "a": und.column("a"),
+            "b": und.column("b"),
+            "corner": pa.array([""] * und.num_rows, type=pa.string()),
+            "kind": pa.array([0] * und.num_rows, type=_I64),
+        }
+    )
+
+    def match_body(t: pa.Table) -> pa.Table:
+        e = t.filter(pc.equal(t.column("kind"), 0)).select(["a", "b"])
+        w = t.filter(pc.equal(t.column("kind"), 1))
+        if not e.num_rows or not w.num_rows:
+            return pa.table(
+                {"corner": pa.array([], type=pa.string())}
+            )
+        e = e.append_column("is_edge", pa.array([True] * e.num_rows))
+        m = w.join(e, keys=["a", "b"], join_type="inner")
+        # each matched wedge = one triangle; corners a, b and the wedge
+        # center each get credit
+        return pa.table(
+            {
+                "corner": pa.concat_arrays(
+                    [
+                        m.column("corner").combine_chunks(),
+                        m.column("a").combine_chunks(),
+                        m.column("b").combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    routed = pa.concat_tables(
+        [wedge_tbl.select(["key", "a", "b", "corner", "kind"]), edge_rows]
+    )
+    corners = hash_exchange(
+        _from_arrow_split(routed, n_reducers), "key", match_body, n_reducers
+    )
+    if corners is None or not corners.num_rows:
+        return empty if not per_node else pa.table(
+            {"url": pa.array([], type=pa.string()), "n_triangles": pa.array([], type=_I64)}
+        )
+    if not per_node:
+        return pa.table(
+            {"n_triangles": pa.array([corners.num_rows // 3], type=_I64)}
+        )
+    corners = corners.append_column(
+        "one", pa.array([1] * corners.num_rows, type=_I64)
+    )
+    out = agg_named(corners, "corner", [("one", "sum")], ["url", "n_triangles"])
+    return out.take(pc.sort_indices(out, sort_keys=[("url", "ascending")]))
+
+
 def _read_sink(sink_dir: str, schema: pa.Schema):
     """Committed exchange sink → Dataset (empty-with-schema when the
     exchange produced no rows — only a ``_SUCCESS`` manifest)."""
