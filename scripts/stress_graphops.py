@@ -148,9 +148,15 @@ def main() -> None:
 
     shutil.rmtree(out_dir, ignore_errors=True)
     urls = [f"https://stress.example/p{i}" for i in range(pr_nodes)]
-    tgt = (
-        (np.arange(pr_nodes)[:, None] * 2_654_435_761 + np.array([1, 7, 31, 101]))
-        % pr_nodes
+    # two consecutive targets (i+1, i+2: every node closes the known
+    # triangle (i, i+1, i+2)) + two pseudo-random ones
+    idx = np.arange(pr_nodes)[:, None]
+    tgt = np.concatenate(
+        [
+            (idx + np.array([1, 2])) % pr_nodes,
+            (idx * 2_654_435_761 + np.array([31, 101])) % pr_nodes,
+        ],
+        axis=1,
     )
     links = [[urls[j] for j in row] for row in tgt]
     records = pa.table(
@@ -187,6 +193,24 @@ def main() -> None:
         "mass_ratio": round(total_mass / 10**12, 4),
     }
     print(json.dumps({"pagerank_write": results["pagerank_write"]}))
+
+    # ---- triangle counting over the same 500k-node link graph --------
+    shards = _pool(8)
+    ray.get([s.reset_peak.remote() for s in shards])
+    t0 = time.monotonic()
+    tri = graphops.triangle_count(ds, n_reducers=8)
+    wall = time.monotonic() - t0
+    peaks = ray.get([s.peak_bytes.remote() for s in _pool(8)])
+    n_tri = int(tri.column("n_triangles")[0].as_py())
+    assert n_tri >= pr_nodes - 2, n_tri  # every (i, i+1, i+2) planted
+    results["triangle_count"] = {
+        "nodes": pr_nodes,
+        "edges": int(tgt.size),
+        "triangles": n_tri,
+        "wall_s": round(wall, 2),
+        "reducer_peak_mb": round(max(peaks) / 1e6, 1),
+    }
+    print(json.dumps({"triangle_count": results["triangle_count"]}))
     print(json.dumps({"summary": results}))
     ray.shutdown()
 
