@@ -92,6 +92,37 @@ class TestConnectedComponents:
         assert out.schema.names == ["node", "component"]
 
 
+class TestConnectedComponentsWrite:
+    def _collect(self, ds):
+        tbl = pa.concat_tables(
+            [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+        )
+        return sorted(zip(tbl["node"].to_pylist(), tbl["component"].to_pylist()))
+
+    def test_sink_form_matches_table_mode_and_resumes(self, tmp_path):
+        import os
+
+        rng = np.random.default_rng(11)
+        a = rng.integers(0, 300, 500).astype(np.int64)
+        b = rng.integers(0, 300, 500).astype(np.int64)
+        tbl = _edges_table(a, b)
+        expected = graphops.connected_components(tbl)
+        exp = list(
+            zip(expected["node"].to_pylist(), expected["component"].to_pylist())
+        )
+        out = str(tmp_path / "cc")
+        ds = ray.data.from_arrow([tbl.slice(i, 100) for i in range(0, 500, 100)])
+        got = graphops.connected_components_write(ds, out)
+        assert self._collect(got) == exp
+        # committed rounds are reused: uncommit ONLY the final
+        # components stage and re-run — round dirs keep their mtimes
+        os.remove(os.path.join(out, "components", "_SUCCESS"))
+        stamp = os.path.getmtime(os.path.join(out, "round-0", "_SUCCESS"))
+        got2 = graphops.connected_components_write(ds, out)
+        assert self._collect(got2) == exp
+        assert os.path.getmtime(os.path.join(out, "round-0", "_SUCCESS")) == stamp
+
+
 class TestGraphProperties:
     """Hypothesis property tests: the distributed algorithms equal
     their sequential references on arbitrary small graphs (shrinking

@@ -187,6 +187,172 @@ def connected_components(
     )
 
 
+def connected_components_write(
+    edges_ds,
+    out_dir: str,
+    n_reducers: int = 8,
+    max_rounds: int = 64,
+):
+    """Sink form of ``connected_components`` for edge sets too big for
+    the driver: every star round lands in its own committed parquet
+    dir under ``out_dir`` and the next round STREAMS from it; the
+    convergence signature (count + orderless checksum) is a tiny
+    streaming aggregate per round, so nothing O(edges) ever
+    materializes driver-side.  A killed run resumes at the last
+    committed round (same ``_SUCCESS`` protocol as ``pagerank_write``).
+    Input: a Dataset with NON-NEGATIVE int64 columns (a, b) — the
+    root-resolution exchange uses -1 as the parent-role sentinel.
+    Returns the final (node, component) Dataset reading the committed
+    result."""
+    import json
+    import os
+
+    from website_indexer_ray.state.exchange import sink_committed
+
+    def _round_in(ds, large: bool):
+        def build(b: pa.Table) -> pa.Table:
+            a = b.column("a").to_numpy(zero_copy_only=False)
+            w = b.column("b").to_numpy(zero_copy_only=False)
+            loop = a != w
+            a, w = a[loop], w[loop]
+            if large:
+                k = np.concatenate([a, w])
+                v = np.concatenate([w, a])
+            else:
+                k = np.maximum(a, w)
+                v = np.minimum(a, w)
+            return pa.table(
+                {"k": pa.array(k, type=_I64), "w": pa.array(v, type=_I64)}
+            )
+
+        return ds.map_batches(build, batch_format="pyarrow")
+
+    def _sig_of(ds) -> tuple[int, int]:
+        def part(b: pa.Table) -> pa.Table:
+            n, s = _edge_sig(
+                b.column("a").to_numpy(zero_copy_only=False),
+                b.column("b").to_numpy(zero_copy_only=False),
+            )
+            return pa.table(
+                {"n": pa.array([n], type=_I64), "s": pa.array([s % (2**63)], type=_I64)}
+            )
+
+        tot_n, tot_s = 0, 0
+        for batch in ds.map_batches(part, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            tot_n += sum(batch.column("n").to_pylist())
+            tot_s = (tot_s + sum(batch.column("s").to_pylist())) % (2**63)
+        return tot_n, tot_s
+
+    edge_schema = pa.schema([("a", _I64), ("b", _I64)])
+    sig_path = os.path.join(out_dir, "round_sigs.json")
+    os.makedirs(out_dir, exist_ok=True)
+    sigs: dict[str, list] = {}
+    if os.path.exists(sig_path):
+        with open(sig_path) as f:
+            sigs = json.load(f)
+
+    cur = edges_ds
+    prev_sig = None
+    final_round = None
+    for i in range(max_rounds):
+        rd_dir = os.path.join(out_dir, f"round-{i}")
+        if not sink_committed(rd_dir):
+            ldir = os.path.join(out_dir, f"round-{i}-large")
+            if not sink_committed(ldir):
+                hash_exchange(
+                    _round_in(cur, True), "k", _large_star_body, n_reducers,
+                    sink_dir=ldir,
+                )
+            hash_exchange(
+                _read_sink(ldir, edge_schema).map_batches(
+                    lambda b: pa.table(
+                        {
+                            "k": pc.max_element_wise(b.column("a"), b.column("b")),
+                            "w": pc.min_element_wise(b.column("a"), b.column("b")),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                ),
+                "k",
+                _small_star_body,
+                n_reducers,
+                sink_dir=rd_dir,
+            )
+        cur = _read_sink(rd_dir, edge_schema)
+        key = f"round-{i}"
+        if key not in sigs:
+            sigs[key] = list(_sig_of(cur))
+            tmp = sig_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(sigs, f)
+            os.replace(tmp, sig_path)
+        sig = tuple(sigs[key])
+        if sig == prev_sig:
+            final_round = i
+            break
+        prev_sig = sig
+    else:  # pragma: no cover - O(log n) bound
+        raise RuntimeError(f"no fixpoint in {max_rounds} rounds")
+
+    # stars -> (node, component): children are (a -> b); roots (parents
+    # that are nobody's child) map to themselves — resolved per
+    # partition by one node-keyed exchange, never a driver set-diff.
+    out_final = os.path.join(out_dir, "components")
+    if not sink_committed(out_final):
+        def emit_roles(b: pa.Table) -> pa.Table:
+            a = b.column("a")
+            bb = b.column("b")
+            n = b.num_rows
+            return pa.table(
+                {
+                    "key": pa.concat_arrays(
+                        [a.combine_chunks(), bb.combine_chunks()]
+                    ),
+                    "node": pa.concat_arrays(
+                        [a.combine_chunks(), bb.combine_chunks()]
+                    ),
+                    "comp": pa.concat_arrays(
+                        [
+                            bb.combine_chunks(),
+                            pa.array([-1] * n, type=_I64),
+                        ]
+                    ),
+                }
+            )
+
+        def resolve_roles(t: pa.Table) -> pa.Table:
+            node = t.column("node").to_numpy(zero_copy_only=False)
+            comp = t.column("comp").to_numpy(zero_copy_only=False)
+            order = np.lexsort((comp, node))
+            node, comp = node[order], comp[order]
+            bounds = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+            # per node: child rows carry comp >= 0 (a appears once as a
+            # child at the fixpoint); root-only nodes have max comp -1
+            gmax = np.maximum.reduceat(comp, bounds)
+            nodes = node[bounds]
+            out_comp = np.where(gmax < 0, nodes, gmax)
+            return pa.table(
+                {
+                    "node": pa.array(nodes, type=_I64),
+                    "component": pa.array(out_comp, type=_I64),
+                }
+            )
+
+        hash_exchange(
+            _read_sink(os.path.join(out_dir, f"round-{final_round}"), edge_schema)
+            .map_batches(emit_roles, batch_format="pyarrow"),
+            "key",
+            resolve_roles,
+            n_reducers,
+            sink_dir=out_final,
+        )
+    return _read_sink(
+        out_final, pa.schema([("node", _I64), ("component", _I64)])
+    )
+
+
 def _chain_body(t: pa.Table) -> pa.Table:
     """Partition body: per group key, chain the sorted member ids as
     consecutive edges (a path graph).  The chain construction makes
