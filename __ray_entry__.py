@@ -188,6 +188,17 @@ def _crawl_diff(sf_dir: str):
     return crawl_diff(a, b)
 
 
+def _recrawl_priority(sf_dir: str):
+    """Adaptive recrawl schedule for the next nightly crawl: changed
+    pages first, then added, then stable — the incremental path the
+    reference lacks."""
+    from website_indexer_ray.pipelines.recrawl import _DIFF_COLUMNS, recrawl_priority
+
+    a = _crawl_result().ray_records(columns=_DIFF_COLUMNS)
+    b = _crawl_result(tag="m").ray_records(columns=_DIFF_COLUMNS)
+    return recrawl_priority(a, b)
+
+
 def _crawl_seen(sf_dir: str):
     return _crawl_result().ray_seen().sort("url")
 
@@ -511,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_window_counts": relational.streaming_window_counts,
         "streaming_sessionize": relational.streaming_sessionize,
         "crawl_diff": _crawl_diff,
+        "recrawl_priority": _recrawl_priority,
         "triangle_counts_pages": _triangle_counts,
         "search_url": _search_url,
         "search_html": _search_html,
@@ -814,6 +826,17 @@ def oracle_sql() -> dict[str, str]:
             FROM a FULL OUTER JOIN b ON a.url = b.url
             WHERE a.url IS NULL OR b.url IS NULL OR a.html <> b.html
             ORDER BY url
+        """,
+        "recrawl_priority": f"""
+            WITH a AS (SELECT url, html FROM {R} WHERE record_type = 'page'),
+                 b AS (SELECT url, html FROM read_parquet('{_ORACLE_RECORDS_M}')
+                       WHERE record_type = 'page')
+            SELECT b.url,
+                   CAST(CASE WHEN a.url IS NULL THEN 1
+                             WHEN a.html <> b.html THEN 0
+                             ELSE 2 END AS BIGINT) AS priority
+            FROM b LEFT JOIN a ON a.url = b.url
+            ORDER BY priority, b.url
         """,
         # the streaming form finalizes the identical windows (ordered
         # source + watermark semantics), so the batch SQL IS its oracle

@@ -715,7 +715,9 @@ class TestCrawlDiff:
     def test_identical_snapshots_empty_diff(self, ray_session, tmp_path):
         from website_indexer_ray.config import CrawlConfig
         from website_indexer_ray.pipelines.recrawl import (
+            _DIFF_COLUMNS,
             crawl_diff_from_checkpoints,
+            recrawl_priority,
         )
 
         corpus, seeds = generate_corpus(n_pages=30, seed=42)
@@ -725,3 +727,56 @@ class TestCrawlDiff:
         run_engine(corpus, seeds, cfg, a_out)
         run_engine(corpus, seeds, cfg, b_out)
         assert crawl_diff_from_checkpoints(a_out, b_out).num_rows == 0
+        # identical snapshots -> every page stable (priority 2),
+        # exactly B's page set, url-sorted within the priority band
+        from website_indexer_ray.pipelines.engine import CrawlResult
+
+        pri = recrawl_priority(
+            CrawlResult(a_out).ray_records(columns=_DIFF_COLUMNS),
+            CrawlResult(b_out).ray_records(columns=_DIFF_COLUMNS),
+        )
+        assert set(pri.column("priority").to_pylist()) == {2}
+        urls = pri.column("url").to_pylist()
+        assert urls == sorted(urls) and len(urls) > 0
+
+    def test_recrawl_priority_bands(self, ray_session, tmp_path):
+        """Changed pages outrank added, added outrank stable; removed
+        pages never appear (nothing to fetch)."""
+        from website_indexer_ray.config import CrawlConfig
+        from website_indexer_ray.fixtures.gen import mutate_corpus_rev2
+        from website_indexer_ray.pipelines.engine import CrawlResult
+        from website_indexer_ray.pipelines.recrawl import (
+            _DIFF_COLUMNS,
+            crawl_diff_from_checkpoints,
+            recrawl_priority,
+        )
+
+        corpus, seeds = generate_corpus(n_pages=60, seed=42)
+        cfg = CrawlConfig(start_url=START_URL, n_seen_shards=4,
+                          fetch_concurrency=4)
+        a_out, b_out = str(tmp_path / "a"), str(tmp_path / "b")
+        run_engine(corpus, seeds, cfg, a_out)
+        run_engine(mutate_corpus_rev2(corpus), seeds, cfg, b_out)
+
+        diff = crawl_diff_from_checkpoints(a_out, b_out)
+        by_class = {
+            c: {u for u, cc in zip(diff.column("url").to_pylist(),
+                                   diff.column("change").to_pylist()) if cc == c}
+            for c in ("added", "removed", "changed")
+        }
+        pri = recrawl_priority(
+            CrawlResult(a_out).ray_records(columns=_DIFF_COLUMNS),
+            CrawlResult(b_out).ray_records(columns=_DIFF_COLUMNS),
+        )
+        got = dict(zip(pri.column("url").to_pylist(),
+                       pri.column("priority").to_pylist()))
+        assert by_class["changed"] and by_class["added"]  # both present
+        assert all(got[u] == 0 for u in by_class["changed"])
+        assert all(got[u] == 1 for u in by_class["added"])
+        assert not (by_class["removed"] & set(got))
+        rest = set(got) - by_class["changed"] - by_class["added"]
+        assert rest and all(got[u] == 2 for u in rest)
+        # output ordering: priority bands, url-sorted within each
+        pairs = list(zip(pri.column("priority").to_pylist(),
+                         pri.column("url").to_pylist()))
+        assert pairs == sorted(pairs)

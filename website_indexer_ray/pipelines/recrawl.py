@@ -117,6 +117,71 @@ def crawl_diff(records_a, records_b) -> pa.Table:
     return out.take(pc.sort_indices(out, sort_keys=[("url", "ascending")]))
 
 
+def recrawl_priority(records_a, records_b) -> pa.Table:
+    """Adaptive recrawl scheduling from two nightly snapshots: every
+    page of the NEWER snapshot (B) gets a fetch priority for the next
+    crawl — 0 = changed since A (demonstrably volatile), 1 = newly
+    added (no history yet), 2 = unchanged (stable).  Removed pages
+    have nothing to fetch and are excluded.  This is the incremental
+    path the reference lacks (it re-crawls everything nightly at equal
+    priority): a budgeted recrawl takes the priority-ordered prefix.
+
+    Scale shape: the classified delta (``crawl_diff`` — slim rows,
+    ≪ pages for a nightly delta) broadcasts once via ``ray.put``;
+    B's pages stream through one map_batches that assigns priorities
+    by lookup. Returns (url, priority) sorted by (priority, url)."""
+    import ray
+
+    from website_indexer_ray.util import cached_get
+
+    diff = crawl_diff(records_a, records_b)
+    pri = {
+        u: (0 if c == "changed" else 1)
+        for u, c in zip(
+            diff.column("url").to_pylist(), diff.column("change").to_pylist()
+        )
+        if c != "removed"
+    }
+    ref = ray.put(pri)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lookup = cached_get(ref)
+        pages = batch.filter(pc.equal(batch.column("record_type"), "page"))
+        urls = pages.column("url").to_pylist()
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "priority": pa.array(
+                    [lookup.get(u, 2) for u in urls], type=pa.int64()
+                ),
+            }
+        )
+
+    parts = [
+        t
+        for t in (
+            pa.table(b)
+            for b in records_b.map_batches(
+                assign, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow")
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "url": pa.array([], type=pa.string()),
+                "priority": pa.array([], type=pa.int64()),
+            }
+        )
+    out = pa.concat_tables(parts)
+    return out.take(
+        pc.sort_indices(
+            out, sort_keys=[("priority", "ascending"), ("url", "ascending")]
+        )
+    )
+
+
 def crawl_diff_from_checkpoints(out_a: str, out_b: str) -> pa.Table:
     """Convenience form over two crawl checkpoint dirs."""
     from website_indexer_ray.pipelines.engine import CrawlResult
