@@ -11,9 +11,12 @@ structure; no external data):
     1.5M random extra edges over another 500k nodes — chains force
     multi-hop propagation, randoms give realistic component mixing.
     Ground truth = a driver union-find over the same edge list.
-  - PR graph: 500k pages, each linking to 4 deterministic pseudo-
-    random targets (2M edges).  Checked for mass conservation
-    (integer mass only ever shrinks) and node coverage.
+  - PR graph: 500k pages, each linking to its 2 consecutive neighbors
+    (planting the triangle (i, i+1, i+2) at every node) plus 2
+    deterministic pseudo-random targets (2M edges).  PageRank is
+    checked for mass conservation (integer mass only ever shrinks)
+    and node coverage; triangle counting must find exactly the
+    500k planted triangles.
 
 Usage: python scripts/stress_graphops.py [n_chains] [chain_len] [n_random_nodes] [pr_nodes]
 Prints one JSON line per op and a summary line.

@@ -121,6 +121,10 @@ class TestConnectedComponentsWrite:
         got2 = graphops.connected_components_write(ds, out)
         assert self._collect(got2) == exp
         assert os.path.getmtime(os.path.join(out, "round-0", "_SUCCESS")) == stamp
+        # resume with different parameters must refuse, not silently
+        # serve the previous run's components
+        with pytest.raises(ValueError, match="different parameters"):
+            graphops.connected_components_write(ds, out, n_reducers=4)
 
 
 class TestGraphProperties:

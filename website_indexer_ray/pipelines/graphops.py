@@ -202,25 +202,45 @@ def connected_components_write(
     committed round (same ``_SUCCESS`` protocol as ``pagerank_write``).
     Input: a Dataset with NON-NEGATIVE int64 columns (a, b) — the
     root-resolution exchange uses -1 as the parent-role sentinel.
-    Returns the final (node, component) Dataset reading the committed
-    result."""
+    One out_dir == one (input, params) run (the crawl-checkpoint
+    contract): resuming with different parameters raises; a changed
+    INPUT needs a fresh dir (input identity is not fingerprinted,
+    same as ``pagerank_write``).  Returns the final (node, component)
+    Dataset reading the committed result."""
     import json
     import os
 
     from website_indexer_ray.state.exchange import sink_committed
 
-    def _round_in(ds, large: bool):
+    params = {"n_reducers": n_reducers, "max_rounds": max_rounds}
+    meta_path = os.path.join(out_dir, "meta.json")
+    os.makedirs(out_dir, exist_ok=True)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if {k: meta.get(k) for k in params} != params:
+            raise ValueError(
+                f"connected_components_write resume with different "
+                f"parameters: committed {meta} vs requested {params}; "
+                f"use a fresh out_dir"
+            )
+    else:
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(params, f)
+        os.replace(tmp, meta_path)
+
+    def _round_in(ds):
+        """Large-star routed input: both directions, self-loops
+        dropped."""
+
         def build(b: pa.Table) -> pa.Table:
             a = b.column("a").to_numpy(zero_copy_only=False)
             w = b.column("b").to_numpy(zero_copy_only=False)
             loop = a != w
             a, w = a[loop], w[loop]
-            if large:
-                k = np.concatenate([a, w])
-                v = np.concatenate([w, a])
-            else:
-                k = np.maximum(a, w)
-                v = np.minimum(a, w)
+            k = np.concatenate([a, w])
+            v = np.concatenate([w, a])
             return pa.table(
                 {"k": pa.array(k, type=_I64), "w": pa.array(v, type=_I64)}
             )
@@ -262,7 +282,7 @@ def connected_components_write(
             ldir = os.path.join(out_dir, f"round-{i}-large")
             if not sink_committed(ldir):
                 hash_exchange(
-                    _round_in(cur, True), "k", _large_star_body, n_reducers,
+                    _round_in(cur), "k", _large_star_body, n_reducers,
                     sink_dir=ldir,
                 )
             hash_exchange(
@@ -705,16 +725,21 @@ def triangle_count(
         _graph_body,
         n_reducers,
     )
-    empty = pa.table({"n_triangles": pa.array([0], type=_I64)})
+    def _empty_tri() -> pa.Table:
+        if per_node:
+            return pa.table(
+                {
+                    "url": pa.array([], type=pa.string()),
+                    "n_triangles": pa.array([], type=_I64),
+                }
+            )
+        return pa.table({"n_triangles": pa.array([0], type=_I64)})
+
     if graph is None:
-        return empty if not per_node else pa.table(
-            {"url": pa.array([], type=pa.string()), "n_triangles": pa.array([], type=_I64)}
-        )
+        return _empty_tri()
     edges = graph.filter(pc.equal(graph.column("kind"), 1))
     if not edges.num_rows:
-        return empty if not per_node else pa.table(
-            {"url": pa.array([], type=pa.string()), "n_triangles": pa.array([], type=_I64)}
-        )
+        return _empty_tri()
     src = edges.column("src")
     dst = edges.column("dst")
     lo = pc.if_else(pc.less(src, dst), src, dst)
@@ -768,30 +793,36 @@ def triangle_count(
             }
         )
 
-    both = both.append_column("node_key", _keys_of(both.column("node").to_pylist()))
+    # routing keys hashed INSIDE map tasks (the _tag_graph pattern) —
+    # never a single-threaded driver pass over the edge list
+    def _add_node_key(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "node_key", _keys_of(b.column("node").to_pylist())
+        )
+
     wedge_tbl = hash_exchange(
-        _from_arrow_split(both, n_reducers), "node_key", wedge_body, n_reducers
+        _from_arrow_split(both, n_reducers).map_batches(
+            _add_node_key, batch_format="pyarrow"
+        ),
+        "node_key",
+        wedge_body,
+        n_reducers,
     )
     if wedge_tbl is None:
-        return empty if not per_node else pa.table(
-            {"url": pa.array([], type=pa.string()), "n_triangles": pa.array([], type=_I64)}
+        return _empty_tri()
+
+    def _edge_rows_batch(b: pa.Table) -> pa.Table:
+        aa = b.column("a").to_pylist()
+        bb = b.column("b").to_pylist()
+        return pa.table(
+            {
+                "key": _keys_of([x + "\x1f" + y for x, y in zip(aa, bb)]),
+                "a": b.column("a"),
+                "b": b.column("b"),
+                "corner": pa.array([""] * b.num_rows, type=pa.string()),
+                "kind": pa.array([0] * b.num_rows, type=_I64),
+            }
         )
-    edge_rows = pa.table(
-        {
-            "key": _keys_of(
-                [
-                    a + "\x1f" + b
-                    for a, b in zip(
-                        und.column("a").to_pylist(), und.column("b").to_pylist()
-                    )
-                ]
-            ),
-            "a": und.column("a"),
-            "b": und.column("b"),
-            "corner": pa.array([""] * und.num_rows, type=pa.string()),
-            "kind": pa.array([0] * und.num_rows, type=_I64),
-        }
-    )
 
     def match_body(t: pa.Table) -> pa.Table:
         e = t.filter(pc.equal(t.column("kind"), 0)).select(["a", "b"])
@@ -800,7 +831,6 @@ def triangle_count(
             return pa.table(
                 {"corner": pa.array([], type=pa.string())}
             )
-        e = e.append_column("is_edge", pa.array([True] * e.num_rows))
         m = w.join(e, keys=["a", "b"], join_type="inner")
         # each matched wedge = one triangle; corners a, b and the wedge
         # center each get credit
@@ -816,16 +846,16 @@ def triangle_count(
             }
         )
 
-    routed = pa.concat_tables(
-        [wedge_tbl.select(["key", "a", "b", "corner", "kind"]), edge_rows]
-    )
-    corners = hash_exchange(
-        _from_arrow_split(routed, n_reducers), "key", match_body, n_reducers
-    )
-    if corners is None or not corners.num_rows:
-        return empty if not per_node else pa.table(
-            {"url": pa.array([], type=pa.string()), "n_triangles": pa.array([], type=_I64)}
+    routed = _from_arrow_split(
+        wedge_tbl.select(["key", "a", "b", "corner", "kind"]), n_reducers
+    ).union(
+        _from_arrow_split(und, n_reducers).map_batches(
+            _edge_rows_batch, batch_format="pyarrow"
         )
+    )
+    corners = hash_exchange(routed, "key", match_body, n_reducers)
+    if corners is None or not corners.num_rows:
+        return _empty_tri()
     if not per_node:
         return pa.table(
             {"n_triangles": pa.array([corners.num_rows // 3], type=_I64)}

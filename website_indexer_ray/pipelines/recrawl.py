@@ -157,11 +157,14 @@ def recrawl_priority(records_a, records_b) -> pa.Table:
             }
         )
 
+    # the priority pass needs only (record_type, url) — drop html
+    # before the map so B's page bodies are not shipped a second time
+    slim_b = records_b.select_columns(["record_type", "url"])
     parts = [
         t
         for t in (
             pa.table(b)
-            for b in records_b.map_batches(
+            for b in slim_b.map_batches(
                 assign, batch_format="pyarrow"
             ).iter_batches(batch_format="pyarrow")
         )
