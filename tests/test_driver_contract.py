@@ -27,6 +27,26 @@ def test_first_50_queries_are_oracle_backed(monkeypatch):
     )
 
 
+def test_round3_oracle_tail_rotated_into_window(monkeypatch):
+    """Round-4 rotation: the 12 oracle-backed queries that sat past the
+    driver's 50-row recording window in round 3 must now be INSIDE it,
+    so CORRECTNESS_r04 hard-gates them (VERDICT r3 'Next round' #1)."""
+    e = _entry_module(monkeypatch)
+    head = set(list(e.queries().keys())[:50])
+    rotated_in = {
+        "snapshot_dedup", "similarity_join", "group_topk",
+        "top_terms_per_doc", "doc_length_quantiles",
+        "streaming_window_counts", "streaming_sessionize",
+        "crawl_diff", "recrawl_priority", "triangle_counts_pages",
+        "search_url", "search_html",
+    }
+    missing = sorted(rotated_in - head)
+    assert not missing, (
+        f"round-3 tail oracle queries fell back out of the driver's "
+        f"50-row window: {missing}"
+    )
+
+
 def test_every_oracle_has_a_query(monkeypatch):
     e = _entry_module(monkeypatch)
     q = set(e.queries().keys())
