@@ -375,6 +375,82 @@ class TestTriangleCount:
         ].to_pylist() == [0]
 
 
+class TestTriangleCountWrite:
+    def _random_graph(self, n=60, m=220, seed=7):
+        rng = np.random.default_rng(seed)
+        urls = [f"https://t.example/p{i}" for i in range(n)]
+        links = [set() for _ in range(n)]
+        for _ in range(m):
+            x, y = rng.integers(0, n, size=2)
+            if x != y:
+                links[x].add(urls[y])
+        return pa.table(
+            {
+                "record_type": ["page"] * n,
+                "url": urls,
+                "links": pa.array(
+                    [sorted(l) for l in links], type=pa.list_(pa.string())
+                ),
+            }
+        )
+
+    def _collect(self, ds):
+        tbl = pa.concat_tables(
+            [t for t in (ray.get(r) for r in ds.to_arrow_refs()) if t.num_rows]
+        )
+        return tbl.take(
+            pa.compute.sort_indices(tbl, sort_keys=[("url", "ascending")])
+        )
+
+    def test_sink_form_matches_table_mode_and_resumes(self, tmp_path):
+        g = self._random_graph()
+        expected = graphops.triangle_count(
+            ray.data.from_arrow(g), n_reducers=4, per_node=True
+        )
+        out = self._collect(
+            graphops.triangle_count_write(
+                ray.data.from_arrow(g), str(tmp_path / "tri"), n_reducers=4
+            )
+        )
+        assert out.to_pydict() == expected.to_pydict()
+        # resume: nuke the final counts sink; earlier committed stages
+        # must be reused and the result identical
+        import shutil
+
+        shutil.rmtree(tmp_path / "tri" / "counts")
+        out2 = self._collect(
+            graphops.triangle_count_write(
+                ray.data.from_arrow(g), str(tmp_path / "tri"), n_reducers=4
+            )
+        )
+        assert out2.to_pydict() == expected.to_pydict()
+
+    def test_resume_with_different_params_refuses(self, tmp_path):
+        g = self._random_graph(n=10, m=20)
+        graphops.triangle_count_write(
+            ray.data.from_arrow(g), str(tmp_path / "t"), n_reducers=4
+        )
+        with pytest.raises(ValueError, match="different parameters"):
+            graphops.triangle_count_write(
+                ray.data.from_arrow(g), str(tmp_path / "t"), n_reducers=2
+            )
+
+
+class TestCCSinkAutoSwitch:
+    def test_equality_across_the_switch_boundary(self):
+        """The driver form and the auto-switched sink form must agree
+        bit-for-bit on the same graph (threshold forced to 0 edges)."""
+        rng = np.random.default_rng(11)
+        a = rng.integers(0, 500, size=800)
+        b = rng.integers(0, 500, size=800)
+        tbl = _edges_table(a, b)
+        driver = graphops.connected_components(tbl, n_reducers=4)
+        switched = graphops.connected_components(
+            tbl, n_reducers=4, sink_threshold=0
+        )
+        assert switched.to_pydict() == driver.to_pydict()
+
+
 class TestPagerankWrite:
     def _collect(self, ds):
         tbl = pa.concat_tables(

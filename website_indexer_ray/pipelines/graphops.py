@@ -134,12 +134,20 @@ def _empty_cc() -> pa.Table:
     )
 
 
+# Above this many post-dedup edges the driver form delegates to the
+# sink-chained ``connected_components_write`` (the adaptive pattern
+# exact_dedup uses), so the inter-round edge table never grows
+# driver-side past ~2 int64 columns × threshold ≈ 160 MB.
+_CC_SINK_THRESHOLD = 10_000_000
+
+
 def connected_components(
     edges: pa.Table,
     a_col: str = "a",
     b_col: str = "b",
     n_reducers: int = 8,
     max_rounds: int = 64,
+    sink_threshold: int = _CC_SINK_THRESHOLD,
 ) -> pa.Table:
     """Connected components of an undirected int64 edge list →
     (node, component) where component = min node id of the component.
@@ -148,14 +156,37 @@ def connected_components(
 
     Alternates large-star / small-star exchanges until the edge set is
     stable; at the fixpoint every component is a star rooted at its
-    minimum node (Kiveris et al. 2014, Thm 1-3)."""
+    minimum node (Kiveris et al. 2014, Thm 1-3).  Above
+    ``sink_threshold`` post-dedup edges the rounds chain through
+    committed parquet sinks (``connected_components_write``) instead
+    of driver-resident arrays; only the O(nodes) result returns."""
     a = edges.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
     b = edges.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
     loop = a != b
     a, b = _dedup_edges(a[loop], b[loop])
     if not len(a):
         return _empty_cc()
-    sig = None
+    if len(a) > sink_threshold:
+        import tempfile
+
+        with tempfile.TemporaryDirectory(prefix="wir_cc_") as td:
+            out_ds = connected_components_write(
+                _from_arrow_split(
+                    pa.table(
+                        {"a": pa.array(a, type=_I64), "b": pa.array(b, type=_I64)}
+                    ),
+                    n_reducers,
+                ),
+                td,
+                n_reducers=n_reducers,
+                max_rounds=max_rounds,
+            )
+            parts = [t for t in (ray.get(r) for r in out_ds.to_arrow_refs())
+                     if t.num_rows]
+            tbl = pa.concat_tables(parts) if parts else _empty_cc()
+        order = pc.sort_indices(tbl, sort_keys=[("node", "ascending")])
+        return tbl.take(order).combine_chunks()
+    prev_a = prev_b = None
     for _ in range(max_rounds):
         out = hash_exchange(
             _route_edges(a, b, True, n_reducers), "k", _large_star_body, n_reducers
@@ -169,10 +200,19 @@ def connected_components(
             out.column("a").to_numpy(zero_copy_only=False),
             out.column("b").to_numpy(zero_copy_only=False),
         )
-        new_sig = _edge_sig(a, b)
-        if new_sig == sig:
+        # exact fixpoint test: both arrays are canonical after
+        # _dedup_edges (lexsorted, unique), so np.array_equal is the
+        # true edge-set comparison — a checksum collision can't
+        # terminate early.  The streaming signature remains only in
+        # connected_components_write, where exact comparison would be
+        # O(edges) on the driver.
+        if (
+            prev_a is not None
+            and np.array_equal(a, prev_a)
+            and np.array_equal(b, prev_b)
+        ):
             break
-        sig = new_sig
+        prev_a, prev_b = a, b
     else:  # pragma: no cover - O(log n) bound makes this unreachable
         raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
     roots = np.setdiff1d(np.unique(b), a)
@@ -374,17 +414,23 @@ def connected_components_write(
 
 
 def _chain_body(t: pa.Table) -> pa.Table:
-    """Partition body: per group key, chain the sorted member ids as
+    """Partition body: per group, chain the sorted member ids as
     consecutive edges (a path graph).  The chain construction makes
     the downstream oracle trivial (min per group) while forcing the
     CC ALGORITHM to do real multi-hop work — a group of k members is
     a path needing O(log k) star rounds, not a clique the first round
-    would collapse."""
+    would collapse.
+
+    The 63-bit ``gkey`` only ROUTES; group identity is the exact
+    ``gstr`` string shipped alongside it (the crawl_diff pattern:
+    hash routes, strings compare), so a gkey collision between two
+    distinct groups cannot merge their components."""
     h = t.column("gkey").to_numpy(zero_copy_only=False)
+    g = np.asarray(t.column("gstr").to_pylist(), dtype=object)
     d = t.column("doc_id").to_numpy(zero_copy_only=False)
-    order = np.lexsort((d, h))
-    h, d = h[order], d[order]
-    same = h[1:] == h[:-1]
+    order = np.lexsort((d, g, h))
+    h, g, d = h[order], g[order], d[order]
+    same = (h[1:] == h[:-1]) & (g[1:] == g[:-1])
     return pa.table(
         {
             "a": pa.array(d[:-1][same], type=_I64),
@@ -417,14 +463,19 @@ def cc_dup_groups(sf_dir: str, n_reducers: int = 8) -> pa.Table:
     )
 
     def hash_batch(batch: pa.Table) -> pa.Table:
-        hashes = [
-            _content_hash64(normalize_text(t)) & 0x7FFFFFFFFFFFFFFF
-            for t in batch.column("text").to_pylist()
-        ]
+        # gkey routes; the normalized text itself is the exact group
+        # identity (gstr) compared after routing, so a 63-bit hash
+        # collision cannot merge distinct duplicate groups.  Duplicate
+        # texts DO ride the exchange here — this driver form trades
+        # slimness for hash-exactness; the scale path for duplicate
+        # grouping is textops.exact_dedup (hash rows only).
+        norm = [normalize_text(t) for t in batch.column("text").to_pylist()]
+        hashes = [_content_hash64(t) & 0x7FFFFFFFFFFFFFFF for t in norm]
         return pa.table(
             {
                 "doc_id": pc.cast(batch.column("doc_id"), _I64),
                 "gkey": pa.array(hashes, type=_I64),
+                "gstr": pa.array(norm, type=pa.string()),
             }
         )
 
@@ -444,17 +495,21 @@ def cc_source_groups(sf_dir: str, n_reducers: int = 8) -> pa.Table:
 
     def hash_batch(batch: pa.Table) -> pa.Table:
         # JSON-encode the key tuple so NULL and the literal string
-        # "None" stay distinct groups, matching SQL PARTITION BY
-        keys = [
-            _content_hash64(json.dumps([s, g])) & 0x7FFFFFFFFFFFFFFF
+        # "None" stay distinct groups, matching SQL PARTITION BY; the
+        # JSON string ships as the exact group identity (gstr) and the
+        # hash only routes (collision-proof grouping, ADVICE r3)
+        gstr = [
+            json.dumps([s, g])
             for s, g in zip(
                 batch.column("source").to_pylist(), batch.column("lang").to_pylist()
             )
         ]
+        keys = [_content_hash64(s) & 0x7FFFFFFFFFFFFFFF for s in gstr]
         return pa.table(
             {
                 "doc_id": pc.cast(batch.column("doc_id"), _I64),
                 "gkey": pa.array(keys, type=_I64),
+                "gstr": pa.array(gstr, type=pa.string()),
             }
         )
 
@@ -469,41 +524,46 @@ def cc_source_groups(sf_dir: str, n_reducers: int = 8) -> pa.Table:
 _HASH_MASK = 0x7FFFFFFFFFFFFFFF
 
 
-def _url_key(s: str) -> int:
-    from website_indexer_ray.pipelines.textops import _content_hash64
+def _as_array(col) -> pa.Array:
+    """Array | ChunkedArray → plain Array (no copy for single chunks)."""
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
-    return _content_hash64(s) & _HASH_MASK
 
+def _keys_of(strings: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Routing keys for a string column — one vectorized numpy pass
+    over the Arrow buffers (util.hash_strings64), no per-row Python.
+    Keys only ROUTE; every consumer compares the strings exactly."""
+    from website_indexer_ray.util import hash_strings64
 
-def _keys_of(strings: list[str]) -> pa.Array:
-    return pa.array([_url_key(s) for s in strings], type=_I64)
+    return pa.array(hash_strings64(strings), type=_I64)
 
 
 def _tag_graph(batch: pa.Table) -> pa.Table:
     """Page rows → tagged union routed by h(dst) so each partition can
     semi-join link targets against the crawled-page set: kind 0 = node
-    (crawled page url, routed by h(url)); kind 1 = edge candidate."""
+    (crawled page url, routed by h(url)); kind 1 = edge candidate.
+    Fully vectorized: list_flatten/list_parent_indices build the edge
+    candidates and the keys hash through the Arrow string buffers —
+    this body runs on every page×link row of the scan, so no per-row
+    Python (the repo's vectorized-partition-body convention)."""
     pages = batch.filter(pc.equal(batch.column("record_type"), "page"))
-    urls = pages.column("url").to_pylist()
-    links = pages.column("links").to_pylist()
-    kind, src, dst, key = [], [], [], []
-    for u in urls:
-        kind.append(0)
-        src.append(u)
-        dst.append("")
-        key.append(_url_key(u))
-    for u, ls in zip(urls, links):
-        for l in ls or []:
-            kind.append(1)
-            src.append(u)
-            dst.append(l)
-            key.append(_url_key(l))
+    urls = pages.column("url").combine_chunks()
+    links = pages.column("links").combine_chunks()
+    flat = pc.list_flatten(links)
+    esrc = urls.take(pc.list_parent_indices(links))
+    n_nodes, n_edges = len(urls), len(flat)
     return pa.table(
         {
-            "kind": pa.array(kind, type=_I64),
-            "src": pa.array(src, type=pa.string()),
-            "dst": pa.array(dst, type=pa.string()),
-            "key": pa.array(key, type=_I64),
+            "kind": pa.array(
+                np.r_[np.zeros(n_nodes, np.int64), np.ones(n_edges, np.int64)]
+            ),
+            "src": pa.concat_arrays([urls, _as_array(esrc)]),
+            "dst": pa.concat_arrays(
+                [pa.array([""] * n_nodes, type=pa.string()), flat]
+            ),
+            "key": pa.concat_arrays(
+                [_keys_of(urls), _keys_of(flat)]
+            ),
         }
     )
 
@@ -524,7 +584,7 @@ def _graph_body(t: pa.Table) -> pa.Table:
     kept = kept.set_column(
         kept.schema.get_field_index("key"),
         "key",
-        _keys_of(kept.column("src").to_pylist()),
+        _keys_of(kept.column("src")),
     )
     cols = ["kind", "src", "dst", "key", "dst_key"]
     return pa.concat_tables([nodes.select(cols), kept.select(cols)])
@@ -704,6 +764,283 @@ def pagerank(
     return out.take(pc.sort_indices(out, sort_keys=[("url", "ascending")]))
 
 
+# --- triangle counting (degree-ordered wedges, staged exchanges) -----
+
+_UND_SCHEMA = pa.schema([("a", pa.string()), ("b", pa.string())])
+_DEG_SCHEMA = pa.schema([("node", pa.string()), ("deg", _I64)])
+_WEDGE_SCHEMA = pa.schema(
+    [
+        ("key", _I64),
+        ("a", pa.string()),
+        ("b", pa.string()),
+        ("corner", pa.string()),
+        ("kind", _I64),
+    ]
+)
+_CORNER_SCHEMA = pa.schema([("key", _I64), ("corner", pa.string())])
+_TRI_SCHEMA = pa.schema([("url", pa.string()), ("n_triangles", _I64)])
+
+
+def _pair_key_of(a, b) -> pa.Array:
+    """Routing key of an (a, b) url pair — vectorized join + hash."""
+    return _keys_of(pc.binary_join_element_wise(a, b, "\x1f"))
+
+
+def _edge_pair_rows(b: pa.Table) -> pa.Table:
+    """Graph rows → undirected edge candidates routed by h(a␟b):
+    (min, max) string order, self-loops dropped."""
+    e = b.filter(pc.equal(b.column("kind"), 1))
+    src = e.column("src").combine_chunks()
+    dst = e.column("dst").combine_chunks()
+    lo = pc.if_else(pc.less(src, dst), src, dst)
+    hi = pc.if_else(pc.less(src, dst), dst, src)
+    t = pa.table({"a": lo, "b": hi}).filter(pc.not_equal(lo, hi))
+    return t.append_column("pair_key", _pair_key_of(t.column("a"), t.column("b")))
+
+
+def _und_dedup_body(t: pa.Table) -> pa.Table:
+    """Partition body: distinct undirected edges — Arrow sort +
+    adjacent-equality run keep-first (a pair's rows are partition-
+    exclusive by routing, so per-partition distinct is global)."""
+    t = t.select(["a", "b"])
+    n = t.num_rows
+    if n < 2:
+        return t
+    t = t.take(
+        pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")])
+    ).combine_chunks()
+    a, b = t.column("a"), t.column("b")
+    eq = pc.and_(
+        pc.equal(a.slice(1), a.slice(0, n - 1)),
+        pc.equal(b.slice(1), b.slice(0, n - 1)),
+    ).to_numpy(zero_copy_only=False)
+    return t.filter(pa.array(np.r_[True, ~eq]))
+
+
+def _adj_rows(b: pa.Table) -> pa.Table:
+    """Deduped und edges → both-direction adjacency rows routed by
+    h(node)."""
+    a = b.column("a").combine_chunks()
+    bb = b.column("b").combine_chunks()
+    node = pa.concat_arrays([a, bb])
+    return pa.table(
+        {
+            "node": node,
+            "nbr": pa.concat_arrays([bb, a]),
+            "node_key": _keys_of(node),
+        }
+    )
+
+
+def _deg_body(t: pa.Table) -> pa.Table:
+    """Partition body: per-node degree — global, because a node's
+    adjacency rows are partition-exclusive and edges are pre-deduped."""
+    if not t.num_rows:
+        return _DEG_SCHEMA.empty_table()
+    return agg_named(
+        t.select(["node", "nbr"]), "node", [("nbr", "count")], ["node", "deg"]
+    )
+
+
+def _deg_lookup_ref(deg_tbl: pa.Table):
+    """Degree lookup broadcast as (sorted int64 hash keys, degs) numpy
+    arrays probed via np.searchsorted — never a Python dict (SURVEY
+    §4.3: broadcast lookup sides as Arrow/numpy, never Python
+    containers; a dict of 10⁹ urls re-deserializes as tens of GB per
+    worker).  If two urls ever collided on the 63-bit key, both would
+    read the same deterministic (min) deg value — harmless, because
+    degree is only the ORDERING heuristic: the (deg, url) total order
+    stays strict and globally consistent, so counts remain exact."""
+    from website_indexer_ray.util import hash_strings64
+
+    keys = hash_strings64(deg_tbl.column("node"))
+    degs = deg_tbl.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((degs, keys))
+    k, d = keys[order], degs[order]
+    first = np.r_[True, k[1:] != k[:-1]] if len(k) else np.zeros(0, dtype=bool)
+    return ray.put((k[first], d[first]))
+
+
+def _wedge_body(deg_ref):
+    """Partition body factory: vectorized degree-ordered wedge
+    emission — higher-neighbor mask via the broadcast degree arrays,
+    per-node pair enumeration with repeat/arange index algebra, Arrow
+    take for the string gathers.  No per-row Python."""
+
+    def body(t: pa.Table) -> pa.Table:
+        from website_indexer_ray.util import cached_get, hash_strings64
+
+        if not t.num_rows:
+            return _WEDGE_SCHEMA.empty_table()
+        degk, degv = cached_get(deg_ref)
+        node = t.column("node").combine_chunks()
+        nbr = t.column("nbr").combine_chunks()
+        nk = t.column("node_key").to_numpy(zero_copy_only=False)
+        du = degv[np.searchsorted(degk, nk)]
+        dv = degv[np.searchsorted(degk, hash_strings64(nbr))]
+        sgt = pc.greater(nbr, node).to_numpy(zero_copy_only=False)
+        hi_mask = (dv > du) | ((dv == du) & sgt)
+        sub = pa.table({"node": node, "nbr": nbr}).filter(pa.array(hi_mask))
+        n = sub.num_rows
+        if n < 2:
+            return _WEDGE_SCHEMA.empty_table()
+        sub = sub.take(
+            pc.sort_indices(
+                sub, sort_keys=[("node", "ascending"), ("nbr", "ascending")]
+            )
+        ).combine_chunks()
+        snode = sub.column("node")
+        snbr = sub.column("nbr")
+        new = np.r_[
+            True,
+            ~pc.equal(snode.slice(1), snode.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            ),
+        ]
+        bounds = np.flatnonzero(new)
+        lens = np.diff(np.r_[bounds, n])
+        ends = np.repeat(bounds + lens, lens)  # group end (excl) per row
+        row = np.arange(n)
+        cnt = ends - row - 1  # pairs where this row is the first element
+        total = int(cnt.sum())
+        if not total:
+            return _WEDGE_SCHEMA.empty_table()
+        first = np.repeat(row, cnt)
+        excl = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        second = first + 1 + (np.arange(total) - excl)
+        aa = snbr.take(pa.array(first, type=_I64))
+        bb = snbr.take(pa.array(second, type=_I64))
+        return pa.table(
+            {
+                "key": _pair_key_of(aa, bb),
+                "a": aa,
+                "b": bb,
+                "corner": snode.take(pa.array(first, type=_I64)),
+                "kind": pa.array(np.ones(total, dtype=np.int64)),
+            }
+        )
+
+    return body
+
+
+def _edge_match_rows(b: pa.Table) -> pa.Table:
+    """Und edges → kind-0 rows for the wedge/edge match exchange."""
+    a = b.column("a").combine_chunks()
+    bb = b.column("b").combine_chunks()
+    return pa.table(
+        {
+            "key": _pair_key_of(a, bb),
+            "a": a,
+            "b": bb,
+            "corner": pa.array([""] * len(a), type=pa.string()),
+            "kind": pa.array(np.zeros(len(a), dtype=np.int64)),
+        }
+    )
+
+
+def _match_body(t: pa.Table) -> pa.Table:
+    """Partition body: wedges (kind 1) ⋈ edges (kind 0) on the EXACT
+    (a, b) strings — the int key only routes.  Each match = one
+    triangle credited to its three corners, re-keyed by h(corner) for
+    the count exchange."""
+    e = t.filter(pc.equal(t.column("kind"), 0)).select(["a", "b"])
+    w = t.filter(pc.equal(t.column("kind"), 1))
+    if not e.num_rows or not w.num_rows:
+        return _CORNER_SCHEMA.empty_table()
+    m = w.join(e, keys=["a", "b"], join_type="inner")
+    corners = pa.concat_arrays(
+        [
+            m.column("corner").combine_chunks(),
+            m.column("a").combine_chunks(),
+            m.column("b").combine_chunks(),
+        ]
+    )
+    return pa.table({"key": _keys_of(corners), "corner": corners})
+
+
+def _corner_count_body(t: pa.Table) -> pa.Table:
+    if not t.num_rows:
+        return _TRI_SCHEMA.empty_table()
+    return agg_named(
+        t.select(["corner"]), "corner", [("corner", "count")], ["url", "n_triangles"]
+    )
+
+
+def _triangle_stages(records_ds, n_reducers: int, out_dir: str | None = None):
+    """Shared stage chain for both triangle forms: graph semi-join →
+    undirected dedup → degree count → wedge emission → edge match →
+    per-corner count, every stage a keyed exchange.  With ``out_dir``
+    each stage lands in a committed parquet sink and the next STREAMS
+    from it (nothing O(edges) driver-side; resume at the last
+    committed stage); without, exchanges return in-memory tables (the
+    driver form for query-contract graphs).  The only driver-resident
+    object either way is the slim (node, deg) table, which must exist
+    in full to broadcast the degree lookup.  Returns (counts_ds,
+    counts_tbl) — counts_tbl is None in sink mode."""
+    import os
+
+    from website_indexer_ray.state.exchange import sink_committed
+
+    def stage(name, routed, key, body, schema):
+        if out_dir is None:
+            tbl = hash_exchange(routed, key, body, n_reducers)
+            if tbl is None:
+                tbl = schema.empty_table()
+            return _from_arrow_split(tbl, n_reducers), tbl
+        d = os.path.join(out_dir, name)
+        if not sink_committed(d):
+            hash_exchange(routed, key, body, n_reducers, sink_dir=d)
+        return _read_sink(d, schema), None
+
+    graph_ds, _ = stage(
+        "graph",
+        records_ds.map_batches(_tag_graph, batch_format="pyarrow"),
+        "key",
+        _graph_body,
+        _GRAPH_SCHEMA,
+    )
+    und_ds, _ = stage(
+        "und",
+        graph_ds.map_batches(_edge_pair_rows, batch_format="pyarrow"),
+        "pair_key",
+        _und_dedup_body,
+        _UND_SCHEMA,
+    )
+    deg_ds, deg_tbl = stage(
+        "deg",
+        und_ds.map_batches(_adj_rows, batch_format="pyarrow"),
+        "node_key",
+        _deg_body,
+        _DEG_SCHEMA,
+    )
+    if deg_tbl is None:
+        parts = [
+            x for x in (ray.get(r) for r in deg_ds.to_arrow_refs()) if x.num_rows
+        ]
+        deg_tbl = pa.concat_tables(parts) if parts else _DEG_SCHEMA.empty_table()
+    if not deg_tbl.num_rows:
+        empty = _TRI_SCHEMA.empty_table()
+        return ray.data.from_arrow(empty), empty
+    deg_ref = _deg_lookup_ref(deg_tbl)
+    wedges_ds, _ = stage(
+        "wedges",
+        und_ds.map_batches(_adj_rows, batch_format="pyarrow"),
+        "node_key",
+        _wedge_body(deg_ref),
+        _WEDGE_SCHEMA,
+    )
+    corners_ds, _ = stage(
+        "corners",
+        wedges_ds.union(
+            und_ds.map_batches(_edge_match_rows, batch_format="pyarrow")
+        ),
+        "key",
+        _match_body,
+        _CORNER_SCHEMA,
+    )
+    return stage("counts", corners_ds, "key", _corner_count_body, _TRI_SCHEMA)
+
+
 def triangle_count(
     records_ds, n_reducers: int = 8, per_node: bool = False
 ) -> pa.Table:
@@ -716,155 +1053,51 @@ def triangle_count(
     route).  Returns one row (n_triangles) or per-node counts
     (per_node=True; each triangle credited to all three corners).
 
-    The graph build reuses the pagerank semi-join exchange; the
-    undirected edge list held between stages is slim (two url columns,
-    same contract as the CC/near-dup pair tables)."""
-    graph = hash_exchange(
-        records_ds.map_batches(_tag_graph, batch_format="pyarrow"),
-        "key",
-        _graph_body,
-        n_reducers,
-    )
-    def _empty_tri() -> pa.Table:
-        if per_node:
-            return pa.table(
-                {
-                    "url": pa.array([], type=pa.string()),
-                    "n_triangles": pa.array([], type=_I64),
-                }
+    Driver form for query-contract graphs: exchanges return in-memory
+    tables between stages, but every BODY is the same vectorized code
+    as the sink form and only the slim per-corner counts + (node, deg)
+    tables land on the driver.  ``triangle_count_write`` is the scale
+    form (committed parquet sinks between stages)."""
+    _, counts_tbl = _triangle_stages(records_ds, n_reducers)
+    if per_node:
+        return counts_tbl.take(
+            pc.sort_indices(counts_tbl, sort_keys=[("url", "ascending")])
+        )
+    s = pc.sum(counts_tbl.column("n_triangles")).as_py() if counts_tbl.num_rows else 0
+    return pa.table({"n_triangles": pa.array([(s or 0) // 3], type=_I64)})
+
+
+def triangle_count_write(records_ds, out_dir: str, n_reducers: int = 8):
+    """Sink form of ``triangle_count`` (the ``pagerank_write``
+    pattern): graph build, undirected-edge dedup, degree count, wedge
+    emission, edge match and per-corner counts each land in a
+    committed parquet dir under ``out_dir``; the next stage streams
+    from the previous sink, so nothing O(edges) or O(wedges) ever
+    materializes driver-side — only the slim (node, deg) table, which
+    any wedge order needs in full to broadcast.  A killed run resumes
+    at the last committed stage.  Returns the per-node counts as a
+    (url, n_triangles) Dataset."""
+    import json
+    import os
+
+    params = {"n_reducers": n_reducers}
+    meta_path = os.path.join(out_dir, "meta.json")
+    os.makedirs(out_dir, exist_ok=True)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if {k: meta.get(k) for k in params} != params:
+            raise ValueError(
+                f"triangle_count_write resume with different parameters: "
+                f"committed {meta} vs requested {params}; use a fresh out_dir"
             )
-        return pa.table({"n_triangles": pa.array([0], type=_I64)})
-
-    if graph is None:
-        return _empty_tri()
-    edges = graph.filter(pc.equal(graph.column("kind"), 1))
-    if not edges.num_rows:
-        return _empty_tri()
-    src = edges.column("src")
-    dst = edges.column("dst")
-    lo = pc.if_else(pc.less(src, dst), src, dst)
-    hi = pc.if_else(pc.less(src, dst), dst, src)
-    und = pa.table({"a": lo, "b": hi}).filter(pc.not_equal(lo, hi))
-    und = und.group_by(["a", "b"]).aggregate([])  # distinct undirected edges
-
-    # adjacency rows routed by hash(node); wedges need neighbor degrees,
-    # so the slim (node, degree) table broadcasts once
-    both = pa.table(
-        {
-            "node": pa.concat_arrays(
-                [und.column("a").combine_chunks(), und.column("b").combine_chunks()]
-            ),
-            "nbr": pa.concat_arrays(
-                [und.column("b").combine_chunks(), und.column("a").combine_chunks()]
-            ),
-        }
-    )
-    deg = agg_named(both, "node", [("nbr", "count")], ["node", "deg"])
-    deg_ref = ray.put(
-        dict(zip(deg.column("node").to_pylist(), deg.column("deg").to_pylist()))
-    )
-
-    def wedge_body(t: pa.Table) -> pa.Table:
-        from website_indexer_ray.util import cached_get
-
-        degs = cached_get(deg_ref)
-        adj: dict[str, list[str]] = {}
-        for u, v in zip(t.column("node").to_pylist(), t.column("nbr").to_pylist()):
-            adj.setdefault(u, []).append(v)
-        keys, aa, bb, ww, kind = [], [], [], [], []
-        for u, nbrs in adj.items():
-            ou = (degs[u], u)
-            hi_n = sorted(v for v in nbrs if (degs[v], v) > ou)
-            for i in range(len(hi_n)):
-                for j in range(i + 1, len(hi_n)):
-                    v, w = hi_n[i], hi_n[j]
-                    keys.append(_url_key(v + "\x1f" + w))
-                    aa.append(v)
-                    bb.append(w)
-                    ww.append(u)
-                    kind.append(1)
-        return pa.table(
-            {
-                "key": pa.array(keys, type=_I64),
-                "a": pa.array(aa, type=pa.string()),
-                "b": pa.array(bb, type=pa.string()),
-                "corner": pa.array(ww, type=pa.string()),
-                "kind": pa.array(kind, type=_I64),
-            }
-        )
-
-    # routing keys hashed INSIDE map tasks (the _tag_graph pattern) —
-    # never a single-threaded driver pass over the edge list
-    def _add_node_key(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "node_key", _keys_of(b.column("node").to_pylist())
-        )
-
-    wedge_tbl = hash_exchange(
-        _from_arrow_split(both, n_reducers).map_batches(
-            _add_node_key, batch_format="pyarrow"
-        ),
-        "node_key",
-        wedge_body,
-        n_reducers,
-    )
-    if wedge_tbl is None:
-        return _empty_tri()
-
-    def _edge_rows_batch(b: pa.Table) -> pa.Table:
-        aa = b.column("a").to_pylist()
-        bb = b.column("b").to_pylist()
-        return pa.table(
-            {
-                "key": _keys_of([x + "\x1f" + y for x, y in zip(aa, bb)]),
-                "a": b.column("a"),
-                "b": b.column("b"),
-                "corner": pa.array([""] * b.num_rows, type=pa.string()),
-                "kind": pa.array([0] * b.num_rows, type=_I64),
-            }
-        )
-
-    def match_body(t: pa.Table) -> pa.Table:
-        e = t.filter(pc.equal(t.column("kind"), 0)).select(["a", "b"])
-        w = t.filter(pc.equal(t.column("kind"), 1))
-        if not e.num_rows or not w.num_rows:
-            return pa.table(
-                {"corner": pa.array([], type=pa.string())}
-            )
-        m = w.join(e, keys=["a", "b"], join_type="inner")
-        # each matched wedge = one triangle; corners a, b and the wedge
-        # center each get credit
-        return pa.table(
-            {
-                "corner": pa.concat_arrays(
-                    [
-                        m.column("corner").combine_chunks(),
-                        m.column("a").combine_chunks(),
-                        m.column("b").combine_chunks(),
-                    ]
-                )
-            }
-        )
-
-    routed = _from_arrow_split(
-        wedge_tbl.select(["key", "a", "b", "corner", "kind"]), n_reducers
-    ).union(
-        _from_arrow_split(und, n_reducers).map_batches(
-            _edge_rows_batch, batch_format="pyarrow"
-        )
-    )
-    corners = hash_exchange(routed, "key", match_body, n_reducers)
-    if corners is None or not corners.num_rows:
-        return _empty_tri()
-    if not per_node:
-        return pa.table(
-            {"n_triangles": pa.array([corners.num_rows // 3], type=_I64)}
-        )
-    corners = corners.append_column(
-        "one", pa.array([1] * corners.num_rows, type=_I64)
-    )
-    out = agg_named(corners, "corner", [("one", "sum")], ["url", "n_triangles"])
-    return out.take(pc.sort_indices(out, sort_keys=[("url", "ascending")]))
+    else:
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(params, f)
+        os.replace(tmp, meta_path)
+    counts_ds, _ = _triangle_stages(records_ds, n_reducers, out_dir=out_dir)
+    return counts_ds
 
 
 def _read_sink(sink_dir: str, schema: pa.Schema):

@@ -36,6 +36,58 @@ def agg_named(tbl, keys, aggs, out_names):
     return g.select(gen).rename_columns(out_names)
 
 
+def hash_strings64(arr) -> "np.ndarray":
+    """Vectorized 63-bit hash of an Arrow string array: one numpy pass
+    over the array's offsets/data buffers — no per-row Python calls.
+
+    Polynomial hash (byte+1)·P^pos summed per string in uint64 modular
+    arithmetic, length folded in, splitmix64 finalizer.  Used for
+    ROUTING keys only (exchange partitioning); every consumer compares
+    the underlying strings exactly, so the only contract is
+    determinism + uniformity, not any external hash identity.  Nulls
+    hash like empty strings."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if not n:
+        return np.empty(0, dtype=np.int64)
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    starts, ends = offsets[:-1], offsets[1:]
+    lens = ends - starts
+    h = np.zeros(n, dtype=np.uint64)
+    nonempty = lens > 0
+    if nonempty.any():
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        lo, hi = int(starts[nonempty][0]), int(ends[nonempty][-1])
+        seg = data[lo:hi].astype(np.uint64)
+        # byte positions within their string (strings are contiguous in
+        # the data buffer; empty strings occupy zero bytes)
+        pos = np.arange(lo, hi, dtype=np.int64) - np.repeat(starts, lens)
+        P = np.uint64(0x100000001B3)
+        pows = np.empty(int(lens.max()), dtype=np.uint64)
+        pows[0] = 1
+        np.multiply.accumulate(
+            np.full(len(pows), P, dtype=np.uint64), out=pows
+        )
+        pows //= P  # [1, P, P^2, ...]
+        terms = (seg + np.uint64(1)) * pows[pos]
+        # reduceat over non-empty string starts; empties contribute no
+        # bytes, so consecutive non-empty boundaries partition `terms`
+        bounds = (starts[nonempty] - lo).astype(np.int64)
+        h[nonempty] = np.add.reduceat(terms, bounds)
+    h = h * np.uint64(0x9E3779B97F4A7C15) + lens.astype(np.uint64)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> np.uint64(31))
+    return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+
+
 def committed_parquet_write(ds, out_dir: str) -> bool:
     """Write a Dataset to ``out_dir`` under the engine's commit
     protocol: skip if ``_SUCCESS`` exists (resume), clear stale
