@@ -214,6 +214,43 @@ def main() -> None:
         "reducer_peak_mb": round(max(peaks) / 1e6, 1),
     }
     print(json.dumps({"triangle_count": results["triangle_count"]}))
+
+    # ---- triangle sink form: driver residency bounded ----------------
+    # Every stage lands in committed parquet; the ONLY O(graph) object
+    # the driver ever holds is the slim (node, deg) table it broadcasts
+    # as two int64 numpy arrays — reported here as evidence.
+    import glob
+
+    tri_dir = "/tmp/wir_stress_tri"
+    shutil.rmtree(tri_dir, ignore_errors=True)
+    shards = _pool(8)
+    ray.get([s.reset_peak.remote() for s in shards])
+    t0 = time.monotonic()
+    tri_ds = graphops.triangle_count_write(ds, tri_dir, n_reducers=8)
+    corner_sum = sum(
+        int(pa.compute.sum(batch.column("n_triangles")).as_py() or 0)
+        for batch in tri_ds.iter_batches(batch_format="pyarrow")
+    )
+    wall = time.monotonic() - t0
+    peaks = ray.get([s.peak_bytes.remote() for s in _pool(8)])
+    assert corner_sum // 3 == n_tri, (corner_sum, n_tri)
+    deg_bytes = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(tri_dir, "deg", "*.parquet"))
+    )
+    results["triangle_count_write"] = {
+        "nodes": pr_nodes,
+        "edges": int(tgt.size),
+        "triangles": corner_sum // 3,
+        "wall_s": round(wall, 2),
+        "reducer_peak_mb": round(max(peaks) / 1e6, 1),
+        # only driver-resident graph object = the broadcast degree
+        # lookup built from this table (16 B/node as numpy arrays)
+        "deg_table_mb": round(deg_bytes / 1e6, 2),
+        "driver_lookup_mb": round(pr_nodes * 16 / 1e6, 2),
+    }
+    print(json.dumps({"triangle_count_write": results["triangle_count_write"]}))
+    shutil.rmtree(tri_dir, ignore_errors=True)
     print(json.dumps({"summary": results}))
     ray.shutdown()
 

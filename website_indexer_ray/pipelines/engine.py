@@ -73,7 +73,7 @@ from website_indexer_ray.stages.fetch import (
 )
 from website_indexer_ray.stages.predicates import PredicateStage
 from website_indexer_ray.state import seen as seen_state
-from website_indexer_ray.util import cluster_cpus as _cluster_cpus_cached
+from website_indexer_ray.util import cluster_cpus_cached as _cluster_cpus_cached
 from website_indexer_ray.state.politeness import HostBudget
 
 FRONTIER_WITH_METHOD = FRONTIER_SCHEMA.append(pa.field("method", pa.string()))

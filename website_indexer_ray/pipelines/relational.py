@@ -609,28 +609,46 @@ def approx_distinct_users(sf_dir: str, p: int = 12) -> pa.Table:
     is a tiny groupby over 4 KB sketches, never a shuffle of user ids.
     Approximate ⇒ rows-only driver check; error bound asserted in
     pytest against the exact counts."""
-    import hashlib
+    import numpy as np
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
+        # fully vectorized: splitmix64 mix over the int64 user ids
+        # (replacing a per-row Python blake2b through pandas groupby),
+        # group recovery via dictionary-encode + argsort — the only
+        # Python-level loop is one iteration per DISTINCT event type
+        if not batch.num_rows:
+            return pa.table(
+                {
+                    "event_type": pa.array([], type=pa.string()),
+                    "sketch": pa.array([], type=pa.binary()),
+                }
+            )
+        enc = pc.dictionary_encode(
+            batch.column("event_type").combine_chunks()
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        types = enc.dictionary.to_pylist()
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        h = uid + np.uint64(0x9E3779B97F4A7C15)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h = h ^ (h >> np.uint64(31))
+        order = np.argsort(codes, kind="stable")
+        codes, h = codes[order], h[order]
+        bounds = np.r_[
+            np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]), len(codes)
+        ]
         out_t, out_s = [], []
-        for etype, g in df.groupby("event_type"):
+        for i in range(len(bounds) - 1):
             sk = _HLL(p)
-            hashes = [
-                int.from_bytes(
-                    hashlib.blake2b(
-                        int(u).to_bytes(8, "little"), digest_size=8
-                    ).digest(),
-                    "big",
-                )
-                for u in g["user_id"].unique()
-            ]
-            sk.add_hashes(hashes)
-            out_t.append(etype)
+            sk.add_hashes(h[bounds[i] : bounds[i + 1]])
+            out_t.append(types[codes[bounds[i]]])
             out_s.append(sk.regs.tobytes())
         return pa.table(
             {

@@ -715,9 +715,20 @@ def similarity_join(
     similarity joins go through the MinHash-LSH machinery instead:
     minhash_lsh_pairs' bucket exchange.)  All-integer similarity
     ((100·|∩|) // |∪|, kept when 100·|∩| ≥ t·|∪|) so the result
-    hash-matches the SQL oracle exactly."""
+    hash-matches the SQL oracle exactly.
+
+    ``threshold_pct`` must be ≥ 1: the inverted-index prefilter only
+    considers pairs sharing ≥ 1 token, which is equivalent to the
+    threshold predicate exactly when t ≥ 1 (at t = 0 every
+    zero-overlap pair would satisfy 100·0 ≥ 0·|∪| yet be skipped)."""
     from website_indexer_ray.util import cached_get
 
+    if threshold_pct < 1:
+        raise ValueError(
+            "similarity_join requires threshold_pct >= 1; the token-"
+            "overlap prefilter is only equivalent to the threshold "
+            "predicate for positive thresholds"
+        )
     docs = read_documents(sf_dir)
 
     # Query side built DISTRIBUTED (the decontaminate pattern): the

@@ -125,6 +125,22 @@ def cluster_cpus(default: int = 4) -> int:
         return default
 
 
+_CLUSTER_CPUS_CACHE: dict = {}
+
+
+def cluster_cpus_cached(default: int = 4) -> int:
+    """``cluster_cpus`` memoized per process: the cluster size is
+    fixed for an engine run / bench window, so the
+    ``ray.cluster_resources()`` RPC needn't repeat on every
+    per-generation ``write_parquet`` call.  Only caches once Ray is
+    initialized (an early call would otherwise pin the default)."""
+    if "v" not in _CLUSTER_CPUS_CACHE:
+        if not ray.is_initialized():
+            return default
+        _CLUSTER_CPUS_CACHE["v"] = cluster_cpus(default)
+    return _CLUSTER_CPUS_CACHE["v"]
+
+
 def read_parquet_parallel(path: str, columns=None, **kw):
     files = glob.glob(path) if "*" in path else [path]
     try:
