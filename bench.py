@@ -120,7 +120,7 @@ def _crawl_cfg(num_cpus: int):
     )
 
 
-def run_crawl(n_pages: int, num_cpus: int, tag: str, latency=LATENCY_MS) -> dict:
+def run_crawl(n_pages: int, num_cpus: int, tag: str, latency=LATENCY_MS):
     from website_indexer_ray.fixtures.gen import START_URL, generate_corpus
     from website_indexer_ray.pipelines.engine import CrawlEngine
 
@@ -145,14 +145,14 @@ def run_crawl(n_pages: int, num_cpus: int, tag: str, latency=LATENCY_MS) -> dict
         "frontier_rows": n_candidates,
         "pages_per_s": round(n_requested / crawl_s, 2),
         "frontier_rows_per_s": round(n_candidates / crawl_s, 2),
-    }
+    }, result
 
 
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     _ray_up(num_cpus)
     import ray
 
-    from website_indexer_ray.pipelines import annops, relational, textops
+    from website_indexer_ray.pipelines import annops, graphops, relational, textops
 
     sf = _sf_from_dir(sf_dir)
     n_pages = max(600, int(30000 * sf))
@@ -160,12 +160,46 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries: dict[str, float] = {}
     extra: dict[str, float] = {}
 
-    crawl = run_crawl(n_pages, num_cpus, "main")
+    crawl, crawl_result = run_crawl(n_pages, num_cpus, "main")
     queries["crawl"] = crawl["crawl_s"]
     extra["crawl_urls_fetched"] = crawl["urls_fetched"]
     extra["crawl_pages_indexed"] = crawl["pages_indexed"]
     extra["crawl_pages_per_s"] = crawl["pages_per_s"]
     extra["crawl_frontier_rows_per_s"] = crawl["frontier_rows_per_s"]
+
+    # graph ops over the just-crawled link graph (round-4 legs: CC /
+    # PageRank / triangles get round-over-round regression visibility
+    # instead of living only in scripts/stress_graphops.py)
+    graph_cols = ["record_type", "url", "links"]
+    t0 = time.monotonic()
+    pr = graphops.pagerank(crawl_result.ray_records(columns=graph_cols))
+    queries["pagerank"] = round(time.monotonic() - t0, 3)
+    extra["pagerank_nodes"] = pr.num_rows
+
+    t0 = time.monotonic()
+    tri = graphops.triangle_count(
+        crawl_result.ray_records(columns=graph_cols), per_node=True
+    )
+    queries["triangle_count"] = round(time.monotonic() - t0, 3)
+    extra["triangle_corners"] = tri.num_rows
+
+    t0 = time.monotonic()
+    cc = graphops.cc_source_groups(sf_dir)
+    queries["cc_source_groups"] = round(time.monotonic() - t0, 3)
+    extra["cc_rows"] = cc.num_rows
+
+    # curation composite (pipelines/curate.py): clean -> exact dedup ->
+    # near-dedup -> keep, over the sf documents table
+    import shutil
+
+    t0 = time.monotonic()
+    curate_dir = f"/tmp/wir_bench/curate-{num_cpus}"
+    shutil.rmtree(curate_dir, ignore_errors=True)
+    from website_indexer_ray.pipelines.curate import curate_corpus
+
+    stages = curate_corpus(sf_dir, curate_dir)
+    queries["curate_corpus"] = round(time.monotonic() - t0, 3)
+    extra["curate_stages"] = stages.num_rows
 
     t0 = time.monotonic()
     pairs = textops.minhash_lsh_pairs(sf_dir)
@@ -219,7 +253,7 @@ def run_scaling_worker(sf_dir: str, num_cpus: int) -> dict:
     # cluster's crawl waves are hours long, so the bigger corpus is
     # the more faithful stand-in.
     n_pages = max(4000, int(480000 * sf))
-    out = run_crawl(n_pages, num_cpus, "scaling", latency=SCALING_LATENCY_MS)
+    out, _ = run_crawl(n_pages, num_cpus, "scaling", latency=SCALING_LATENCY_MS)
     ray.shutdown()
     out["num_cpus"] = num_cpus
     out["sf"] = sf
