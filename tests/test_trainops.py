@@ -441,11 +441,38 @@ class TestMultimodal:
                FROM documents ORDER BY doc_id""",
         )
 
-    def test_real_codecs_stubbed(self):
-        from website_indexer_ray.pipelines.multimodal import MediaFeatureStage
+    def test_real_codecs_png_features(self):
+        """use_real_codecs=True is a REAL path for PNG (stdlib codec):
+        pixel-statistics features; non-PNG payloads still raise."""
+        import numpy as np
 
+        from website_indexer_ray.functions.png import encode_png
+        from website_indexer_ray.pipelines.multimodal import (
+            FEATURE_DIM,
+            MediaFeatureStage,
+        )
+
+        stage = MediaFeatureStage(use_real_codecs=True)
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, size=(12, 7, 3), dtype=np.uint8)
+        payload = encode_png(img)
+        batch = pa.table(
+            {
+                "doc_id": pa.array([1], type=pa.int64()),
+                "payload": pa.array([payload], type=pa.large_binary()),
+                "n_bytes": pa.array([len(payload)], type=pa.int64()),
+            }
+        )
+        out = stage(batch)
+        feat = out.column("feature").to_pylist()[0]
+        assert len(feat) == FEATURE_DIM
+        assert feat[:3] == [12.0, 7.0, 3.0]
+        assert abs(feat[3] - img.mean()) < 1e-3
+        bad = batch.set_column(
+            1, "payload", pa.array([b"not a png"], type=pa.large_binary())
+        )
         with pytest.raises(NotImplementedError):
-            MediaFeatureStage(use_real_codecs=True)
+            stage(bad)
 
     def test_media_write_forms(self, ray_session, tmp_path):
         """Sink forms stream payload-bearing rows to parquet with no
@@ -609,16 +636,127 @@ class TestMultimodalStages:
         assert all(r["thumb_bytes"] <= 256 for r in rows)
         assert all(r["thumb_bytes"] <= r["n_bytes"] for r in rows)
 
-    def test_real_codecs_stubbed(self):
-        from website_indexer_ray.pipelines.multimodal import (
-            FrameSampleStage,
-            MediaResizeStage,
-        )
+    def test_real_codecs_frame_sample_still_stubbed(self):
+        """Video frame decode still needs ffmpeg — construction-time
+        refusal preserved."""
+        from website_indexer_ray.pipelines.multimodal import FrameSampleStage
 
         with pytest.raises(NotImplementedError):
             FrameSampleStage(use_real_codecs=True)
+
+    def test_real_codecs_png_resize(self):
+        """Real PNG thumbnail path: decode → nearest-neighbor
+        downsample → re-encoded PNG that decodes to the expected
+        dimensions and sampled pixels."""
+        import numpy as np
+
+        from website_indexer_ray.functions.png import decode_png, encode_png
+        from website_indexer_ray.pipelines.multimodal import MediaResizeStage
+
+        stage = MediaResizeStage(use_real_codecs=True, max_dim=8)
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, size=(32, 16, 3), dtype=np.uint8)
+        thumb = stage._resize(encode_png(img))
+        px = decode_png(thumb)
+        assert px.shape == (8, 4, 3)
+        assert np.array_equal(px[0, 0], img[0, 0])  # nearest-neighbor anchor
         with pytest.raises(NotImplementedError):
-            MediaResizeStage(use_real_codecs=True)
+            stage._resize(b"JFIF...")
+
+
+class TestPngCodec:
+    """Stdlib-only PNG codec (functions/png.py): encode→decode round
+    trip across channel counts, and a spec-conformance decode of a
+    hand-filtered stream exercising all five filter types."""
+
+    def test_round_trip_all_channel_counts(self):
+        import numpy as np
+
+        from website_indexer_ray.functions import png
+
+        rng = np.random.default_rng(3)
+        for ch in (1, 2, 3, 4):
+            img = rng.integers(0, 256, size=(9, 5, ch), dtype=np.uint8)
+            out = png.decode_png(png.encode_png(img))
+            assert np.array_equal(out, img), f"channels={ch}"
+
+    def test_grayscale_2d_input(self):
+        import numpy as np
+
+        from website_indexer_ray.functions import png
+
+        img = np.arange(24, dtype=np.uint8).reshape(6, 4)
+        out = png.decode_png(png.encode_png(img))
+        assert np.array_equal(out[:, :, 0], img)
+
+    def test_all_filter_types_decode_per_spec(self):
+        """Hand-build scanlines with filters 0-4 and check decode
+        against a straightforward per-pixel spec implementation."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from website_indexer_ray.functions import png
+
+        rng = np.random.default_rng(11)
+        h, w, ch = 5, 6, 3
+        img = rng.integers(0, 256, size=(h, w, ch), dtype=np.int32)
+
+        # filter each row with type y % 5 per the PNG spec
+        recon = img.astype(np.int32)
+        lines = []
+        for y in range(h):
+            f = y % 5
+            row = recon[y]
+            prev = recon[y - 1] if y else np.zeros((w, ch), dtype=np.int32)
+            filt = np.zeros((w, ch), dtype=np.int32)
+            for x in range(w):
+                a = row[x - 1] if x else np.zeros(ch, dtype=np.int32)
+                b = prev[x]
+                c = prev[x - 1] if x else np.zeros(ch, dtype=np.int32)
+                if f == 0:
+                    filt[x] = row[x]
+                elif f == 1:
+                    filt[x] = (row[x] - a) % 256
+                elif f == 2:
+                    filt[x] = (row[x] - b) % 256
+                elif f == 3:
+                    filt[x] = (row[x] - ((a + b) // 2)) % 256
+                else:
+                    p = a + b - c
+                    pa_, pb_, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa_ <= pb_) & (pa_ <= pc_),
+                        a,
+                        np.where(pb_ <= pc_, b, c),
+                    )
+                    filt[x] = (row[x] - pred) % 256
+            lines.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        data = (
+            png.SIGNATURE
+            + png._chunk(b"IHDR", ihdr)
+            + png._chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + png._chunk(b"IEND", b"")
+        )
+        out = png.decode_png(data)
+        assert np.array_equal(out, img.astype(np.uint8))
+
+    def test_unsupported_formats_refused(self):
+        import struct
+
+        import pytest as _pytest
+
+        from website_indexer_ray.functions import png
+
+        with _pytest.raises(ValueError):
+            png.decode_png(b"GIF89a")
+        ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+        data = png.SIGNATURE + png._chunk(b"IHDR", ihdr16)
+        with _pytest.raises(NotImplementedError):
+            png.decode_png(data)
 
 
 class TestExchangeOpsEmptyInput:

@@ -3,12 +3,18 @@
 Images/audio/video ride through the engine as ``binary`` columns plus
 a metadata struct; decode / feature-extract / resize / frame-sample
 run as actor-pool ``map_batches`` stages. This container ships no
-codec libraries (no PIL / ffmpeg / torchvision), so the decode step is
-STUBBED: ``use_real_codecs=True`` raises NotImplementedError at actor
-construction, and the default deterministic fake decoder derives
-"features" from the payload bytes — the Ray-side plumbing (schema,
-broadcast, batch sizing, actor signature, output layout) is real and
-tested.
+codec libraries (no PIL / ffmpeg / torchvision); coverage is split:
+
+- IMAGE (PNG): ``use_real_codecs=True`` is a REAL path — the
+  stdlib-only codec in ``functions/png.py`` decodes/encodes 8-bit
+  PNG, so feature extraction returns pixel statistics and the resize
+  stage emits true downsampled PNG thumbnails.  Other image formats
+  raise NotImplementedError per payload.
+- AUDIO/VIDEO (frame sampling): still STUBBED — construction raises
+  under ``use_real_codecs=True`` (needs ffmpeg).  The default
+  deterministic fake decoder derives "features" from payload bytes;
+  the Ray-side plumbing (schema, broadcast, batch sizing, actor
+  signature, output layout) is real and tested either way.
 
 Batch-size guidance for real media: large binary payloads need small
 ``batch_size`` (payload_bytes × batch_size × concurrency must fit the
@@ -59,16 +65,47 @@ class MediaFeatureStage:
 
     __init__ is the once-per-actor model/codec load; __call__ is the
     per-batch vectorized pass.
-    """
+
+    ``use_real_codecs=True`` enables the REAL decode path for the
+    formats the environment can handle: PNG decodes through the
+    stdlib-only codec (functions/png.py — no PIL/ffmpeg in this
+    container) and features become pixel statistics; payloads in any
+    other format raise NotImplementedError per batch (audio/video
+    still need external codec libraries)."""
 
     def __init__(self, use_real_codecs: bool = False, frame_stride: int = 512):
+        self.use_real_codecs = use_real_codecs
         if use_real_codecs:
-            raise NotImplementedError(
-                "Real image/audio decoding requires codec libraries not "
-                "present in this environment (PIL/ffmpeg). Wire them in "
-                "here; the stage contract stays identical."
-            )
+            # once-per-actor codec load (the model-load slot)
+            from website_indexer_ray.functions import png as _png
+
+            self._png = _png
         self.frame_stride = frame_stride
+
+    def _real_decode(self, payload: bytes) -> np.ndarray:
+        """Pixel-statistics features for a decodable payload: [h, w,
+        channels, mean, std, min, max, nonzero fraction] (FEATURE_DIM
+        floats)."""
+        if not self._png.is_png(payload):
+            raise NotImplementedError(
+                "real decode supports PNG only in this environment "
+                "(stdlib codec); other formats need PIL/ffmpeg"
+            )
+        px = self._png.decode_png(payload).astype(np.float32)
+        h, w, ch = px.shape
+        return np.asarray(
+            [
+                h,
+                w,
+                ch,
+                float(px.mean()),
+                float(px.std()),
+                float(px.min()),
+                float(px.max()),
+                float((px > 0).mean()),
+            ],
+            dtype=np.float32,
+        )
 
     def _fake_decode(self, payload: bytes) -> np.ndarray:
         """Deterministic stand-in for decode+embed: FEATURE_DIM floats
@@ -88,7 +125,8 @@ class MediaFeatureStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        feats = [self._fake_decode(p) for p in payloads]
+        decode = self._real_decode if self.use_real_codecs else self._fake_decode
+        feats = [decode(p) for p in payloads]
         n_frames = [1 + len(p) // self.frame_stride for p in payloads]
         return pa.table(
             {
@@ -146,16 +184,29 @@ class MediaResizeStage:
     for a pixel resize — the real kernel drops into ``_resize`` when
     codec libs exist). Emits (doc_id, n_bytes, thumb_bytes, thumb)."""
 
-    def __init__(self, max_bytes: int = 256, use_real_codecs: bool = False):
+    def __init__(self, max_bytes: int = 256, use_real_codecs: bool = False,
+                 max_dim: int = 32):
+        self.use_real_codecs = use_real_codecs
         if use_real_codecs:
-            raise NotImplementedError(
-                "Real image resizing requires PIL/opencv, absent here; "
-                "replace _resize, the stage contract stays identical."
-            )
+            from website_indexer_ray.functions import png as _png
+
+            self._png = _png
         self.max_bytes = max_bytes
+        self.max_dim = max_dim
 
     def _resize(self, payload: bytes) -> bytes:
-        return payload[: self.max_bytes]
+        if not self.use_real_codecs:
+            return payload[: self.max_bytes]
+        # real path: PNG → nearest-neighbor downsample to max_dim →
+        # re-encoded PNG thumbnail (stdlib codec; other formats need
+        # PIL/opencv)
+        if not self._png.is_png(payload):
+            raise NotImplementedError(
+                "real resize supports PNG only in this environment "
+                "(stdlib codec); other formats need PIL/opencv"
+            )
+        px = self._png.decode_png(payload)
+        return self._png.encode_png(self._png.resize_nearest(px, self.max_dim))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
