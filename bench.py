@@ -172,14 +172,19 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # instead of living only in scripts/stress_graphops.py)
     graph_cols = ["record_type", "url", "links"]
     t0 = time.monotonic()
-    pr = graphops.pagerank(crawl_result.ray_records(columns=graph_cols))
+    # one semi-join graph build shared by both ops (ADVICE r3)
+    graph = graphops.build_link_graph(
+        crawl_result.ray_records(columns=graph_cols)
+    )
+    queries["graph_build"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    pr = graphops.pagerank(None, graph=graph)
     queries["pagerank"] = round(time.monotonic() - t0, 3)
     extra["pagerank_nodes"] = pr.num_rows
 
     t0 = time.monotonic()
-    tri = graphops.triangle_count(
-        crawl_result.ray_records(columns=graph_cols), per_node=True
-    )
+    tri = graphops.triangle_count(None, per_node=True, graph=graph)
     queries["triangle_count"] = round(time.monotonic() - t0, 3)
     extra["triangle_corners"] = tri.num_rows
 

@@ -436,6 +436,37 @@ class TestTriangleCountWrite:
             )
 
 
+class TestSharedGraphBuild:
+    def test_shared_graph_equals_independent_builds(self):
+        """build_link_graph passed to both ops must give bit-identical
+        results to each op building its own graph."""
+        urls = [f"https://g.example/{i}" for i in range(12)]
+        links = [
+            [urls[(i + 1) % 12], urls[(i + 2) % 12], urls[(i * 5) % 12]]
+            for i in range(12)
+        ]
+        tbl = pa.table(
+            {
+                "record_type": ["page"] * 12,
+                "url": urls,
+                "links": pa.array(links, type=pa.list_(pa.string())),
+            }
+        )
+        ds = ray.data.from_arrow(tbl)
+        graph = graphops.build_link_graph(ds, n_reducers=4)
+        assert graph is not None
+        pr_shared = graphops.pagerank(None, n_reducers=4, graph=graph)
+        pr_own = graphops.pagerank(ray.data.from_arrow(tbl), n_reducers=4)
+        assert pr_shared.to_pydict() == pr_own.to_pydict()
+        tri_shared = graphops.triangle_count(
+            None, n_reducers=4, per_node=True, graph=graph
+        )
+        tri_own = graphops.triangle_count(
+            ray.data.from_arrow(tbl), n_reducers=4, per_node=True
+        )
+        assert tri_shared.to_pydict() == tri_own.to_pydict()
+
+
 class TestCCSinkAutoSwitch:
     def test_equality_across_the_switch_boundary(self):
         """The driver form and the auto-switched sink form must agree

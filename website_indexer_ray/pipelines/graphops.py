@@ -653,12 +653,28 @@ def _empty_pr() -> pa.Table:
     )
 
 
+def build_link_graph(records_ds, n_reducers: int = 8) -> pa.Table | None:
+    """One semi-join exchange: page records → the tagged link graph
+    (node rows + link-target-verified edge rows, _GRAPH_SCHEMA).
+    Build once and pass as ``graph=`` to both ``pagerank`` and
+    ``triangle_count`` when querying several graph ops over the same
+    checkpoint — the graph build is their shared first stage (ADVICE
+    r3).  Returns None for an empty graph."""
+    return hash_exchange(
+        records_ds.map_batches(_tag_graph, batch_format="pyarrow"),
+        "key",
+        _graph_body,
+        n_reducers,
+    )
+
+
 def pagerank(
     records_ds,
     iterations: int = 5,
     n_reducers: int = 8,
     scale: int = 10**12,
     damping_pct: int = 85,
+    graph: pa.Table | None = None,
 ) -> pa.Table:
     """PageRank over the crawled-page link graph → (url, pr) sorted by
     url, in exact integer micro-rank units: r0 = scale//N;
@@ -677,12 +693,8 @@ def pagerank(
     (url, pr) vector on the driver for the query contract;
     ``pagerank_write`` is the sink form where every stage lands in a
     committed parquet checkpoint instead."""
-    graph = hash_exchange(
-        records_ds.map_batches(_tag_graph, batch_format="pyarrow"),
-        "key",
-        _graph_body,
-        n_reducers,
-    )
+    if graph is None:
+        graph = build_link_graph(records_ds, n_reducers)
     if graph is None:
         return _empty_pr()
     nodes = graph.filter(pc.equal(graph.column("kind"), 0)).select(["src", "key"])
@@ -966,7 +978,8 @@ def _corner_count_body(t: pa.Table) -> pa.Table:
     )
 
 
-def _triangle_stages(records_ds, n_reducers: int, out_dir: str | None = None):
+def _triangle_stages(records_ds, n_reducers: int, out_dir: str | None = None,
+                     graph: pa.Table | None = None):
     """Shared stage chain for both triangle forms: graph semi-join →
     undirected dedup → degree count → wedge emission → edge match →
     per-corner count, every stage a keyed exchange.  With ``out_dir``
@@ -992,13 +1005,18 @@ def _triangle_stages(records_ds, n_reducers: int, out_dir: str | None = None):
             hash_exchange(routed, key, body, n_reducers, sink_dir=d)
         return _read_sink(d, schema), None
 
-    graph_ds, _ = stage(
-        "graph",
-        records_ds.map_batches(_tag_graph, batch_format="pyarrow"),
-        "key",
-        _graph_body,
-        _GRAPH_SCHEMA,
-    )
+    if graph is not None and out_dir is None:
+        # precomputed shared graph (build_link_graph) — skip the
+        # semi-join exchange
+        graph_ds = _from_arrow_split(graph, n_reducers)
+    else:
+        graph_ds, _ = stage(
+            "graph",
+            records_ds.map_batches(_tag_graph, batch_format="pyarrow"),
+            "key",
+            _graph_body,
+            _GRAPH_SCHEMA,
+        )
     und_ds, _ = stage(
         "und",
         graph_ds.map_batches(_edge_pair_rows, batch_format="pyarrow"),
@@ -1042,7 +1060,10 @@ def _triangle_stages(records_ds, n_reducers: int, out_dir: str | None = None):
 
 
 def triangle_count(
-    records_ds, n_reducers: int = 8, per_node: bool = False
+    records_ds,
+    n_reducers: int = 8,
+    per_node: bool = False,
+    graph: pa.Table | None = None,
 ) -> pa.Table:
     """Triangles in the undirected crawled-page link graph — the
     degree-ordered node-iterator (Schank 2007 / the standard MapReduce
@@ -1058,7 +1079,7 @@ def triangle_count(
     as the sink form and only the slim per-corner counts + (node, deg)
     tables land on the driver.  ``triangle_count_write`` is the scale
     form (committed parquet sinks between stages)."""
-    _, counts_tbl = _triangle_stages(records_ds, n_reducers)
+    _, counts_tbl = _triangle_stages(records_ds, n_reducers, graph=graph)
     if per_node:
         return counts_tbl.take(
             pc.sort_indices(counts_tbl, sort_keys=[("url", "ascending")])
