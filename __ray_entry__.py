@@ -549,6 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "importance_sample": corpusops.importance_sample,
         "knn_lsh": annops.knn_lsh,
         "knn_ivf": annops.knn_ivf,
+        "knn_ivfpq": annops.knn_ivfpq,
         "approx_top_tokens": textops.approx_top_tokens,
         "crawl_near_dup_keep": _crawl_near_dup,
         "ngram_jaccard_pairs": textops.ngram_jaccard_pairs,

@@ -412,6 +412,52 @@ class TestAnnOps:
         recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e]
         assert np.mean(recalls) >= 0.5, recalls
 
+    def test_knn_ivfpq_recall_and_compression(self, ray_session):
+        """IVF-PQ (compressed 8-byte codes + exact rerank of the
+        candidate tail) must match plain IVF's recall bar, and the
+        encode stage must emit m bytes per vector — the 100-TB
+        property the operator exists for."""
+        import ray as _ray
+
+        from website_indexer_ray.pipelines import annops
+
+        exact = annops.knn_bruteforce(SF_DIR, k=10, n_queries=5)
+        approx = annops.knn_ivfpq(SF_DIR, k=10, n_queries=5)
+
+        def topk(t):
+            out = {}
+            for q, n in zip(
+                t.column("query_id").to_pylist(), t.column("neighbor_id").to_pylist()
+            ):
+                out.setdefault(q, set()).add(n)
+            return out
+
+        e, a = topk(exact), topk(approx)
+        recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e]
+        assert np.mean(recalls) >= 0.5, recalls
+        # ranks are exact-rerank-ordered: rank 1 must be each query's
+        # best EXACT-cosine candidate among the returned set — check
+        # shape and determinism instead of floats: a second run is
+        # bit-identical (seeded k-means + deterministic encode)
+        again = annops.knn_ivfpq(SF_DIR, k=10, n_queries=5)
+        assert again.to_pydict() == approx.to_pydict()
+
+        # compression: the encode stage emits fixed 8-byte codes
+        import pyarrow.parquet as _pq
+
+        sample = annops._sample_matrix(SF_DIR)
+        cents = annops._kmeans(sample, 4)
+        books = annops._train_pq(sample, cents, 8, 32, 5)
+        stage = annops.PqEncodeStage((cents, books))
+        tbl = _pq.read_table(
+            f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).slice(0, 32)
+        enc = stage(tbl)
+        assert enc.schema.field("codes").type == pa.binary(8)
+        codes = annops._codes_matrix(enc.column("codes"), 8)
+        assert codes.shape == (32, 8)
+        assert codes.max() < 32  # codeword ids within the book
+
     def test_embedding_dedup_matches_sql(self, ray_session, con):
         from website_indexer_ray.pipelines import annops
 
