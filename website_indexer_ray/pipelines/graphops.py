@@ -30,10 +30,13 @@ substring-searches it (/root/reference/crawler/search.py:25-42):
 Partitioning assumptions (custom-operator rule): one partition's rows
 fit a reducer's heap — size ``n_reducers`` to key volume; edge lists
 are slim (2-3 int64/string columns).  The CC edge table between
-rounds is held as driver-side Arrow (same contract as the near-dup
-pair lists: orders of magnitude smaller than the corpus); at 10^10
-nodes the rounds chain through exchange sinks exactly like
-``pagerank_write``.
+rounds is held as driver-side Arrow only BELOW ``_CC_SINK_THRESHOLD``
+post-dedup edges (same contract as the near-dup pair lists: orders of
+magnitude smaller than the corpus); above it the driver form
+auto-delegates to ``connected_components_write``, whose star rounds
+chain through committed exchange sinks exactly like
+``pagerank_write`` — equality across the switch boundary is pinned in
+tests/test_graphops.py.
 """
 
 from __future__ import annotations
