@@ -27,7 +27,7 @@ import ray.data
 import hashlib
 from zlib import crc32
 
-from website_indexer_ray.util import read_parquet_parallel
+from website_indexer_ray.util import agg_named, read_parquet_parallel
 
 # Hash choices: xxh64 (functions/xxh.py, pure-python reference impl)
 # is mandated for URL identity and stays there. Content hashing in the
@@ -697,7 +697,37 @@ def vocab_top_tokens(sf_dir: str, k: int = 100) -> pa.Table:
 
 # Per-worker inverted index (token -> query positions) for
 # similarity_join, keyed by the broadcast ref; cleared on key change.
-_SIMJOIN_INDEX: dict[str, dict] = {}
+def _distinct_token_rows(text_col) -> tuple[pa.Table, "np.ndarray"]:
+    """Text column → distinct (row, w) word-token pairs + per-row
+    distinct-token counts, entirely on Arrow kernels (utf8_lower /
+    trim / RE2 whitespace collapse / split / list_flatten — the same
+    normalization `normalize_text` + str.split computes per row, and
+    the same RE2 engine the DuckDB oracle runs)."""
+    if hasattr(text_col, "combine_chunks"):
+        text_col = text_col.combine_chunks()
+    n = len(text_col)
+    empty = pa.table(
+        {"row": pa.array([], type=pa.int64()), "w": pa.array([], type=pa.string())}
+    )
+    if not n:
+        return empty, np.zeros(0, dtype=np.int64)
+    norm = pc.utf8_lower(
+        pc.utf8_trim(
+            pc.replace_substring_regex(text_col, r"\s+", " "), " "
+        )
+    )
+    toks = pc.split_pattern(norm, " ")
+    flat = pc.list_flatten(toks)
+    rows = pc.cast(pc.list_parent_indices(toks), pa.int64())
+    t = pa.table({"row": rows, "w": flat}).filter(pc.not_equal(flat, ""))
+    d = t.group_by(["row", "w"]).aggregate([])
+    sizes = np.zeros(n, dtype=np.int64)
+    if d.num_rows:
+        cnt = agg_named(d, "row", [("w", "count")], ["row", "n"])
+        sizes[cnt.column("row").to_numpy(zero_copy_only=False)] = (
+            cnt.column("n").to_numpy(zero_copy_only=False)
+        )
+    return d, sizes
 
 
 def similarity_join(
@@ -740,54 +770,71 @@ def similarity_join(
 
     q_ds = docs.map_batches(_is_query, batch_format="pyarrow")
     q_tables = [t for t in (ray.get(r) for r in q_ds.to_arrow_refs()) if t.num_rows]
-    qsets: dict[int, frozenset] = {}
-    for t in q_tables:
-        for i, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
-            qsets[int(i)] = frozenset(normalize_text(txt).split())
-    q_ref = ray.put(sorted(qsets.items()))
+    if q_tables:
+        q_tbl = pa.concat_tables(q_tables).combine_chunks()
+        q_tbl = q_tbl.take(
+            pc.sort_indices(q_tbl, sort_keys=[("doc_id", "ascending")])
+        )
+    else:
+        q_tbl = pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "text": pa.array([], type=pa.string())}
+        )
+    # The broadcast side ships as Arrow/numpy (never Python sets): the
+    # distinct (qpos, w) token table IS the inverted index — each
+    # batch's Arrow hash join against it does the candidate
+    # generation + intersection counting in one C++ pass.
+    qtok, qsizes = _distinct_token_rows(q_tbl.column("text"))
+    qtok = qtok.rename_columns(["qpos", "w"])
+    qids_np = q_tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    q_ref = ray.put((qtok, qids_np, qsizes))
 
     def join_batch(batch: pa.Table) -> pa.Table:
-        queries = cached_get(q_ref)
-        # Per-worker inverted index token -> query positions: a doc is
-        # intersected only against queries sharing >= 1 token (pairs
-        # with an empty intersection were skipped anyway, so this is a
-        # pure prefilter — output identical, cost proportional to
-        # actual token overlap instead of docs x queries).
-        idx = _SIMJOIN_INDEX.get(q_ref.hex())
-        if idx is None:
-            inv: dict[str, list[int]] = {}
-            for pos, (_qid, qset) in enumerate(queries):
-                for w in qset:
-                    inv.setdefault(w, []).append(pos)
-            _SIMJOIN_INDEX.clear()  # one live query set per worker
-            idx = _SIMJOIN_INDEX[q_ref.hex()] = inv
-        out_q, out_d, out_j = [], [], []
-        for did, t in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            dset = frozenset(normalize_text(t).split())
-            if not dset:
-                continue
-            cand: set[int] = set()
-            for w in dset:
-                hits = idx.get(w)
-                if hits:
-                    cand.update(hits)
-            for pos in cand:
-                qid, qset = queries[pos]
-                if qid == did:
-                    continue
-                inter = len(dset & qset)
-                union = len(dset) + len(qset) - inter
-                if 100 * inter >= threshold_pct * union:
-                    out_q.append(qid)
-                    out_d.append(did)
-                    out_j.append((100 * inter) // union)
+        """Fully vectorized (no per-row Python): tokenize via RE2 +
+        list kernels, intersect via one Arrow hash join + group count,
+        score with integer numpy — exact floor arithmetic, so output
+        is bit-identical to the former per-row set implementation."""
+        empty = pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "jaccard_pct": pa.array([], type=pa.int64()),
+            }
+        )
+        qtok_t, qids, qn = cached_get(q_ref)
+        if not qtok_t.num_rows or not batch.num_rows:
+            return empty
+        dtok, dn = _distinct_token_rows(batch.column("text"))
+        if not dtok.num_rows:
+            return empty
+        j = dtok.join(qtok_t, keys=["w"], join_type="inner")
+        if not j.num_rows:
+            return empty
+        g = agg_named(
+            j.select(["row", "qpos", "w"]),
+            ["row", "qpos"],
+            [("w", "count")],
+            ["row", "qpos", "i"],
+        )
+        row = g.column("row").to_numpy(zero_copy_only=False)
+        qpos = g.column("qpos").to_numpy(zero_copy_only=False)
+        inter = g.column("i").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        did = ids[row]
+        qid = qids[qpos]
+        union = dn[row] + qn[qpos] - inter
+        keep = (qid != did) & (100 * inter >= threshold_pct * union)
         return pa.table(
             {
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "doc_id": pa.array(out_d, type=pa.int64()),
-                "jaccard_pct": pa.array(out_j, type=pa.int64()),
+                "query_id": pa.array(qid[keep], type=pa.int64()),
+                "doc_id": pa.array(did[keep], type=pa.int64()),
+                "jaccard_pct": pa.array(
+                    (100 * inter[keep]) // union[keep], type=pa.int64()
+                ),
             }
         )
 
