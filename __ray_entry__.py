@@ -538,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scripts/check_oracles.py runs every entry here — including
         # these — against any sf dir.
         "approx_distinct_users": relational.approx_distinct_users,
+        "streaming_distinct_users": relational.streaming_distinct_users,
         "approx_quantiles": relational.approx_quantiles,
         "fingerprint": textops.fingerprint,
         "minhash_lsh_pairs": textops.minhash_lsh_pairs,

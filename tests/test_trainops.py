@@ -1395,6 +1395,106 @@ class TestStreamingWindowCounts:
         assert sum(emissions) < out.num_rows  # and more followed later
 
 
+class TestStreamingDistinctUsers:
+    """Streaming per-window HLL distinct (sketch × streaming
+    composition): bounded error vs exact per-window COUNT(DISTINCT),
+    order-invariance (register max is commutative/idempotent), exact
+    late-event accounting."""
+
+    def _exact(self):
+        import duckdb
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            f"{SF_DIR}/events.parquet", columns=["ts", "event_type", "user_id"]
+        )
+        con = duckdb.connect()
+        con.register("e", tbl)
+        return {
+            (w, t): n
+            for w, t, n in con.execute(
+                """SELECT date_trunc('hour', ts), event_type,
+                          COUNT(DISTINCT user_id)
+                   FROM e GROUP BY 1, 2"""
+            ).fetchall()
+        }
+
+    def test_error_bound_vs_exact(self, ray_session):
+        from website_indexer_ray.pipelines import relational
+
+        out = relational.streaming_distinct_users(SF_DIR)
+        exact = self._exact()
+        assert out.num_rows == len(exact)
+        errs = []
+        for w, t, est in zip(
+            out.column("window_start").to_pylist(),
+            out.column("event_type").to_pylist(),
+            out.column("approx_distinct").to_pylist(),
+        ):
+            true = exact[(w, t)]
+            errs.append(abs(est - true) / max(true, 1))
+        assert float(np.mean(errs)) <= 0.05, (np.mean(errs), max(errs))
+
+    def _batches(self, order_seed=None, batch_size=256):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            f"{SF_DIR}/events.parquet", columns=["ts", "event_type", "user_id"]
+        )
+        if order_seed is None:
+            tbl = tbl.take(
+                pa.compute.sort_indices(tbl, sort_keys=[("ts", "ascending")])
+            )
+        else:
+            perm = np.random.default_rng(order_seed).permutation(tbl.num_rows)
+            tbl = tbl.take(pa.array(perm))
+        return tbl, [
+            tbl.slice(i, batch_size) for i in range(0, tbl.num_rows, batch_size)
+        ]
+
+    def test_shuffled_with_generous_lateness_is_identical(self, ray_session):
+        """HLL merge is order-insensitive: a fully shuffled stream
+        under lateness bounding all disorder gives BIT-IDENTICAL
+        estimates to the ordered one."""
+        from website_indexer_ray.state.streaming import run_distinct_stream
+
+        _t, ordered = self._batches()
+        a, late_a = run_distinct_stream(
+            ordered, window_us=3600 * 1_000_000, lateness_us=10**18
+        )
+        _t, shuffled = self._batches(order_seed=13)
+        b, late_b = run_distinct_stream(
+            shuffled, window_us=3600 * 1_000_000, lateness_us=10**18
+        )
+        assert late_a == late_b == 0
+        assert a.to_pydict() == b.to_pydict()
+
+    def test_late_partials_counted(self, ray_session):
+        from website_indexer_ray.state.streaming import run_distinct_stream
+
+        tbl, shuffled = self._batches(order_seed=13)
+        out, n_late = run_distinct_stream(
+            shuffled, window_us=3600 * 1_000_000, lateness_us=0
+        )
+        assert n_late > 0  # shuffled stream at zero lateness drops some
+        assert n_late < tbl.num_rows
+
+    def test_incremental_emission(self, ray_session):
+        from website_indexer_ray.state.streaming import run_distinct_stream
+
+        _t, ordered = self._batches(batch_size=64)
+        emissions = []
+        out, _ = run_distinct_stream(
+            ordered,
+            window_us=3600 * 1_000_000,
+            lateness_us=0,
+            poll_every=2,
+            on_emit=lambda rows: emissions.append(len(rows)),
+        )
+        assert sum(emissions) > 0
+        assert sum(emissions) < out.num_rows
+
+
 class TestApproxQuantiles:
     """Mergeable centroid-digest quantiles: every estimate's RANK in
     the exact sorted column must sit within the digest's error bound

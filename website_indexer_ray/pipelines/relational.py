@@ -949,6 +949,47 @@ def streaming_window_counts(
     return out
 
 
+def streaming_distinct_users(
+    sf_dir: str,
+    window_s: int = 3600,
+    lateness_s: int = 900,
+    batch_size: int = 4096,
+    p: int = 12,
+) -> pa.Table:
+    """STREAMING per-window approximate distinct users: HLL sketches
+    on the watermark machinery (state/streaming.py DistinctShard) —
+    the composition of the repo's sketch family with its streaming
+    family.  State per shard is O(open windows × types) 4 KB sketches
+    regardless of stream length OR user cardinality (an exact
+    per-window user set would grow O(distinct users)); finalized
+    windows drain incrementally while the stream runs.
+
+    Register max is commutative and idempotent, so arrival order and
+    cross-batch duplicate partials cannot change the result — a
+    shuffled stream under sufficient lateness is bit-identical to the
+    ordered one (pinned in pytest).  Approximate ⇒ rows-only driver
+    check; the per-window error bound vs exact COUNT(DISTINCT) is the
+    pytest gate."""
+    from website_indexer_ray.state.streaming import run_distinct_stream
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "user_id"]
+    ).sort("ts")
+
+    def batches():
+        for b in ds.iter_batches(batch_size=batch_size, batch_format="pyarrow"):
+            yield b
+
+    out, n_late = run_distinct_stream(
+        batches(),
+        window_us=window_s * 1_000_000,
+        lateness_us=lateness_s * 1_000_000,
+        p=p,
+    )
+    assert n_late == 0  # ordered source ⇒ nothing can be late
+    return out
+
+
 # --- mergeable quantile sketch (centroid digest) ---------------------
 
 def _value_centroids(vals: np.ndarray, max_centroids: int) -> pa.Table:

@@ -412,3 +412,210 @@ def run_sessionized_stream(
         n_late,
     )
 
+
+
+# --- streaming windowed approximate distinct (HLL on watermarks) -----
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """The repo's standard 64-bit mixer over int64 ids (vectorized)."""
+    h = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
+@ray.remote(num_cpus=0)
+class DistinctShard:
+    """One hash partition of streaming per-window HLL state: a 2^p-
+    register sketch per open (window, event_type) — state bounded by
+    open windows × types / n_shards regardless of stream length or
+    user cardinality (the property an exact per-window user set lacks:
+    its state is O(distinct users), unbounded).  Register max is
+    commutative/idempotent, so arrival order and duplicate partials
+    cannot change a finalized estimate — only a LATE partial (window
+    already finalized) is counted and dropped, mirroring WindowShard."""
+
+    def __init__(self, window_us: int, lateness_us: int, p: int = 12):
+        self.window_us = int(window_us)
+        self.lateness_us = int(lateness_us)
+        self.p = p
+        self.open: dict[tuple[int, str], "np.ndarray"] = {}
+        self.watermark = _NEG_INF
+        self.finalized: list[tuple[int, str, int]] = []
+        self.n_late = 0
+
+    def _sketch(self):
+        from website_indexer_ray.pipelines.relational import _HLL
+
+        return _HLL(self.p)
+
+    def add(self, wins, etypes, hash_arrays, counts, max_ts_us: int) -> None:
+        """One pre-deduped sub-batch: per (window, type) group, the
+        group's unique user-id hashes."""
+        from website_indexer_ray.pipelines.relational import _HLL
+
+        for w, e, hs, n in zip(wins, etypes, hash_arrays, counts):
+            w = int(w)
+            if w + self.window_us <= self.watermark:
+                self.n_late += int(n)
+                continue
+            key = (w, e)
+            regs = self.open.get(key)
+            sk = _HLL(self.p)
+            if regs is not None:
+                sk.regs = regs
+            sk.add_hashes(np.asarray(hs, dtype=np.uint64))
+            self.open[key] = sk.regs
+        wm = int(max_ts_us) - self.lateness_us
+        if wm > self.watermark:
+            self.watermark = wm
+            self._finalize_closed()
+
+    def _finalize_closed(self) -> None:
+        from website_indexer_ray.pipelines.relational import _HLL
+
+        closed = [
+            k for k in self.open if k[0] + self.window_us <= self.watermark
+        ]
+        for k in closed:
+            sk = _HLL(self.p)
+            sk.regs = self.open.pop(k)
+            self.finalized.append((k[0], k[1], sk.estimate()))
+
+    def poll_finalized(self) -> list[tuple[int, str, int]]:
+        out, self.finalized = self.finalized, []
+        return out
+
+    def flush(self) -> list[tuple[int, str, int]]:
+        from website_indexer_ray.pipelines.relational import _HLL
+
+        self._finalize_closed()
+        for (w, e), regs in sorted(self.open.items()):
+            sk = _HLL(self.p)
+            sk.regs = regs
+            self.finalized.append((w, e, sk.estimate()))
+        self.open.clear()
+        out, self.finalized = self.finalized, []
+        return out
+
+    def late_count(self) -> int:
+        return self.n_late
+
+
+def _distinct_partial(batch: pa.Table, window_us: int):
+    """Vectorized per-batch combiner for the distinct stream: per
+    (window, event_type) group, the group's UNIQUE splitmix64 user-id
+    hashes (in-batch dedup shrinks the routed payload; HLL idempotence
+    makes cross-batch duplicates harmless)."""
+    ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    win = (ts // window_us) * window_us
+    etype = batch.column("event_type").to_pylist()
+    h = _splitmix64(
+        batch.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    )
+    uniq_types = sorted(set(etype))
+    tcode = {t: i for i, t in enumerate(uniq_types)}
+    codes = win * len(uniq_types) + np.array(
+        [tcode[t] for t in etype], dtype=np.int64
+    )
+    order = np.argsort(codes, kind="stable")
+    sc = codes[order]
+    bnd = np.flatnonzero(np.diff(sc)) + 1
+    starts = np.concatenate(([0], bnd))
+    ends = np.concatenate((bnd, [len(sc)]))
+    h_sorted = h[order]
+    win_sorted = win[order]
+    etype_sorted = [etype[i] for i in order]
+    g_win, g_type, g_hashes, g_n = [], [], [], []
+    for s, e in zip(starts, ends):
+        g_win.append(int(win_sorted[s]))
+        g_type.append(etype_sorted[s])
+        hs = np.unique(h_sorted[s:e])
+        g_hashes.append(hs)
+        g_n.append(e - s)
+    return (
+        np.asarray(g_win, dtype=np.int64),
+        g_type,
+        g_hashes,
+        np.asarray(g_n, dtype=np.int64),
+        int(ts.max()),
+    )
+
+
+def run_distinct_stream(
+    batches,
+    window_us: int,
+    lateness_us: int,
+    n_shards: int = 4,
+    p: int = 12,
+    poll_every: int = 8,
+    on_emit=None,
+) -> tuple[pa.Table, int]:
+    """Drive (ts, event_type, user_id) batches through hash-sharded
+    per-window HLL actors; returns ((window_start, event_type,
+    approx_distinct) table, late-event count)."""
+    shards = [
+        DistinctShard.remote(window_us, lateness_us, p)
+        for _ in range(n_shards)
+    ]
+    rows: list[tuple[int, str, int]] = []
+    i = 0
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        g_win, g_type, g_hashes, g_n, max_ts = _distinct_partial(
+            batch, window_us
+        )
+        shard_of = (g_win // window_us) % n_shards
+        acks = []
+        for sh in range(n_shards):
+            idx = np.flatnonzero(shard_of == sh)
+            if len(idx):
+                acks.append(
+                    shards[sh].add.remote(
+                        g_win[idx],
+                        [g_type[j] for j in idx],
+                        [g_hashes[j] for j in idx],
+                        g_n[idx],
+                        max_ts,
+                    )
+                )
+        ray.get(acks)  # backpressure: one in-flight wave
+        i += 1
+        if poll_every and i % poll_every == 0:
+            drained = [
+                r
+                for part in ray.get(
+                    [s.poll_finalized.remote() for s in shards]
+                )
+                for r in part
+            ]
+            if drained:
+                rows.extend(drained)
+                if on_emit is not None:
+                    on_emit(drained)
+    for part in ray.get([s.flush.remote() for s in shards]):
+        rows.extend(part)
+    n_late = sum(ray.get([s.late_count.remote() for s in shards]))
+    win_us_col = pa.array([r[0] for r in rows], type=pa.int64())
+    tbl = pa.table(
+        {
+            "window_start": win_us_col.cast(pa.timestamp("us")),
+            "event_type": pa.array([r[1] for r in rows], type=pa.string()),
+            "approx_distinct": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+    import pyarrow.compute as pc
+
+    return (
+        tbl.take(
+            pc.sort_indices(
+                tbl,
+                sort_keys=[
+                    ("window_start", "ascending"),
+                    ("event_type", "ascending"),
+                ],
+            )
+        ),
+        n_late,
+    )
