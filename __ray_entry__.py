@@ -529,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_counts": relational.window_counts,
         "sessionize": relational.sessionize,
         "search_docs_text": relational.search_docs_text,
+        "cumulative_revenue": relational.cumulative_revenue,
         # rows-only entries last — every op below is approximate or
         # hash-identity BY DESIGN (LSH/IVF/HLL/Count-Min/winnowing),
         # so a driver row would carry only a rows>0 signal; the
@@ -925,6 +926,15 @@ def oracle_sql() -> dict[str, str]:
         "search_docs_text": """
             SELECT doc_id, lang, source FROM documents
             WHERE text ILIKE '%spark merge%' ORDER BY doc_id
+        """,
+        "cumulative_revenue": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_price_c
+            FROM orders ORDER BY o_orderkey
         """,
         "exact_dedup": """
             SELECT MIN(doc_id) AS doc_id FROM documents

@@ -585,6 +585,26 @@ class TestRelational:
                ORDER BY window_start, event_type""",
         )
 
+    def test_cumulative_revenue(self, ray_session, con):
+        """Running-total window function (SUM OVER PARTITION BY ...
+        ORDER BY): per-customer cumulative integer-cent order totals,
+        resolved per exchange partition in one lexsort + offset-cumsum
+        pass — hash-exact vs the SQL window oracle."""
+        from website_indexer_ray.pipelines import relational
+
+        out = relational.cumulative_revenue(SF_DIR)
+        assert_matches_sql(
+            out,
+            con,
+            """SELECT o_orderkey, o_custkey,
+                      CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+                          PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      ) AS BIGINT) AS cum_price_c
+               FROM orders ORDER BY o_orderkey""",
+        )
+
     def test_asof_last_order(self, ray_session, con):
         from website_indexer_ray.pipelines import relational
 

@@ -553,6 +553,82 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     return tbl.take(pc.sort_indices(tbl, sort_keys=[("user_id", "ascending")]))
 
 
+def _cum_resolve(t: pa.Table) -> pa.Table:
+    """Partition body for the cumulative window: lexsort by
+    (custkey, date, orderkey), then one global cumsum with the
+    per-group start offset subtracted — vectorized running totals for
+    every customer in the partition at once."""
+    import numpy as np
+
+    cust = t.column("o_custkey").to_numpy(zero_copy_only=False)
+    date = t.column("date_us").to_numpy(zero_copy_only=False)
+    okey = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+    price = t.column("price_c").to_numpy(zero_copy_only=False)
+    order = np.lexsort((okey, date, cust))
+    cust, okey, price = cust[order], okey[order], price[order]
+    run = np.cumsum(price)
+    starts = np.flatnonzero(np.r_[True, cust[1:] != cust[:-1]])
+    lens = np.diff(np.r_[starts, len(cust)])
+    # offset per row = cumulative total before its group started
+    offs = np.repeat(np.r_[0, run[starts[1:] - 1]], lens)
+    return pa.table(
+        {
+            "o_orderkey": pa.array(okey, type=pa.int64()),
+            "o_custkey": pa.array(cust, type=pa.int64()),
+            "cum_price_c": pa.array(run - offs, type=pa.int64()),
+        }
+    )
+
+
+def cumulative_revenue(sf_dir: str) -> pa.Table:
+    """Cumulative-window aggregate (the running-total window-function
+    class: SUM() OVER (PARTITION BY key ORDER BY ts)): each order's
+    running total of integer-cent o_totalprice per customer, ordered
+    by (o_orderdate, o_orderkey).
+
+    Scale shape: slim (custkey, orderkey, date, cents) rows
+    hash-co-partition on custkey through the actor-reducer exchange;
+    each partition resolves EVERY customer's running totals in one
+    vectorized lexsort + cumsum-with-group-offsets pass — no per-key
+    loop, nothing O(orders) on the driver until the (bounded) query
+    projection.  Integer cents ⇒ hash-identical to the SQL window
+    oracle."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def slim(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cents = np.rint(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+                "o_custkey": pc.cast(b.column("o_custkey"), pa.int64()),
+                "date_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+                "price_c": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    from website_indexer_ray.state.exchange import hash_exchange
+
+    tbl = hash_exchange(
+        ds.map_batches(slim, batch_format="pyarrow"), "o_custkey", _cum_resolve
+    )
+    if tbl is None:
+        return pa.table(
+            {
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "o_custkey": pa.array([], type=pa.int64()),
+                "cum_price_c": pa.array([], type=pa.int64()),
+            }
+        )
+    return tbl.take(pc.sort_indices(tbl, sort_keys=[("o_orderkey", "ascending")]))
+
+
 class _HLL:
     """HyperLogLog sketch (Flajolet et al. 2007), 2^p registers —
     partial-mergeable, so per-batch sketches combine with a per-key
