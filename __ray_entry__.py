@@ -530,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": relational.sessionize,
         "search_docs_text": relational.search_docs_text,
         "cumulative_revenue": relational.cumulative_revenue,
+        "revenue_rollup": relational.revenue_rollup,
         # rows-only entries last — every op below is approximate or
         # hash-identity BY DESIGN (LSH/IVF/HLL/Count-Min/winnowing),
         # so a driver row would carry only a rows>0 signal; the
@@ -935,6 +936,16 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS cum_price_c
             FROM orders ORDER BY o_orderkey
+        """,
+        "revenue_rollup": """
+            SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                       AS BIGINT) AS sum_price_c,
+                   COUNT(*) AS n
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+            ORDER BY 1, 2
         """,
         "exact_dedup": """
             SELECT MIN(doc_id) AS doc_id FROM documents

@@ -605,6 +605,26 @@ class TestRelational:
                FROM orders ORDER BY o_orderkey""",
         )
 
+    def test_revenue_rollup(self, ray_session, con):
+        """ROLLUP / GROUPING SETS class: finest-level partials in one
+        streaming pass, subtotal levels derived from the tiny base
+        aggregate; 'ALL' markers keep the hash NULL-free."""
+        from website_indexer_ray.pipelines import relational
+
+        out = relational.revenue_rollup(SF_DIR)
+        assert_matches_sql(
+            out,
+            con,
+            """SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                      COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                      CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                          AS BIGINT) AS sum_price_c,
+                      COUNT(*) AS n
+               FROM orders
+               GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+               ORDER BY 1, 2""",
+        )
+
     def test_asof_last_order(self, ray_session, con):
         from website_indexer_ray.pipelines import relational
 

@@ -756,6 +756,93 @@ def approx_distinct_users(sf_dir: str, p: int = 12) -> pa.Table:
     )
 
 
+def revenue_rollup(sf_dir: str) -> pa.Table:
+    """Multi-level (ROLLUP) aggregate: order revenue by
+    (o_orderpriority, o_orderstatus) with per-priority subtotals and a
+    grand total — the GROUPING SETS operator class, expressed
+    Ray-Data-first: ONE streaming pass computes per-batch integer-cent
+    partials at the finest level (the only O(rows) work); the rollup
+    levels derive from that tiny base aggregate (priorities × statuses
+    rows) with plain Arrow group_bys.  Subtotal rows carry 'ALL'
+    (COALESCE'd in the oracle) so the hash never compares NULLs."""
+    from website_indexer_ray.util import agg_named
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from website_indexer_ray.util import agg_named
+
+        cents = np.rint(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "o_orderstatus": b.column("o_orderstatus"),
+                "sum_price_c": pa.array(cents, type=pa.int64()),
+                "n": pa.array(np.ones(len(cents), dtype=np.int64)),
+            }
+        )
+        return agg_named(
+            t,
+            ["o_orderpriority", "o_orderstatus"],
+            [("sum_price_c", "sum"), ("n", "sum")],
+            ["o_orderpriority", "o_orderstatus", "sum_price_c", "n"],
+        )
+
+    base = _to_table(ds.map_batches(partial, batch_format="pyarrow"))
+    if base is None or not base.num_rows:
+        return pa.table(
+            {
+                "o_orderpriority": pa.array([], type=pa.string()),
+                "o_orderstatus": pa.array([], type=pa.string()),
+                "sum_price_c": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+    base = agg_named(
+        base,
+        ["o_orderpriority", "o_orderstatus"],
+        [("sum_price_c", "sum"), ("n", "sum")],
+        ["o_orderpriority", "o_orderstatus", "sum_price_c", "n"],
+    )
+    sub = agg_named(
+        base,
+        "o_orderpriority",
+        [("sum_price_c", "sum"), ("n", "sum")],
+        ["o_orderpriority", "sum_price_c", "n"],
+    )
+    sub = sub.add_column(
+        1, "o_orderstatus", pa.array(["ALL"] * sub.num_rows, type=pa.string())
+    )
+    total = pa.table(
+        {
+            "o_orderpriority": pa.array(["ALL"], type=pa.string()),
+            "o_orderstatus": pa.array(["ALL"], type=pa.string()),
+            "sum_price_c": pa.array(
+                [pc.sum(base.column("sum_price_c")).as_py()], type=pa.int64()
+            ),
+            "n": pa.array([pc.sum(base.column("n")).as_py()], type=pa.int64()),
+        }
+    )
+    cols = ["o_orderpriority", "o_orderstatus", "sum_price_c", "n"]
+    out = pa.concat_tables([base.select(cols), sub.select(cols), total])
+    return out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[
+                ("o_orderpriority", "ascending"),
+                ("o_orderstatus", "ascending"),
+            ],
+        )
+    )
+
+
 def priority_revenue(sf_dir: str) -> pa.Table:
     """Big-big hash join (lineitem ⨝ orders on orderkey) — the join
     class the reference never needs, expressed with the engine's keyed
