@@ -127,35 +127,31 @@ def _partial_by_window(
 ) -> tuple[np.ndarray, list[str], np.ndarray, np.ndarray, int]:
     """Vectorized per-batch combiner: (window_start_us, event_type)
     partial integer-cent sums + counts, plus the batch's max ts."""
+    import pyarrow.compute as pc
+
     ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
     win = (ts // window_us) * window_us
-    etype = batch.column("event_type").to_pylist()
     cents = np.rint(
         batch.column("value").to_numpy(zero_copy_only=False) * 100.0
     ).astype(np.int64)
-    # group in-batch: codes over (win, etype)
-    uniq_types = sorted(set(etype))
-    tcode = {t: i for i, t in enumerate(uniq_types)}
-    codes = win * len(uniq_types) + np.array(
-        [tcode[t] for t in etype], dtype=np.int64
-    )
+    # group in-batch: codes over (win, etype) — event types via
+    # dictionary_encode (vectorized), never a per-row Python lookup
+    enc = pc.dictionary_encode(batch.column("event_type").combine_chunks())
+    tcodes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    types = enc.dictionary.to_pylist()
+    codes = win * len(types) + tcodes
     order = np.argsort(codes, kind="stable")
     sc = codes[order]
     bnd = np.flatnonzero(np.diff(sc)) + 1
     starts = np.concatenate(([0], bnd))
     ends = np.concatenate((bnd, [len(sc)]))
-    g_win = np.empty(len(starts), dtype=np.int64)
-    g_sum = np.empty(len(starts), dtype=np.int64)
-    g_n = np.empty(len(starts), dtype=np.int64)
-    g_type: list[str] = []
     cents_sorted = cents[order]
     win_sorted = win[order]
-    etype_sorted = [etype[i] for i in order]
-    for i, (s, e) in enumerate(zip(starts, ends)):
-        g_win[i] = win_sorted[s]
-        g_type.append(etype_sorted[s])
-        g_sum[i] = cents_sorted[s:e].sum()
-        g_n[i] = e - s
+    tcode_sorted = tcodes[order]
+    g_win = win_sorted[starts]
+    g_type = [types[c] for c in tcode_sorted[starts]]  # one per GROUP
+    g_sum = np.add.reduceat(cents_sorted, starts)
+    g_n = ends - starts
     return g_win, g_type, g_sum, g_n, int(ts.max())
 
 
@@ -507,17 +503,17 @@ def _distinct_partial(batch: pa.Table, window_us: int):
     (window, event_type) group, the group's UNIQUE splitmix64 user-id
     hashes (in-batch dedup shrinks the routed payload; HLL idempotence
     makes cross-batch duplicates harmless)."""
+    import pyarrow.compute as pc
+
     ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
     win = (ts // window_us) * window_us
-    etype = batch.column("event_type").to_pylist()
     h = _splitmix64(
         batch.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
     )
-    uniq_types = sorted(set(etype))
-    tcode = {t: i for i, t in enumerate(uniq_types)}
-    codes = win * len(uniq_types) + np.array(
-        [tcode[t] for t in etype], dtype=np.int64
-    )
+    enc = pc.dictionary_encode(batch.column("event_type").combine_chunks())
+    tcodes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    types = enc.dictionary.to_pylist()
+    codes = win * len(types) + tcodes
     order = np.argsort(codes, kind="stable")
     sc = codes[order]
     bnd = np.flatnonzero(np.diff(sc)) + 1
@@ -525,21 +521,12 @@ def _distinct_partial(batch: pa.Table, window_us: int):
     ends = np.concatenate((bnd, [len(sc)]))
     h_sorted = h[order]
     win_sorted = win[order]
-    etype_sorted = [etype[i] for i in order]
-    g_win, g_type, g_hashes, g_n = [], [], [], []
-    for s, e in zip(starts, ends):
-        g_win.append(int(win_sorted[s]))
-        g_type.append(etype_sorted[s])
-        hs = np.unique(h_sorted[s:e])
-        g_hashes.append(hs)
-        g_n.append(e - s)
-    return (
-        np.asarray(g_win, dtype=np.int64),
-        g_type,
-        g_hashes,
-        np.asarray(g_n, dtype=np.int64),
-        int(ts.max()),
-    )
+    tcode_sorted = tcodes[order]
+    g_win = win_sorted[starts]
+    g_type = [types[c] for c in tcode_sorted[starts]]  # one per GROUP
+    g_hashes = [np.unique(h_sorted[s:e]) for s, e in zip(starts, ends)]
+    g_n = ends - starts
+    return g_win, g_type, g_hashes, g_n, int(ts.max())
 
 
 def run_distinct_stream(
