@@ -325,3 +325,64 @@ def test_sharded_map_write_resume(ray_session, tmp_path):
         changed = os.path.getmtime(f) != mt_before[f]
         assert changed == ("shard-f1" in f)
 
+
+
+class TestHashStrings64:
+    """util.hash_strings64 — the vectorized routing hash every graph
+    exchange keys on: determinism across array layouts (chunked,
+    sliced/offset, large_string) and agreement with an independent
+    per-string reference implementation of the same polynomial."""
+
+    @staticmethod
+    def _ref_one(s: str) -> int:
+        P = 0x100000001B3
+        M = (1 << 64) - 1
+        b = s.encode("utf-8")
+        h = 0
+        p = 1
+        for c in b:
+            h = (h + (c + 1) * p) & M
+            p = (p * P) & M
+        h = (h * 0x9E3779B97F4A7C15 + len(b)) & M
+        h = ((h ^ (h >> 30)) * 0xBF58476D1CE4E5B9) & M
+        h = ((h ^ (h >> 27)) * 0x94D049BB133111EB) & M
+        h = h ^ (h >> 31)
+        return h & 0x7FFFFFFFFFFFFFFF
+
+    def test_matches_reference_and_layout_invariant(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from website_indexer_ray.util import hash_strings64
+
+        vals = [
+            "", "a", "ab", "https://example.gov/path?page=2",
+            "x" * 300, "ünïcødé ☃", "a\x1fb", "\x00\x01",
+        ] * 3 + [f"u{i}" for i in range(50)]
+        base = hash_strings64(pa.array(vals, type=pa.string()))
+        expected = np.array([self._ref_one(s) for s in vals], dtype=np.int64)
+        assert np.array_equal(base, expected)
+
+        # sliced array (non-zero offset into shared buffers)
+        arr = pa.array(["pad1", "pad2", *vals], type=pa.string())
+        sliced = arr.slice(2)
+        assert np.array_equal(hash_strings64(sliced), expected)
+
+        # chunked layout
+        chunked = pa.chunked_array(
+            [vals[:5], vals[5:40], vals[40:]], type=pa.string()
+        )
+        assert np.array_equal(hash_strings64(chunked), expected)
+
+        # large_string offsets
+        assert np.array_equal(
+            hash_strings64(pa.array(vals, type=pa.large_string())), expected
+        )
+
+    def test_nulls_hash_like_empty(self):
+        import pyarrow as pa
+
+        from website_indexer_ray.util import hash_strings64
+
+        out = hash_strings64(pa.array(["x", None, ""], type=pa.string()))
+        assert out[1] == out[2]

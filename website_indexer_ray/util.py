@@ -70,12 +70,12 @@ def hash_strings64(arr) -> "np.ndarray":
         # the data buffer; empty strings occupy zero bytes)
         pos = np.arange(lo, hi, dtype=np.int64) - np.repeat(starts, lens)
         P = np.uint64(0x100000001B3)
-        pows = np.empty(int(lens.max()), dtype=np.uint64)
+        # pows[i] = P^i mod 2^64: accumulate over [1, P, P, ...] wraps
+        # correctly in uint64 (dividing a wrapped accumulate by P would
+        # NOT recover P^i once P^{i+1} exceeds 2^64)
+        pows = np.full(int(lens.max()), P, dtype=np.uint64)
         pows[0] = 1
-        np.multiply.accumulate(
-            np.full(len(pows), P, dtype=np.uint64), out=pows
-        )
-        pows //= P  # [1, P, P^2, ...]
+        np.multiply.accumulate(pows, out=pows)
         terms = (seg + np.uint64(1)) * pows[pos]
         # reduceat over non-empty string starts; empties contribute no
         # bytes, so consecutive non-empty boundaries partition `terms`
