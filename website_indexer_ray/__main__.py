@@ -246,6 +246,8 @@ def cmd_curate(args) -> int:
         max_ppl=args.max_ppl,
         snapshot_dir=args.snapshot_dir,
         dup_span_k=args.dup_span_k,
+        near_dup_method=args.near_dup_method,
+        simhash_max_hamming=args.simhash_max_hamming,
     )
     print(
         json.dumps(
@@ -383,6 +385,10 @@ def main(argv=None) -> int:
     cu.add_argument("--max-ppl", type=float, default=None)
     cu.add_argument("--snapshot-dir", default=None)
     cu.add_argument("--dup-span-k", type=int, default=None)
+    cu.add_argument(
+        "--near-dup-method", choices=["minhash", "simhash"], default="minhash"
+    )
+    cu.add_argument("--simhash-max-hamming", type=int, default=3)
     cu.set_defaults(fn=cmd_curate)
 
     df = sub.add_parser("diff")

@@ -260,6 +260,8 @@ def curate_corpus(
     max_ppl: float | None = None,
     snapshot_dir: str | None = None,
     dup_span_k: int | None = None,
+    near_dup_method: str = "minhash",
+    simhash_max_hamming: int = 3,
 ) -> pa.Table:
     """Run the full curation pipeline; returns the per-stage lineage
     table (stage, n_docs). Re-running resumes from the last committed
@@ -293,6 +295,11 @@ def curate_corpus(
         doc are excised from all but the first occurrence during the
         final keep pass (dropped docs are excluded first, so a dropped
         duplicate can never anchor a run and erase the kept copy).
+      - ``near_dup_method``: the near-dup family — ``"minhash"``
+        (token-Jaccard LSH, default; ``jaccard_threshold`` applies) or
+        ``"simhash"`` (bit-similarity band blocking;
+        ``simhash_max_hamming`` applies). Both flow the same slim
+        pair shape through the same bucket-keyed exchange.
       - ``max_ppl``: drop kept docs whose byte-bigram LM perplexity
         (CCNet-style; model trained once on the cleaned corpus, the
         512 KB log-prob table broadcast via one ``ray.put``) exceeds
@@ -300,6 +307,11 @@ def curate_corpus(
         dropped by the gate (the default ``min_tokens`` makes that
         vacuous).
     """
+    if near_dup_method not in ("minhash", "simhash"):
+        raise ValueError(
+            f"near_dup_method must be 'minhash' or 'simhash', "
+            f"got {near_dup_method!r}"
+        )
     filtered_dir = os.path.join(out_dir, "filtered")
     filtered_data = os.path.join(filtered_dir, "documents.parquet")
     kept_dir = os.path.join(out_dir, "kept")
@@ -380,7 +392,19 @@ def curate_corpus(
                     ),
                 )
             n_after_exact = n_cleaned - len(dropped_exact)
-            pairs = minhash_lsh_pairs(filtered_dir, jaccard_threshold)
+            # near-dup family is selectable: MinHash-LSH (token-
+            # Jaccard, the default) or SimHash band blocking (bit
+            # similarity of hashed feature vectors) — both produce the
+            # same slim (doc_a, doc_b) pair shape through the same
+            # bucket-keyed exchange, so the drop-set plumbing is shared
+            if near_dup_method == "minhash":
+                pairs = minhash_lsh_pairs(filtered_dir, jaccard_threshold)
+            else:  # "simhash" (validated at entry)
+                from website_indexer_ray.pipelines.textops import simhash_pairs
+
+                pairs = simhash_pairs(
+                    filtered_dir, max_hamming=simhash_max_hamming
+                )
             # near-dup union-find over survivors only: pairs touching
             # an exact/snapshot-dropped doc must not drop its keeper twin
             if len(dropped_exact) and pairs.num_rows:
