@@ -457,6 +457,9 @@ class TestAnnOps:
         codes = annops._codes_matrix(enc.column("codes"), 8)
         assert codes.shape == (32, 8)
         assert codes.max() < 32  # codeword ids within the book
+        # sliced (offset) FixedSizeBinary arrays decode the same rows
+        sliced = annops._codes_matrix(enc.column("codes").combine_chunks().slice(5), 8)
+        assert np.array_equal(sliced, codes[5:])
 
     def test_embedding_dedup_matches_sql(self, ray_session, con):
         from website_indexer_ray.pipelines import annops
