@@ -14,8 +14,12 @@ localhost). Fetch concurrency scales with the CPU budget
 (2 actors/CPU at 0.5 CPU each) exactly as aggregate connection count
 scales with node count on a real cluster.
 
-Also timed: the heavyweight training-data ops (MinHash near-dup,
-brute-force ANN) and a grouped aggregate over the sf tables.
+Also timed: the graph ops over the just-crawled link graph (one
+shared semi-join graph build, then integer-exact PageRank and
+degree-ordered triangle counting), distributed connected components
+(cc_source_groups), the curation composite (clean → dedup → keep),
+and the heavyweight training-data ops (MinHash near-dup, brute-force
+ANN) plus a grouped aggregate over the sf tables.
 
 ``--scaling``: runs the crawl alone in two fresh processes at
 RAY_GRAFT_CPUS=8 and 32 (the sandbox stand-in for N vs 4N nodes) on
