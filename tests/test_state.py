@@ -150,6 +150,39 @@ class TestPoliteness:
         lim = HostRateLimiter(wait=0.0)
         assert lim.acquire("x") == 0.0
 
+    def test_crawl_delay_override_per_host(self):
+        """set_host_wait (robots Crawl-delay): the overridden host
+        spaces at max(wait, delay); other hosts keep the base wait;
+        a delay SMALLER than the base wait never loosens it."""
+        t = [0.0]
+
+        def clock():
+            return t[0]
+
+        def sleep(s):
+            t[0] += s
+
+        lim = HostRateLimiter(wait=0.5, clock=clock, sleep=sleep)
+        lim.set_host_wait("slow.example", 2.0)
+        lim.set_host_wait("fast.example", 0.1)  # must NOT loosen
+        assert lim.acquire("slow.example") == 0.0
+        assert lim.acquire("slow.example") == pytest.approx(2.0)
+        assert lim.acquire("fast.example") == 0.0
+        assert lim.acquire("fast.example") == pytest.approx(0.5)
+        assert lim.acquire("plain.example") == 0.0
+        assert lim.acquire("plain.example") == pytest.approx(0.5)
+
+    def test_crawl_delay_applies_at_zero_base_wait(self):
+        t = [0.0]
+        lim = HostRateLimiter(
+            wait=0.0, clock=lambda: t[0],
+            sleep=lambda s: t.__setitem__(0, t[0] + s),
+        )
+        lim.set_host_wait("h", 1.5)
+        assert lim.acquire("h") == 0.0
+        assert lim.acquire("h") == pytest.approx(1.5)
+        assert lim.acquire("other") == 0.0  # no override, no base wait
+
 
 class TestRobots:
     def test_disallow(self):
@@ -161,6 +194,18 @@ class TestRobots:
         assert not cache.allowed("https://a.example/private/x")
         # missing robots.txt ⇒ allow all
         assert cache.allowed("https://b.example/anything")
+
+    def test_crawl_delay_parsed(self):
+        bodies = {
+            "https://a.example/robots.txt": (
+                "User-agent: *\nCrawl-delay: 2\nDisallow: /private/\n"
+            ),
+            "https://b.example/robots.txt": "User-agent: *\nAllow: /\n",
+        }
+        cache = RobotsCache(lambda u: bodies.get(u))
+        assert cache.crawl_delay("https://a.example/page") == 2.0
+        assert cache.crawl_delay("https://b.example/page") is None
+        assert cache.crawl_delay("https://c.example/page") is None  # no robots
 
     def test_cache_single_fetch(self):
         calls = []
@@ -232,6 +277,22 @@ class TestHostBudgetReserveN:
         assert nxt > 1.8  # continues after the 4 reserved slots
         other = _ray.get(b.reserve_n.remote("other-host", 1))[0]
         assert other == 0.0  # budgets are per host
+
+    def test_crawl_delay_override_through_budget(self, ray_session):
+        """The salted path: a pushed Crawl-delay re-spaces the host's
+        slots globally (every partition of that host sees it)."""
+        import ray as _ray
+
+        from website_indexer_ray.state.politeness import HostBudget
+
+        b = HostBudget.remote(wait=0.5)
+        _ray.get(b.set_host_wait.remote("slow", 2.0))
+        delays = _ray.get(b.reserve_n.remote("slow", 3))
+        for i, d in enumerate(delays):
+            assert abs(d - i * 2.0) < 0.05
+        # other hosts unaffected
+        other = _ray.get(b.reserve_n.remote("plain", 2))
+        assert abs(other[1] - 0.5) < 0.05
 
     def test_robots_excluded_rows_consume_no_slots(self, ray_session):
         """Rows the robots check filters out never reach the fetch, so

@@ -162,6 +162,7 @@ class FetchParseStage:
             wait=self.cfg.politeness_wait, random_wait=self.cfg.random_wait
         )
         self.budget = budget_handle  # shared HostBudget when salted
+        self._delay_seen: set[str] = set()  # hosts whose Crawl-delay is pushed
         self.robots = (
             # robots_handle = cluster-shared RobotsStore actor: each
             # host's robots.txt is fetched ~once per cluster, not once
@@ -233,6 +234,23 @@ class FetchParseStage:
         allowed = [
             self.robots is None or self.robots.allowed(r["url"]) for r in rows
         ]
+        if self.robots is not None:
+            # Honor robots Crawl-delay: once per host per actor, push
+            # the override into the local limiter and (salted path) the
+            # shared HostBudget — actor tasks from one caller run FIFO,
+            # so the override lands before this batch's reserve_n.
+            # Effective wait = max(configured, Crawl-delay): a site's
+            # stricter request tightens, never loosens.
+            for r, ok in zip(rows, allowed):
+                h = r["host"]
+                if not ok or h in self._delay_seen:
+                    continue
+                self._delay_seen.add(h)
+                d = self.robots.crawl_delay(r["url"])
+                if d and d > 0:
+                    self.limiter.set_host_wait(h, d)
+                    if self.budget is not None:
+                        self.budget.set_host_wait.remote(h, d)
         if self.budget is not None and rows:
             # One reserve_n RPC per (host, batch) instead of a blocking
             # actor round-trip per row; slots are wall-clock targets

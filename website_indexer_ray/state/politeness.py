@@ -39,12 +39,24 @@ class HostRateLimiter:
         self.clock = clock
         self.sleep = sleep
         self.next_ok: dict[str, float] = {}
+        # per-host overrides (robots.txt Crawl-delay); effective wait
+        # for a host = max(configured wait, override) — honoring a
+        # site's own stricter request never loosens the global cap
+        self.host_wait: dict[str, float] = {}
         self.rngs: dict[str, random.Random] = {}
         # Multiplexed fetch slots (cfg.fetch_threads) share one
         # limiter: slot RESERVATION is locked, the sleep is not, so
         # concurrent threads each wait for their own absolute target
         # and per-host spacing survives any interleaving.
         self._lock = threading.Lock()
+
+    def set_host_wait(self, host: str, wait: float) -> None:
+        """Install a per-host minimum spacing (robots Crawl-delay)."""
+        with self._lock:
+            self.host_wait[host] = float(wait)
+
+    def _wait_for(self, host: str) -> float:
+        return max(self.wait, self.host_wait.get(host, 0.0))
 
     def _factor(self, host: str) -> float:
         if not self.random_wait:
@@ -54,13 +66,14 @@ class HostRateLimiter:
 
     def acquire(self, host: str) -> float:
         """Block until the host's next slot; returns seconds slept."""
-        if self.wait <= 0:
+        w = self._wait_for(host)
+        if w <= 0:
             return 0.0
         with self._lock:
             now = self.clock()
             t = self.next_ok.get(host, now)
             delay = max(0.0, t - now)
-            self.next_ok[host] = max(now, t) + self.wait * self._factor(host)
+            self.next_ok[host] = max(now, t) + w * self._factor(host)
         if delay > 0:
             self.sleep(delay)
         return delay
@@ -89,13 +102,20 @@ class HostBudget:
         Returns per-slot delays relative to now; callers sleep until
         ``t0 + delay[i]`` before request i."""
         lim = self.limiter
-        if lim.wait <= 0:
+        w = lim._wait_for(host)
+        if w <= 0:
             return [0.0] * n
         now = lim.clock()
         t = lim.next_ok.get(host, now)
         delays = []
         for _ in range(n):
             delays.append(max(0.0, t - now))
-            t = max(now, t) + lim.wait * lim._factor(host)
+            t = max(now, t) + w * lim._factor(host)
         lim.next_ok[host] = t
         return delays
+
+    def set_host_wait(self, host: str, wait: float) -> None:
+        """Per-host Crawl-delay override (fetchers push a host's
+        robots delay once; the global budget applies it to every
+        salted partition of that host)."""
+        self.limiter.set_host_wait(host, wait)

@@ -85,3 +85,14 @@ class RobotsCache:
         if rp is None:
             return True
         return rp.can_fetch(self.user_agent, url)
+
+    def crawl_delay(self, url: str) -> float | None:
+        """The host's robots Crawl-delay for our agent (None when the
+        robots body is absent or sets none) — fetchers feed this into
+        the per-host politeness override so a site's own stricter
+        request tightens (never loosens) the configured wait."""
+        rp = self._parser_for(url)
+        if rp is None:
+            return None
+        d = rp.crawl_delay(self.user_agent)
+        return float(d) if d is not None else None
