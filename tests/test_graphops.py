@@ -436,6 +436,48 @@ class TestTriangleCountWrite:
             )
 
 
+class TestPagerankWarmStart:
+    def _ds(self):
+        urls = [f"https://w.example/{i}" for i in range(15)]
+        links = [
+            [urls[(i + 1) % 15], urls[(i * 7 + 2) % 15]] for i in range(15)
+        ]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "record_type": ["page"] * 15,
+                    "url": urls,
+                    "links": pa.array(links, type=pa.list_(pa.string())),
+                }
+            )
+        )
+
+    def test_warm_k_equals_cold_longer(self):
+        """Power iteration is memoryless: 2 warm iterations from the
+        5-iteration ranks are BIT-identical to 7 cold iterations —
+        the exactness contract for incremental rank maintenance after
+        a recrawl."""
+        cold5 = graphops.pagerank(self._ds(), iterations=5, n_reducers=4)
+        warm = graphops.pagerank(
+            self._ds(), iterations=2, n_reducers=4, init_ranks=cold5
+        )
+        cold7 = graphops.pagerank(self._ds(), iterations=7, n_reducers=4)
+        assert warm.to_pydict() == cold7.to_pydict()
+
+    def test_new_nodes_start_uniform(self):
+        """Nodes missing from init_ranks (recrawl-added pages) start
+        at the uniform rank — a partial init table is accepted."""
+        cold = graphops.pagerank(self._ds(), iterations=3, n_reducers=4)
+        partial_init = cold.slice(0, 5)
+        out = graphops.pagerank(
+            self._ds(), iterations=1, n_reducers=4, init_ranks=partial_init
+        )
+        assert out.num_rows == cold.num_rows  # every node still ranked
+        assert sorted(out.column("url").to_pylist()) == sorted(
+            cold.column("url").to_pylist()
+        )
+
+
 class TestSharedGraphBuild:
     def test_shared_graph_equals_independent_builds(self):
         """build_link_graph passed to both ops must give bit-identical

@@ -678,6 +678,7 @@ def pagerank(
     scale: int = 10**12,
     damping_pct: int = 85,
     graph: pa.Table | None = None,
+    init_ranks: pa.Table | None = None,
 ) -> pa.Table:
     """PageRank over the crawled-page link graph → (url, pr) sorted by
     url, in exact integer micro-rank units: r0 = scale//N;
@@ -709,13 +710,37 @@ def pagerank(
     if not n:
         return _empty_pr()
     base = ((100 - damping_pct) * scale) // (100 * n)
-    ranks = pa.table(
-        {
-            "url": nodes.column("url"),
-            "key": nodes.column("key"),
-            "pr": pa.array([scale // n] * n, type=_I64),
-        }
-    )
+    if init_ranks is None:
+        ranks = pa.table(
+            {
+                "url": nodes.column("url"),
+                "key": nodes.column("key"),
+                "pr": pa.array([scale // n] * n, type=_I64),
+            }
+        )
+    else:
+        # Warm start (incremental maintenance after a recrawl): power
+        # iteration is memoryless, so k iterations from a previous
+        # run's ranks EXACTLY equal (prev_iterations + k) cold
+        # iterations on an unchanged graph (pinned in pytest) — and on
+        # a slightly-changed graph they converge from the old ranks
+        # instead of from uniform. Nodes absent from init_ranks
+        # (pages added by the recrawl) start at the uniform scale//N.
+        joined = nodes.join(
+            init_ranks.select(["url", "pr"]).rename_columns(["i_url", "i_pr"]),
+            keys=["url"],
+            right_keys=["i_url"],
+            join_type="left outer",
+        )
+        ranks = pa.table(
+            {
+                "url": joined.column("url"),
+                "key": joined.column("key"),
+                "pr": pc.fill_null(
+                    pc.cast(joined.column("i_pr"), _I64), scale // n
+                ),
+            }
+        )
     empty_str = pa.nulls(0, pa.string())
     for _ in range(iterations):
         routed1 = pa.concat_tables(
