@@ -1718,6 +1718,48 @@ class TestStreamingCheckpoint:
         got = sorted(_ray.get(b.poll_finalized.remote()) + _ray.get(b.flush.remote()))
         assert got == want
 
+    def test_distinct_shard_resume(self, ray_session):
+        """HLL register state round-trips the snapshot: estimates
+        after kill+restore equal an uninterrupted run exactly."""
+        import ray as _ray
+
+        from website_indexer_ray.state.streaming import (
+            DistinctShard,
+            _distinct_partial,
+        )
+
+        batches = [
+            b.select(["ts", "event_type", "user_id"])
+            for b in self._event_batches()
+        ]
+        half = len(batches) // 2
+        W = 3600 * 1_000_000
+
+        def drive(shard, bs):
+            for batch in bs:
+                g_win, g_type, g_hashes, g_n, max_ts = _distinct_partial(
+                    batch, W
+                )
+                _ray.get(
+                    shard.add.remote(g_win, g_type, g_hashes, g_n, max_ts)
+                )
+
+        ref = DistinctShard.remote(W, 0)
+        drive(ref, batches)
+        want = sorted(_ray.get(ref.flush.remote()))
+
+        a = DistinctShard.remote(W, 0)
+        drive(a, batches[:half])
+        snap = _ray.get(a.snapshot.remote())
+        _ray.kill(a)
+        b = DistinctShard.remote(1, 1, p=4)  # overwritten by restore
+        _ray.get(b.restore.remote(snap))
+        drive(b, batches[half:])
+        got = sorted(
+            _ray.get(b.poll_finalized.remote()) + _ray.get(b.flush.remote())
+        )
+        assert got == want
+
 
 class TestNewOpWriteForms:
     """Sink forms of the session's O(corpus)-output ops reproduce the

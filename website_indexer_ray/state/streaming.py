@@ -497,6 +497,32 @@ class DistinctShard:
     def late_count(self) -> int:
         return self.n_late
 
+    def snapshot(self) -> dict:
+        return {
+            "window_us": self.window_us,
+            "lateness_us": self.lateness_us,
+            "p": self.p,
+            "open": {
+                f"{w}\x00{e}": regs.tobytes()
+                for (w, e), regs in self.open.items()
+            },
+            "watermark": self.watermark,
+            "finalized": list(self.finalized),
+            "n_late": self.n_late,
+        }
+
+    def restore(self, snap: dict) -> None:
+        self.window_us = snap["window_us"]
+        self.lateness_us = snap["lateness_us"]
+        self.p = snap["p"]
+        self.open = {}
+        for key, raw in snap["open"].items():
+            w, e = key.split("\x00", 1)
+            self.open[(int(w), e)] = np.frombuffer(raw, dtype=np.uint8).copy()
+        self.watermark = snap["watermark"]
+        self.finalized = [tuple(r) for r in snap["finalized"]]
+        self.n_late = snap["n_late"]
+
 
 def _distinct_partial(batch: pa.Table, window_us: int):
     """Vectorized per-batch combiner for the distinct stream: per
