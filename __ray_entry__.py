@@ -553,6 +553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": annops.knn_lsh,
         "knn_ivf": annops.knn_ivf,
         "knn_ivfpq": annops.knn_ivfpq,
+        "text_knn": annops.text_knn,
         "approx_top_tokens": textops.approx_top_tokens,
         "crawl_near_dup_keep": _crawl_near_dup,
         "ngram_jaccard_pairs": textops.ngram_jaccard_pairs,

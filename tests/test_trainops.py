@@ -461,6 +461,59 @@ class TestAnnOps:
         sliced = annops._codes_matrix(enc.column("codes").combine_chunks().slice(5), 8)
         assert np.array_equal(sliced, codes[5:])
 
+    def test_text_embed_and_knn(self, ray_session, tmp_path):
+        """Feature-hashed text embeddings: identical texts → identical
+        vectors, unit norm, deterministic; the sink form equals the
+        table form; text_knn returns dense 1..k ranks per query and is
+        deterministic end to end."""
+        import glob as _glob
+
+        from website_indexer_ray.pipelines import annops
+
+        # planted duplicates → identical embeddings (and a disjoint
+        # text → a different one)
+        batch = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": [
+                    "the quick brown fox",
+                    "  THE  quick   brown fox ",  # normalizes identically
+                    "completely different words entirely",
+                ],
+            }
+        )
+        emb = annops._embed_text_batch(batch, 64)
+        v = [np.asarray(e, dtype=np.float32) for e in emb.column("embedding").to_pylist()]
+        assert np.array_equal(v[0], v[1])
+        assert not np.array_equal(v[0], v[2])
+        for x in v:
+            assert abs(float(np.linalg.norm(x)) - 1.0) < 1e-5
+
+        a = annops.text_embed(SF_DIR)
+        b = annops.text_embed(SF_DIR)
+        assert a.equals(b)
+
+        out_dir = str(tmp_path / "emb")
+        annops.text_embed_write(SF_DIR, out_dir)
+        files = sorted(_glob.glob(f"{out_dir}/*.parquet"))
+        import pyarrow.parquet as _pq
+
+        sink = pa.concat_tables([_pq.read_table(f) for f in files])
+        sink = sink.take(
+            pa.compute.sort_indices(sink, sort_keys=[("doc_id", "ascending")])
+        )
+        assert sink.to_pydict() == a.to_pydict()
+
+        knn = annops.text_knn(SF_DIR, k=5, n_queries=3)
+        assert knn.num_rows == 15
+        by_q = {}
+        for q, r in zip(
+            knn.column("query_id").to_pylist(), knn.column("rank").to_pylist()
+        ):
+            by_q.setdefault(q, []).append(r)
+        assert all(sorted(rs) == list(range(1, 6)) for rs in by_q.values())
+        assert knn.to_pydict() == annops.text_knn(SF_DIR, k=5, n_queries=3).to_pydict()
+
     def test_embedding_dedup_matches_sql(self, ray_session, con):
         from website_indexer_ray.pipelines import annops
 

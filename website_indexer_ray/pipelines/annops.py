@@ -570,6 +570,148 @@ def _merge_topk(partials: pa.Table | None, k: int) -> pa.Table:
     )
 
 
+# --- text → embedding (feature hashing; Weinberger et al. 2009) ------
+
+
+def _embed_text_batch(batch: pa.Table, dim: int) -> pa.Table:
+    """Vectorized hashed bag-of-words embedding: tokenize on Arrow
+    kernels, hash tokens over the string buffers (hash_strings64),
+    signed bucket accumulation via one bincount, L2 normalize.  A
+    REAL deterministic embedder (no model weights needed), the
+    classic feature-hashing baseline — and the batch shape a learned
+    encoder drops into (per-batch matrix in, (doc_id, vector) out)."""
+    import pyarrow.compute as pc
+
+    from website_indexer_ray.pipelines.textops import _distinct_token_rows
+    from website_indexer_ray.util import hash_strings64
+
+    n = batch.num_rows
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+    )
+    if not n:
+        return out_schema.empty_table()
+    text = batch.column("text").combine_chunks()
+    norm = pc.utf8_lower(
+        pc.utf8_trim(pc.replace_substring_regex(text, r"\s+", " "), " ")
+    )
+    toks = pc.split_pattern(norm, " ")
+    flat = pc.list_flatten(toks)
+    rows = pc.cast(pc.list_parent_indices(toks), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    rows = rows[keep]
+    h = hash_strings64(flat)[keep].astype(np.uint64)
+    bucket = (h % np.uint64(dim)).astype(np.int64)
+    sign = 1.0 - 2.0 * ((h >> np.uint64(62)) & np.uint64(1)).astype(np.float64)
+    mat = np.bincount(
+        rows * dim + bucket, weights=sign, minlength=n * dim
+    ).reshape(n, dim)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = (mat / norms).astype(np.float32)
+    emb = pa.FixedSizeListArray.from_arrays(
+        pa.array(mat.ravel(), type=pa.float32()), dim
+    ).cast(pa.list_(pa.float32()))
+    return pa.table(
+        {"doc_id": pc.cast(batch.column("doc_id"), pa.int64()), "embedding": emb}
+    )
+
+
+def text_embed(sf_dir: str, dim: int = 64) -> pa.Table:
+    """Documents → hashed-BoW embeddings (doc_id, list<float32>[dim]),
+    one streaming vectorized pass; exactly-duplicate texts map to
+    IDENTICAL vectors (pinned in pytest), so the derived embedding
+    table composes with every downstream ANN / semantic-dedup op.
+    Driver-table form for the query contract; ``text_embed_write`` is
+    the sink form."""
+    from functools import partial
+
+    from website_indexer_ray.pipelines.textops import read_documents
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    tbl = pa.concat_tables(
+        [
+            t.combine_chunks()
+            for t in (
+                ray.get(r)
+                for r in ds.map_batches(
+                    partial(_embed_text_batch, dim=dim), batch_format="pyarrow"
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+    )
+    import pyarrow.compute as pc
+
+    return tbl.take(pc.sort_indices(tbl, sort_keys=[("doc_id", "ascending")]))
+
+
+def text_embed_write(sf_dir: str, out_dir: str, dim: int = 64) -> None:
+    """Sink form: embeddings stream straight to committed parquet —
+    nothing O(docs) on the driver (the layout downstream ANN reads)."""
+    from functools import partial
+
+    from website_indexer_ray.pipelines.textops import read_documents
+    from website_indexer_ray.util import committed_parquet_write
+
+    committed_parquet_write(
+        read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+            partial(_embed_text_batch, dim=dim), batch_format="pyarrow"
+        ),
+        out_dir,
+    )
+
+
+def text_knn(sf_dir: str, k: int = 10, n_queries: int = 5, dim: int = 64) -> pa.Table:
+    """End-to-end text similarity search WITHOUT a pre-made embedding
+    table: documents → hashed-BoW embeddings (one streaming pass) →
+    brute-force cosine top-k against the broadcast query vectors
+    (query side = the n_queries lowest doc_ids).  The composition the
+    training-data pipeline runs when no learned encoder exists yet;
+    swap ``_embed_text_batch`` for a model stage and nothing else
+    changes.  Deterministic ⇒ rows-only driver check; exact-duplicate
+    retrieval pinned in pytest."""
+    from functools import partial
+
+    from website_indexer_ray.pipelines.textops import read_documents
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    emb = ds.map_batches(
+        partial(_embed_text_batch, dim=dim), batch_format="pyarrow"
+    )
+
+    # query side: n_queries lowest doc_ids, embedded once driver-side
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/documents.parquet"
+    ids = pq.read_table(path, columns=["doc_id"]).column("doc_id").to_numpy()
+    qids = np.sort(ids)[:n_queries].tolist()
+    import pyarrow.dataset as pads
+
+    q_tbl = pads.dataset(path).to_table(
+        columns=["doc_id", "text"], filter=pads.field("doc_id").isin(qids)
+    )
+    q_emb = _embed_text_batch(q_tbl, dim)
+    order = pc.sort_indices(q_emb, sort_keys=[("doc_id", "ascending")])
+    q_emb = q_emb.take(order)
+    qmat = _embed_matrix(q_emb)
+    q_ref = ray.put((qmat, [int(v) for v in q_emb.column("doc_id").to_pylist()]))
+
+    def renamed(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["vec_id", "embedding"])
+
+    partials = emb.map_batches(renamed, batch_format="pyarrow").map_batches(
+        TopKStage(q_ref, k), batch_format="pyarrow", batch_size=2048
+    )
+    merged = pa.concat_tables(
+        [t for t in (ray.get(r) for r in partials.to_arrow_refs()) if t.num_rows]
+    )
+    return _merge_topk(merged, k)
+
+
 # --- IVF-PQ (product quantization, Jégou et al. 2011) ----------------
 
 
