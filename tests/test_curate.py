@@ -126,6 +126,52 @@ class TestCurate:
         with pytest.raises(ValueError, match="near_dup_method"):
             curate.curate_corpus(SF, str(tmp_path / "bad"), near_dup_method="x")
 
+    def test_embedding_near_dup_method(self, ray_session, tmp_path):
+        """near_dup_method='embedding': hashed-BoW vectors derived from
+        the cleaned text feed the LSH-cosine pair path; kept == cleaned
+        ∖ exact-dups ∖ embedding-near-dups via the standalone ops run
+        over the committed embeddings sink."""
+        from website_indexer_ray.pipelines.annops import embedding_dedup_lsh
+
+        out = str(tmp_path / "emb")
+        curate.curate_corpus(SF, out, near_dup_method="embedding")
+        kept_ids = sorted(
+            v
+            for f in glob.glob(f"{out}/kept/documents.parquet/*.parquet")
+            for v in pq.read_table(f, columns=["doc_id"])
+            .column("doc_id")
+            .to_pylist()
+        )
+        lf = set(textops.length_filter(SF).column("doc_id").to_pylist())
+        li = textops.lang_id(SF)
+        en = {
+            d
+            for d, lang in zip(
+                li.column("doc_id").to_pylist(),
+                li.column("lang_pred").to_pylist(),
+            )
+            if lang == "en"
+        }
+        cleaned = lf & en
+        dropped_exact = set(
+            curate.exact_dedup_dropped(f"{out}/filtered").tolist()
+        )
+        pairs = embedding_dedup_lsh(f"{out}/embeddings", threshold=0.9)
+        pairs = pairs.rename_columns(["doc_a", "doc_b"])
+        alive = pairs.filter(
+            pa.array(
+                [
+                    a not in dropped_exact and b not in dropped_exact
+                    for a, b in zip(
+                        pairs.column("doc_a").to_pylist(),
+                        pairs.column("doc_b").to_pylist(),
+                    )
+                ]
+            )
+        )
+        dropped_near = set(textops._dropped_from_pairs(alive).tolist())
+        assert kept_ids == sorted(cleaned - dropped_exact - dropped_near)
+
     def test_resume_skips_committed_stages(self, curated, monkeypatch):
         """A re-run over a fully committed out_dir touches no source
         data and returns the same stats stages."""

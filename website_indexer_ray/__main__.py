@@ -248,6 +248,8 @@ def cmd_curate(args) -> int:
         dup_span_k=args.dup_span_k,
         near_dup_method=args.near_dup_method,
         simhash_max_hamming=args.simhash_max_hamming,
+        embed_sim_threshold=args.embed_sim_threshold,
+        embed_dim=args.embed_dim,
     )
     print(
         json.dumps(
@@ -386,8 +388,12 @@ def main(argv=None) -> int:
     cu.add_argument("--snapshot-dir", default=None)
     cu.add_argument("--dup-span-k", type=int, default=None)
     cu.add_argument(
-        "--near-dup-method", choices=["minhash", "simhash"], default="minhash"
+        "--near-dup-method",
+        choices=["minhash", "simhash", "embedding"],
+        default="minhash",
     )
+    cu.add_argument("--embed-sim-threshold", type=float, default=0.9)
+    cu.add_argument("--embed-dim", type=int, default=64)
     cu.add_argument("--simhash-max-hamming", type=int, default=3)
     cu.set_defaults(fn=cmd_curate)
 

@@ -267,11 +267,14 @@ def embedding_dedup_lsh(
     )
     from website_indexer_ray.state.exchange import hash_exchange
 
-    # Dim from one row-group read, planes broadcast.
-    import pyarrow.parquet as pq
+    # Dim from one head row (works for a single file OR a directory of
+    # parquet shards — e.g. curate's derived-embedding sink), planes
+    # broadcast.
+    import pyarrow.dataset as pads
 
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    first = pads.dataset(f"{sf_dir}/embeddings.parquet").head(
+        1, columns=["embedding"]
+    )
     dim = len(first.column("embedding")[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_bits, dim))

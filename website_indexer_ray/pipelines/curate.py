@@ -262,6 +262,8 @@ def curate_corpus(
     dup_span_k: int | None = None,
     near_dup_method: str = "minhash",
     simhash_max_hamming: int = 3,
+    embed_sim_threshold: float = 0.9,
+    embed_dim: int = 64,
 ) -> pa.Table:
     """Run the full curation pipeline; returns the per-stage lineage
     table (stage, n_docs). Re-running resumes from the last committed
@@ -296,10 +298,15 @@ def curate_corpus(
         final keep pass (dropped docs are excluded first, so a dropped
         duplicate can never anchor a run and erase the kept copy).
       - ``near_dup_method``: the near-dup family — ``"minhash"``
-        (token-Jaccard LSH, default; ``jaccard_threshold`` applies) or
+        (token-Jaccard LSH, default; ``jaccard_threshold`` applies),
         ``"simhash"`` (bit-similarity band blocking;
-        ``simhash_max_hamming`` applies). Both flow the same slim
-        pair shape through the same bucket-keyed exchange.
+        ``simhash_max_hamming`` applies), or ``"embedding"``
+        (embedding-cosine: hashed-BoW vectors derived from the cleaned
+        text into a committed ``embeddings/`` sink, then the
+        LSH-bucketed exact-cosine pair path; ``embed_sim_threshold`` /
+        ``embed_dim`` apply — a learned encoder drops into the same
+        sink stage). All three flow the same slim pair shape through
+        the same bucket-keyed exchange.
       - ``max_ppl``: drop kept docs whose byte-bigram LM perplexity
         (CCNet-style; model trained once on the cleaned corpus, the
         512 KB log-prob table broadcast via one ``ray.put``) exceeds
@@ -307,10 +314,10 @@ def curate_corpus(
         dropped by the gate (the default ``min_tokens`` makes that
         vacuous).
     """
-    if near_dup_method not in ("minhash", "simhash"):
+    if near_dup_method not in ("minhash", "simhash", "embedding"):
         raise ValueError(
-            f"near_dup_method must be 'minhash' or 'simhash', "
-            f"got {near_dup_method!r}"
+            f"near_dup_method must be 'minhash', 'simhash' or "
+            f"'embedding', got {near_dup_method!r}"
         )
     filtered_dir = os.path.join(out_dir, "filtered")
     filtered_data = os.path.join(filtered_dir, "documents.parquet")
@@ -399,12 +406,45 @@ def curate_corpus(
             # bucket-keyed exchange, so the drop-set plumbing is shared
             if near_dup_method == "minhash":
                 pairs = minhash_lsh_pairs(filtered_dir, jaccard_threshold)
-            else:  # "simhash" (validated at entry)
+            elif near_dup_method == "simhash":
                 from website_indexer_ray.pipelines.textops import simhash_pairs
 
                 pairs = simhash_pairs(
                     filtered_dir, max_hamming=simhash_max_hamming
                 )
+            else:  # "embedding" (validated at entry)
+                # embedding-cosine family: derive hashed-BoW vectors
+                # from the cleaned text (a learned encoder drops into
+                # the same sink stage), then the LSH-bucketed cosine
+                # pair path — no n×n matrix anywhere
+                from functools import partial as _partial
+
+                from website_indexer_ray.pipelines.annops import (
+                    _embed_text_batch,
+                    embedding_dedup_lsh,
+                )
+                from website_indexer_ray.util import committed_parquet_write
+
+                emb_dir = os.path.join(out_dir, "embeddings")
+                emb_data = os.path.join(emb_dir, "embeddings.parquet")
+                if not _committed(emb_dir):
+                    os.makedirs(emb_dir, exist_ok=True)
+
+                    def embed(b: pa.Table) -> pa.Table:
+                        return _embed_text_batch(b, embed_dim).rename_columns(
+                            ["vec_id", "embedding"]
+                        )
+
+                    committed_parquet_write(
+                        read_documents(
+                            filtered_dir, columns=["doc_id", "text"]
+                        ).map_batches(embed, batch_format="pyarrow"),
+                        emb_data,
+                    )
+                    _commit(emb_dir)
+                pairs = embedding_dedup_lsh(
+                    emb_dir, threshold=embed_sim_threshold
+                ).rename_columns(["doc_a", "doc_b"])
             # near-dup union-find over survivors only: pairs touching
             # an exact/snapshot-dropped doc must not drop its keeper twin
             if len(dropped_exact) and pairs.num_rows:
