@@ -542,6 +542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": relational.approx_distinct_users,
         "streaming_distinct_users": relational.streaming_distinct_users,
         "approx_quantiles": relational.approx_quantiles,
+        "approx_quantiles_by_type": relational.approx_quantiles_by_type,
         "fingerprint": textops.fingerprint,
         "minhash_lsh_pairs": textops.minhash_lsh_pairs,
         "near_dedup_keep": textops.near_dedup_keep,

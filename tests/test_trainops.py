@@ -1625,6 +1625,42 @@ class TestApproxQuantiles:
         b = relational.approx_quantiles(SF_DIR)
         assert a.equals(b)
 
+    def test_grouped_rank_error_bounded(self, ray_session):
+        """Per-event_type digests: every estimate's rank within its
+        group's exact sorted values sits inside the digest bound."""
+        import pyarrow.parquet as pq
+
+        from website_indexer_ray.pipelines import relational
+
+        qs = (0.25, 0.5, 0.9)
+        out = relational.approx_quantiles_by_type(
+            SF_DIR, qs=qs, max_centroids=256
+        )
+        tbl = pq.read_table(
+            f"{SF_DIR}/events.parquet", columns=["event_type", "value"]
+        )
+        by_type = {}
+        for t, v in zip(
+            tbl.column("event_type").to_pylist(),
+            tbl.column("value").to_pylist(),
+        ):
+            by_type.setdefault(t, []).append(v)
+        assert set(out.column("event_type").to_pylist()) == set(by_type)
+        for t, q, est in zip(
+            out.column("event_type").to_pylist(),
+            out.column("q").to_pylist(),
+            out.column("value_est").to_pylist(),
+        ):
+            exact = np.sort(np.asarray(by_type[t]))
+            n = len(exact)
+            tol = max(2, 2 * n // 256)
+            rank = np.searchsorted(exact, est)
+            assert abs(rank - q * n) <= tol, (t, q, est, rank, q * n, tol)
+        again = relational.approx_quantiles_by_type(
+            SF_DIR, qs=qs, max_centroids=256
+        )
+        assert again.equals(out)
+
 
 class TestStreamingSessionize:
     """Streaming gap-session windows: buffered reordering within the

@@ -1112,6 +1112,85 @@ def streaming_window_counts(
     return out
 
 
+def approx_quantiles_by_type(
+    sf_dir: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    max_centroids: int = 256,
+) -> pa.Table:
+    """GROUPED quantile sketch: per-event_type centroid digests — the
+    grouped form of ``approx_quantiles`` (mirroring how
+    ``approx_distinct_users`` is the grouped HLL).  Each batch emits
+    ≤ max_centroids (mean, count) centroids PER TYPE present in the
+    batch (group recovery via dictionary_encode + argsort, no pandas);
+    the driver's sort-by-mean merge runs independently per key, so
+    estimates are deterministic regardless of partial arrival order.
+    Approximate ⇒ rows-only driver check; per-group rank-error bound
+    asserted in pytest."""
+    from website_indexer_ray.pipelines.textops import _to_table
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table(
+                {
+                    "event_type": pa.array([], type=pa.string()),
+                    "mean": pa.array([], type=pa.float64()),
+                    "count": pa.array([], type=pa.int64()),
+                }
+            )
+        enc = pc.dictionary_encode(batch.column("event_type").combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        types = enc.dictionary.to_pylist()
+        vals = batch.column("value").to_numpy(zero_copy_only=False)
+        order = np.argsort(codes, kind="stable")
+        codes, vals = codes[order], vals[order]
+        bounds = np.r_[
+            np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]), len(codes)
+        ]
+        parts = []
+        for i in range(len(bounds) - 1):
+            c = _value_centroids(vals[bounds[i] : bounds[i + 1]], max_centroids)
+            parts.append(
+                c.append_column(
+                    "event_type",
+                    pa.array([types[codes[bounds[i]]]] * c.num_rows),
+                )
+            )
+        return pa.concat_tables(parts)
+
+    cents = _to_table(ds.map_batches(partial, batch_format="pyarrow"))
+    out_t, out_q, out_v = [], [], []
+    if cents.num_rows:
+        cents = cents.combine_chunks()
+        for etype in sorted(set(cents.column("event_type").to_pylist())):
+            g = cents.filter(pc.equal(cents.column("event_type"), etype))
+            order = pc.sort_indices(g, sort_keys=[("mean", "ascending")])
+            means = g.column("mean").take(order).to_numpy(zero_copy_only=False)
+            counts = g.column("count").take(order).to_numpy(
+                zero_copy_only=False
+            )
+            cum = np.cumsum(counts)
+            total = int(counts.sum())
+            for q in qs:
+                i = min(
+                    int(np.searchsorted(cum, q * total, side="left")),
+                    len(means) - 1,
+                )
+                out_t.append(etype)
+                out_q.append(float(q))
+                out_v.append(float(means[i]))
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, type=pa.string()),
+            "q": pa.array(out_q, type=pa.float64()),
+            "value_est": pa.array(out_v, type=pa.float64()),
+        }
+    )
+
+
 def streaming_distinct_users(
     sf_dir: str,
     window_s: int = 3600,
