@@ -778,13 +778,72 @@ class TestMultimodalStages:
         assert all(r["thumb_bytes"] <= 256 for r in rows)
         assert all(r["thumb_bytes"] <= r["n_bytes"] for r in rows)
 
-    def test_real_codecs_frame_sample_still_stubbed(self):
-        """Video frame decode still needs ffmpeg — construction-time
-        refusal preserved."""
+    def test_real_codecs_apng_frame_sample(self):
+        """use_real_codecs=True frame sampling is a REAL path for
+        APNG: every frame_stride-th decoded frame, capped; non-APNG
+        payloads (video) still raise."""
+        import numpy as np
+
+        from website_indexer_ray.functions.png import (
+            decode_apng_frames,
+            encode_apng,
+        )
         from website_indexer_ray.pipelines.multimodal import FrameSampleStage
 
+        rng = np.random.default_rng(21)
+        frames = [
+            rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
+            for _ in range(10)
+        ]
+        payload = encode_apng(frames)
+        got = decode_apng_frames(payload)
+        assert len(got) == 10
+        assert all(np.array_equal(a, b) for a, b in zip(got, frames))
+
+        stage = FrameSampleStage(
+            use_real_codecs=True, frame_stride=3, max_frames=3
+        )
+        batch = pa.table(
+            {
+                "doc_id": pa.array([7], type=pa.int64()),
+                "payload": pa.array([payload], type=pa.large_binary()),
+                "n_bytes": pa.array([len(payload)], type=pa.int64()),
+            }
+        )
+        out = stage(batch)
+        assert out.column("frame_idx").to_pylist() == [0, 1, 2]
+        assert out.column("frame_offset").to_pylist() == [0, 3, 6]
+        bad = batch.set_column(
+            1, "payload", pa.array([b"\x00video"], type=pa.large_binary())
+        )
         with pytest.raises(NotImplementedError):
-            FrameSampleStage(use_real_codecs=True)
+            stage(bad)
+
+    def test_apng_envelope_refusals(self):
+        """Sub-region / composited APNGs and non-APNG stills are
+        refused explicitly, never mis-decoded."""
+        import struct
+
+        import numpy as np
+
+        from website_indexer_ray.functions import png
+
+        still = png.encode_png(np.zeros((3, 3, 3), dtype=np.uint8))
+        assert not png.is_apng(still)
+        with pytest.raises(ValueError, match="acTL"):
+            png.decode_apng_frames(still)
+        # craft an APNG whose fcTL is a sub-region → refused
+        frames = [np.zeros((4, 4, 3), dtype=np.uint8)] * 2
+        data = png.encode_apng(frames)
+        bad_fctl = png._chunk(
+            b"fcTL", struct.pack(">IIIIIHHBB", 0, 2, 2, 1, 1, 1, 10, 0, 0)
+        )
+        good_fctl = png._chunk(
+            b"fcTL", struct.pack(">IIIIIHHBB", 0, 4, 4, 0, 0, 1, 10, 0, 0)
+        )
+        assert good_fctl in data
+        with pytest.raises(NotImplementedError, match="full-frame"):
+            png.decode_apng_frames(data.replace(good_fctl, bad_fctl, 1))
 
     def test_real_codecs_png_resize(self):
         """Real PNG thumbnail path: decode → nearest-neighbor

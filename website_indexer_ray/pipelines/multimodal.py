@@ -10,11 +10,14 @@ codec libraries (no PIL / ffmpeg / torchvision); coverage is split:
   PNG, so feature extraction returns pixel statistics and the resize
   stage emits true downsampled PNG thumbnails.  Other image formats
   raise NotImplementedError per payload.
-- AUDIO/VIDEO (frame sampling): still STUBBED — construction raises
-  under ``use_real_codecs=True`` (needs ffmpeg).  The default
-  deterministic fake decoder derives "features" from payload bytes;
-  the Ray-side plumbing (schema, broadcast, batch sizing, actor
-  signature, output layout) is real and tested either way.
+- ANIMATION (APNG): frame sampling under ``use_real_codecs=True`` is
+  also REAL — full-frame-replace APNGs decode through the same
+  stdlib codec and every ``frame_stride``-th frame is sampled.
+- AUDIO/VIDEO containers: still gated — non-APNG payloads raise per
+  payload (needs ffmpeg).  The default deterministic fake decoder
+  derives "features" from payload bytes; the Ray-side plumbing
+  (schema, broadcast, batch sizing, actor signature, output layout)
+  is real and tested either way.
 
 Batch-size guidance for real media: large binary payloads need small
 ``batch_size`` (payload_bytes × batch_size × concurrency must fit the
@@ -142,26 +145,61 @@ class MediaFeatureStage:
 
 class FrameSampleStage:
     """Frame sampling over opaque payloads — the video-style stage:
-    one output row per sampled frame at ``stride``-byte boundaries,
-    capped at ``max_frames`` per document. Decode stays stubbed (no
-    codec libraries in this container; a real decoder replaces
-    ``_frame_at`` only), but the actor signature, per-batch fan-out
-    and output layout are the real plumbing a frame pipeline needs.
-    Frame-bearing batches multiply rows — keep batch_size small when
-    payloads are large (class docstring above)."""
+    one output row per sampled frame, capped at ``max_frames`` per
+    document.  ``use_real_codecs=True`` is a REAL path for APNG
+    (animated PNG via the stdlib codec: every ``frame_stride``-th
+    decoded frame is sampled); video containers still need ffmpeg and
+    raise per payload.  The default fake path samples at
+    ``stride``-byte boundaries.  Frame-bearing batches multiply rows —
+    keep batch_size small when payloads are large (class docstring
+    above)."""
 
     def __init__(self, stride: int = 512, max_frames: int = 8,
-                 use_real_codecs: bool = False):
+                 use_real_codecs: bool = False, frame_stride: int = 2):
+        self.use_real_codecs = use_real_codecs
         if use_real_codecs:
-            raise NotImplementedError(
-                "Real frame decoding requires codec libraries not "
-                "present in this environment (ffmpeg). Wire them into "
-                "_frame_at; the stage contract stays identical."
-            )
+            # once-per-actor codec load: the stdlib APNG decoder —
+            # real animated-image frame extraction with no external
+            # library; video containers still need ffmpeg and raise
+            # per payload.
+            from website_indexer_ray.functions import png as _png
+
+            self._png = _png
         self.stride = stride
         self.max_frames = max_frames
+        self.frame_stride = frame_stride
+
+    def _real_rows(self, batch: pa.Table) -> pa.Table:
+        """Real path: decode APNG payloads, sample every
+        ``frame_stride``-th frame capped at ``max_frames``;
+        frame_offset = the SOURCE frame index sampled."""
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_idx, out_off = [], [], []
+        for did, payload in zip(ids, batch.column("payload").to_pylist()):
+            if not self._png.is_apng(payload):
+                raise NotImplementedError(
+                    "real frame sampling supports APNG only in this "
+                    "environment (stdlib codec); video needs ffmpeg"
+                )
+            frames = self._png.decode_apng_frames(payload)
+            picks = list(range(0, len(frames), self.frame_stride))[
+                : self.max_frames
+            ]
+            for j, src in enumerate(picks):
+                out_id.append(int(did))
+                out_idx.append(j)
+                out_off.append(src)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "frame_idx": pa.array(out_idx, type=pa.int64()),
+                "frame_offset": pa.array(out_off, type=pa.int64()),
+            }
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.use_real_codecs:
+            return self._real_rows(batch)
         n_bytes = batch.column("n_bytes").to_numpy(zero_copy_only=False)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         frames = np.minimum(self.max_frames, 1 + n_bytes // self.stride)
