@@ -819,6 +819,37 @@ class TestMultimodalStages:
         with pytest.raises(NotImplementedError):
             stage(bad)
 
+    def test_real_codecs_wav_features(self):
+        """WAV payloads decode through the stdlib wave module: a
+        synthesized sine gives the right rate/duration/RMS/ZCR."""
+        import io
+        import wave
+
+        import numpy as np
+
+        from website_indexer_ray.pipelines.multimodal import MediaFeatureStage
+
+        rate, secs, freq = 8000, 1, 440
+        t = np.arange(rate * secs) / rate
+        samples = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(samples.tobytes())
+        payload = buf.getvalue()
+
+        stage = MediaFeatureStage(use_real_codecs=True)
+        feat = stage._real_decode(payload)
+        n_ch, srate, n, dur, rms, zcr, lo, hi = [float(x) for x in feat]
+        assert (n_ch, srate, n) == (1.0, 8000.0, 8000.0)
+        assert abs(dur - 1.0) < 1e-6
+        assert abs(rms - 0.5 / np.sqrt(2)) < 0.01  # sine RMS = A/sqrt(2)
+        # a 440 Hz sine crosses zero ~2*440 times/s
+        assert abs(zcr - 2 * freq / rate) < 0.01
+        assert lo < -0.45 and hi > 0.45
+
     def test_apng_envelope_refusals(self):
         """Sub-region / composited APNGs and non-APNG stills are
         refused explicitly, never mis-decoded."""

@@ -13,8 +13,11 @@ codec libraries (no PIL / ffmpeg / torchvision); coverage is split:
 - ANIMATION (APNG): frame sampling under ``use_real_codecs=True`` is
   also REAL — full-frame-replace APNGs decode through the same
   stdlib codec and every ``frame_stride``-th frame is sampled.
-- AUDIO/VIDEO containers: still gated — non-APNG payloads raise per
-  payload (needs ffmpeg).  The default deterministic fake decoder
+- AUDIO (WAV): feature extraction under ``use_real_codecs=True`` is
+  REAL for PCM WAV via the stdlib ``wave`` module (rate / duration /
+  RMS / zero-crossing statistics).
+- COMPRESSED AUDIO/VIDEO containers: still gated — such payloads
+  raise per payload (needs ffmpeg).  The default deterministic fake decoder
   derives "features" from payload bytes; the Ray-side plumbing
   (schema, broadcast, batch sizing, actor signature, output layout)
   is real and tested either way.
@@ -86,26 +89,73 @@ class MediaFeatureStage:
         self.frame_stride = frame_stride
 
     def _real_decode(self, payload: bytes) -> np.ndarray:
-        """Pixel-statistics features for a decodable payload: [h, w,
-        channels, mean, std, min, max, nonzero fraction] (FEATURE_DIM
-        floats)."""
-        if not self._png.is_png(payload):
-            raise NotImplementedError(
-                "real decode supports PNG only in this environment "
-                "(stdlib codec); other formats need PIL/ffmpeg"
+        """Real features for decodable payloads (FEATURE_DIM floats):
+        PNG → [h, w, channels, mean, std, min, max, nonzero fraction]
+        via the stdlib codec; WAV → [n_channels, sample_rate,
+        n_samples, duration_s, rms, zero-crossing rate, min, max] via
+        the stdlib ``wave`` module.  Compressed audio/video raise per
+        payload (needs ffmpeg)."""
+        if self._png.is_png(payload):
+            px = self._png.decode_png(payload).astype(np.float32)
+            h, w, ch = px.shape
+            return np.asarray(
+                [
+                    h,
+                    w,
+                    ch,
+                    float(px.mean()),
+                    float(px.std()),
+                    float(px.min()),
+                    float(px.max()),
+                    float((px > 0).mean()),
+                ],
+                dtype=np.float32,
             )
-        px = self._png.decode_png(payload).astype(np.float32)
-        h, w, ch = px.shape
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return self._wav_features(payload)
+        raise NotImplementedError(
+            "real decode supports PNG and WAV in this environment "
+            "(stdlib codecs); other formats need PIL/ffmpeg"
+        )
+
+    @staticmethod
+    def _wav_features(payload: bytes) -> np.ndarray:
+        """PCM WAV → audio statistics via stdlib wave + numpy (real
+        audio decode, no external codec): normalized samples, RMS,
+        zero-crossing rate."""
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n_ch = w.getnchannels()
+            rate = w.getframerate()
+            width = w.getsampwidth()
+            n = w.getnframes()
+            raw = w.readframes(n)
+        if width == 2:
+            samples = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
+            samples /= 32768.0
+        elif width == 1:  # unsigned 8-bit PCM
+            samples = (
+                np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+            ) / 128.0
+        else:
+            raise NotImplementedError(
+                f"unsupported WAV sample width {width} (8/16-bit PCM only)"
+            )
+        if not len(samples):
+            samples = np.zeros(1)
+        zc = float(np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1]))) if len(samples) > 1 else 0.0
         return np.asarray(
             [
-                h,
-                w,
-                ch,
-                float(px.mean()),
-                float(px.std()),
-                float(px.min()),
-                float(px.max()),
-                float((px > 0).mean()),
+                n_ch,
+                rate,
+                n,
+                n / rate if rate else 0.0,
+                float(np.sqrt(np.mean(samples**2))),
+                zc,
+                float(samples.min()),
+                float(samples.max()),
             ],
             dtype=np.float32,
         )
