@@ -75,9 +75,10 @@ class MediaFeatureStage:
     ``use_real_codecs=True`` enables the REAL decode path for the
     formats the environment can handle: PNG decodes through the
     stdlib-only codec (functions/png.py — no PIL/ffmpeg in this
-    container) and features become pixel statistics; payloads in any
-    other format raise NotImplementedError per batch (audio/video
-    still need external codec libraries)."""
+    container) giving pixel-statistics features, and PCM WAV decodes
+    through the stdlib ``wave`` module giving audio statistics;
+    payloads in any other format raise NotImplementedError per batch
+    (compressed audio/video need external codec libraries)."""
 
     def __init__(self, use_real_codecs: bool = False, frame_stride: int = 512):
         self.use_real_codecs = use_real_codecs
