@@ -531,6 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_docs_text": relational.search_docs_text,
         "cumulative_revenue": relational.cumulative_revenue,
         "revenue_rollup": relational.revenue_rollup,
+        "top_users_per_window": relational.top_users_per_window,
         # rows-only entries last — every op below is approximate or
         # hash-identity BY DESIGN (LSH/IVF/HLL/Count-Min/winnowing),
         # so a driver row would carry only a rows>0 signal; the
@@ -948,6 +949,17 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
             ORDER BY 1, 2
+        """,
+        "top_users_per_window": """
+            SELECT window_start, user_id, n FROM (
+                SELECT date_trunc('hour', ts) AS window_start, user_id,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY date_trunc('hour', ts)
+                           ORDER BY COUNT(*) DESC, user_id) AS rn
+                FROM events GROUP BY 1, 2)
+            WHERE rn <= 3
+            ORDER BY window_start, n DESC, user_id
         """,
         "exact_dedup": """
             SELECT MIN(doc_id) AS doc_id FROM documents

@@ -641,6 +641,27 @@ class TestRelational:
                ORDER BY window_start, event_type""",
         )
 
+    def test_top_users_per_window(self, ray_session, con):
+        """Exact windowed heavy hitters: per-batch partial counts →
+        window-keyed exchange → vectorized per-window top-k; hash-
+        exact vs the ROW_NUMBER oracle including tie-breaks."""
+        from website_indexer_ray.pipelines import relational
+
+        out = relational.top_users_per_window(SF_DIR, k=3)
+        assert_matches_sql(
+            out,
+            con,
+            """SELECT window_start, user_id, n FROM (
+                   SELECT date_trunc('hour', ts) AS window_start, user_id,
+                          CAST(COUNT(*) AS BIGINT) AS n,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY date_trunc('hour', ts)
+                              ORDER BY COUNT(*) DESC, user_id) AS rn
+                   FROM events GROUP BY 1, 2)
+               WHERE rn <= 3
+               ORDER BY window_start, n DESC, user_id""",
+        )
+
     def test_cumulative_revenue(self, ray_session, con):
         """Running-total window function (SUM OVER PARTITION BY ...
         ORDER BY): per-customer cumulative integer-cent order totals,

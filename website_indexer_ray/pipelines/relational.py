@@ -1112,6 +1112,111 @@ def streaming_window_counts(
     return out
 
 
+def _window_topk_body(k: int):
+    def body(t: pa.Table) -> pa.Table:
+        """Partition body: a window's partial (win, user, n) rows are
+        co-located by routing, so sum-then-rank here is global — one
+        Arrow group_by + one lexsort + run-length top-k pass for every
+        window in the partition."""
+        from website_indexer_ray.util import agg_named
+
+        if not t.num_rows:
+            return pa.table(
+                {
+                    "win_us": pa.array([], type=pa.int64()),
+                    "user_id": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        g = agg_named(
+            t.select(["win_us", "user_id", "n"]),
+            ["win_us", "user_id"],
+            [("n", "sum")],
+            ["win_us", "user_id", "n"],
+        )
+        win = g.column("win_us").to_numpy(zero_copy_only=False)
+        user = g.column("user_id").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((user, -n, win))
+        win, user, n = win[order], user[order], n[order]
+        new = np.r_[True, win[1:] != win[:-1]]
+        gid = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        pos = np.arange(len(win)) - starts[gid]
+        keep = pos < k
+        return pa.table(
+            {
+                "win_us": pa.array(win[keep], type=pa.int64()),
+                "user_id": pa.array(user[keep], type=pa.int64()),
+                "n": pa.array(n[keep], type=pa.int64()),
+            }
+        )
+
+    return body
+
+
+def top_users_per_window(sf_dir: str, k: int = 3, window_s: int = 3600) -> pa.Table:
+    """EXACT windowed heavy hitters: the k most active users per
+    tumbling window, (n desc, user_id) tie-break — the grouped-top-k ×
+    time-window composition (the exact counterpart of the Count-Min
+    approximate heavy hitters).  Per-batch partial (window, user)
+    counts shrink the scan ~batch/rows-per-pair before one
+    window-keyed exchange; each partition resolves all of its windows
+    vectorized.  Hash-exact vs the SQL ROW_NUMBER oracle."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    window_us = window_s * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        from website_indexer_ray.util import agg_named
+
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "win_us": pa.array((ts // window_us) * window_us, type=pa.int64()),
+                "user_id": pc.cast(b.column("user_id"), pa.int64()),
+                "n": pa.array(np.ones(len(ts), dtype=np.int64)),
+            }
+        )
+        return agg_named(
+            t, ["win_us", "user_id"], [("n", "sum")], ["win_us", "user_id", "n"]
+        )
+
+    from website_indexer_ray.state.exchange import hash_exchange
+
+    tbl = hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "win_us",
+        _window_topk_body(k),
+    )
+    if tbl is None:
+        return pa.table(
+            {
+                "window_start": pa.array([], type=pa.timestamp("us")),
+                "user_id": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+    out = pa.table(
+        {
+            "window_start": tbl.column("win_us").cast(pa.timestamp("us")),
+            "user_id": tbl.column("user_id"),
+            "n": tbl.column("n"),
+        }
+    )
+    return out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[
+                ("window_start", "ascending"),
+                ("n", "descending"),
+                ("user_id", "ascending"),
+            ],
+        )
+    )
+
+
 def approx_quantiles_by_type(
     sf_dir: str,
     qs: tuple = (0.5, 0.9, 0.99),
