@@ -1975,6 +1975,20 @@ class TestNewOpWriteForms:
         t = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
         return t.take(pc.sort_indices(t, sort_keys=[(sort_col, "ascending")]))
 
+    def test_seq_pack_write(self, ray_session, tmp_path):
+        """Sink form of sequence packing equals the table form (the
+        packing table is O(docs) — at corpus scale it lands in
+        per-partition parquet, never a driver concat)."""
+        from website_indexer_ray.pipelines import corpusops
+
+        out = str(tmp_path / "pack")
+        corpusops.seq_pack_write(SF_DIR, out)
+        got = self._read_dir(out, "doc_id")
+        want = corpusops.seq_pack(SF_DIR)
+        assert got.select(want.schema.names).to_pydict() == want.to_pydict()
+        # committed dir short-circuits (resume)
+        corpusops.seq_pack_write(SF_DIR, out)
+
     def test_dup_span_removal_write(self, ray_session, tmp_path):
         from website_indexer_ray.pipelines import textops
 

@@ -716,6 +716,46 @@ def seq_pack(
     bucket_width: int = _PACK_BUCKET_WIDTH,
     documents: pa.Table | None = None,
 ) -> pa.Table:
+    out = _seq_pack_exchange(sf_dir, seq_len, bucket_width, documents)
+    if out is None:
+        return pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_tokens", pa.int64()),
+                ("start_tok", pa.int64()),
+                ("pack_first", pa.int64()),
+                ("pack_last", pa.int64()),
+                ("pack_offset", pa.int64()),
+            ]
+        ).empty_table()
+    return _sorted_by(out)
+
+
+def seq_pack_write(
+    sf_dir: str,
+    out_dir: str,
+    seq_len: int = PACK_SEQ_LEN,
+    bucket_width: int = _PACK_BUCKET_WIDTH,
+) -> None:
+    """Sink form of ``seq_pack``: the placement exchange lands one
+    parquet file per partition under ``out_dir`` (committed
+    ``_SUCCESS``) — the packing table is O(docs), so at corpus scale
+    it must never concatenate on the driver; the table form above
+    stays the driver/query-contract form."""
+    from website_indexer_ray.state.exchange import sink_committed
+
+    if sink_committed(out_dir):
+        return
+    _seq_pack_exchange(sf_dir, seq_len, bucket_width, None, sink_dir=out_dir)
+
+
+def _seq_pack_exchange(
+    sf_dir: str,
+    seq_len: int,
+    bucket_width: int,
+    documents: pa.Table | None,
+    sink_dir: str | None = None,
+):
     ds = _docs_ds(sf_dir, documents, ["doc_id", "text"])
 
     def counts(batch: pa.Table) -> pa.Table:
@@ -757,21 +797,12 @@ def seq_pack(
 
     from website_indexer_ray.state.exchange import hash_exchange
 
-    out = hash_exchange(
-        slim, "bucket", partial(_pack_resolve, seq_len, offsets_ref)
+    return hash_exchange(
+        slim,
+        "bucket",
+        partial(_pack_resolve, seq_len, offsets_ref),
+        sink_dir=sink_dir,
     )
-    if out is None:
-        return pa.schema(
-            [
-                ("doc_id", pa.int64()),
-                ("n_tokens", pa.int64()),
-                ("start_tok", pa.int64()),
-                ("pack_first", pa.int64()),
-                ("pack_last", pa.int64()),
-                ("pack_offset", pa.int64()),
-            ]
-        ).empty_table()
-    return _sorted_by(out)
 
 
 # --- LM perplexity scoring (CCNet-style quality signal) ---------------
