@@ -1975,6 +1975,16 @@ class TestNewOpWriteForms:
         t = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
         return t.take(pc.sort_indices(t, sort_keys=[(sort_col, "ascending")]))
 
+    def test_cumulative_revenue_write(self, ray_session, tmp_path):
+        from website_indexer_ray.pipelines import relational
+
+        out = str(tmp_path / "cum")
+        relational.cumulative_revenue_write(SF_DIR, out)
+        got = self._read_dir(out, "o_orderkey")
+        want = relational.cumulative_revenue(SF_DIR)
+        assert got.select(want.schema.names).to_pydict() == want.to_pydict()
+        relational.cumulative_revenue_write(SF_DIR, out)  # resume no-op
+
     def test_seq_pack_write(self, ray_session, tmp_path):
         """Sink form of sequence packing equals the table form (the
         packing table is O(docs) — at corpus scale it lands in

@@ -580,7 +580,7 @@ def _cum_resolve(t: pa.Table) -> pa.Table:
     )
 
 
-def cumulative_revenue(sf_dir: str) -> pa.Table:
+def cumulative_revenue(sf_dir: str, sink_dir: str | None = None) -> pa.Table:
     """Cumulative-window aggregate (the running-total window-function
     class: SUM() OVER (PARTITION BY key ORDER BY ts)): each order's
     running total of integer-cent o_totalprice per customer, ordered
@@ -616,8 +616,13 @@ def cumulative_revenue(sf_dir: str) -> pa.Table:
     from website_indexer_ray.state.exchange import hash_exchange
 
     tbl = hash_exchange(
-        ds.map_batches(slim, batch_format="pyarrow"), "o_custkey", _cum_resolve
+        ds.map_batches(slim, batch_format="pyarrow"),
+        "o_custkey",
+        _cum_resolve,
+        sink_dir=sink_dir,
     )
+    if sink_dir is not None:
+        return None
     if tbl is None:
         return pa.table(
             {
@@ -627,6 +632,17 @@ def cumulative_revenue(sf_dir: str) -> pa.Table:
             }
         )
     return tbl.take(pc.sort_indices(tbl, sort_keys=[("o_orderkey", "ascending")]))
+
+
+def cumulative_revenue_write(sf_dir: str, out_dir: str) -> None:
+    """Sink form: the running-total table is O(orders), so at scale
+    it lands in per-partition parquet (committed ``_SUCCESS``) instead
+    of concatenating on the driver."""
+    from website_indexer_ray.state.exchange import sink_committed
+
+    if sink_committed(out_dir):
+        return
+    cumulative_revenue(sf_dir, sink_dir=out_dir)
 
 
 class _HLL:
