@@ -10,6 +10,17 @@ from website_indexer_ray.__main__ import main
 from website_indexer_ray.fixtures.gen import generate_corpus
 
 
+def _json_lines(out: str) -> list:
+    """Parse the CLI's JSON output lines, skipping any raylet/worker
+    warnings Ray interleaves into captured stdout under load (they
+    never start with '{' or '[')."""
+    return [
+        json.loads(ln)
+        for ln in out.strip().splitlines()
+        if ln.lstrip().startswith(("{", "["))
+    ]
+
+
 def test_cli_curate(ray_session, tmp_path, capsys):
     rc = main(
         [
@@ -19,7 +30,7 @@ def test_cli_curate(ray_session, tmp_path, capsys):
         ]
     )
     assert rc == 0
-    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    stats = _json_lines(capsys.readouterr().out)[-1]
     assert stats["input"] == 500
     assert 0 < stats["kept"] <= stats["cleaned"] <= stats["input"]
     assert (tmp_path / "curated" / "kept" / "_SUCCESS").exists()
@@ -44,7 +55,7 @@ def test_cli_crawl_query_manage(ray_session, tmp_path, capsys):
         ]
     )
     assert rc == 0
-    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    summary = _json_lines(capsys.readouterr().out)[-1]
     assert summary["status"] == "Finished"
     assert summary["pages"] > 0
     assert summary["urls_fetched"] >= summary["pages"]
@@ -53,13 +64,13 @@ def test_cli_crawl_query_manage(ray_session, tmp_path, capsys):
         ["query", "--out", str(out), "--search-type", "title", "--q", "Section"]
     )
     assert rc == 0
-    page = json.loads(capsys.readouterr().out)
+    page = _json_lines(capsys.readouterr().out)[-1]
     assert page["count"] >= 1
     assert all("Section" in r["title"] for r in page["results"])
 
     rc = main(["page", "--out", str(out), "--url", "https://test.example/"])
     assert rc == 0
-    detail = json.loads(capsys.readouterr().out)
+    detail = _json_lines(capsys.readouterr().out)[-1]
     assert detail["title"].startswith("Home")
 
     rc = main(["page", "--out", str(out), "--url", "https://nope.example/"])
@@ -68,17 +79,17 @@ def test_cli_crawl_query_manage(ray_session, tmp_path, capsys):
 
     rc = main(["list", "errors", "--out", str(out), "--status-code", "404"])
     assert rc == 0
-    err_rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    err_rows = _json_lines(capsys.readouterr().out)
     assert err_rows and all(r["status_code"] == 404 for r in err_rows)
 
     rc = main(["list", "components", "--out", str(out)])
     assert rc == 0
-    comps = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    comps = _json_lines(capsys.readouterr().out)
     assert comps == sorted(comps, key=lambda r: r["class_name"])
 
     rc = main(["manage", "list", "--root", str(tmp_path / "root")])
     assert rc == 0
-    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    rows = _json_lines(capsys.readouterr().out)
     assert rows[0]["name"] == "run1"
     assert rows[0]["status"] == "Finished"
 
@@ -140,5 +151,5 @@ def test_diff_subcommand(ray_session, tmp_path, capsys):
 
     rc = cli_main(["diff", "--old", a, "--new", b])
     assert rc == 0
-    rows = [_json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    rows = _json_lines(capsys.readouterr().out)
     assert rows and {r["change"] for r in rows} <= {"added", "removed", "changed"}
