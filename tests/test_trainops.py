@@ -292,6 +292,54 @@ class TestTextOps:
             python = [len(py_re.findall(t)) for t in texts.to_pylist()]
             assert kernel == python, pat
 
+    def test_token_count_table_matches_python_counter(self, ray_session):
+        """_token_count_table (numpy run-detection over the lowered
+        UTF-8 buffer — the vectorized scan body for vocab/BPE/CMS
+        token work) must produce EXACTLY the Counter(re.findall)
+        per-batch counts it replaced: pinned on the real corpus plus
+        an adversarial batch (unicode, empties, nulls, nonzero array
+        offset)."""
+        import re
+        from collections import Counter
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from website_indexer_ray.pipelines.textops import _token_count_table
+
+        token_re = re.compile(r"[a-z0-9]+")
+
+        def exact(col) -> dict:
+            c: Counter = Counter()
+            for t in col.to_pylist():
+                if t is not None:
+                    c.update(token_re.findall(t.lower()))
+            return dict(c)
+
+        def got(col) -> dict:
+            out = _token_count_table(col)
+            return dict(
+                zip(out.column("token").to_pylist(), out.column("n").to_pylist())
+            )
+
+        corpus = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+        ).column("text")
+        assert got(corpus) == exact(corpus)
+
+        edge = pa.array(
+            ["", None, "Héllo WORLD 42!", "a" * 300, "ümlaut ÉTÉ straße",
+             "日本語 abc123 def", "x", "7seven7", "..--..", "A1b2C3"],
+            type=pa.string(),
+        )
+        assert got(pa.chunked_array([edge])) == exact(edge)
+        # nonzero offset (sliced array) must not shift the buffer view
+        sl = edge.slice(2, 6)
+        assert got(pa.chunked_array([sl])) == exact(sl)
+        # token runs adjacent to document boundaries must not merge
+        adj = pa.array(["abc", "def", "", "ghi"], type=pa.string())
+        assert got(pa.chunked_array([adj])) == {"abc": 1, "def": 1, "ghi": 1}
+
     def test_near_dedup_keep_ds_matches_table_form(self, ray_session):
         """The streaming dataset form (broadcast drop-set + map_batches
         filter, nothing O(corpus) on the driver) returns exactly the

@@ -123,6 +123,108 @@ def _count_re(col: pa.ChunkedArray, pat: str) -> pa.ChunkedArray:
     return pc.cast(pc.count_substring_regex(col, pat), pa.int64())
 
 
+# Complement class of the `[a-z0-9]+` token regex: splitting lowered
+# text on it and dropping empties yields EXACTLY re.findall's tokens
+# (pinned in pytest), with no per-document Python in the scan task.
+_VOCAB_SPLIT_PAT = r"[^a-z0-9]+"
+
+# byte-class LUT for the numpy tokenizer: True for [a-z0-9] bytes
+_TOKEN_BYTE_LUT = np.zeros(256, dtype=bool)
+_TOKEN_BYTE_LUT[np.frombuffer(b"abcdefghijklmnopqrstuvwxyz0123456789",
+                              dtype=np.uint8)] = True
+
+
+def _token_runs(text_col) -> tuple[pa.Array, "np.ndarray"]:
+    """(tokens, parent_doc_index) for a text column, with no
+    per-document Python — the vectorized form of
+    `token_re.findall(t.lower())` per document (scan-task CPU is the
+    dominant cost of token work at 100 TB).
+
+    utf8_lower runs as the Arrow kernel; tokenization then runs as
+    numpy run-detection directly on the lowered UTF-8 data buffer
+    (the hash_strings64 idiom, util.py): after lowering, every
+    `[a-z0-9]` character is a single ASCII byte and every non-token
+    character consists solely of non-class bytes (UTF-8 multibyte
+    sequences never contain ASCII bytes), so maximal `[a-z0-9]` byte
+    runs — broken at document offsets — are EXACTLY the regex
+    `[a-z0-9]+` findall tokens.  Equality with the per-doc Python
+    form is pinned in pytest (corpus + unicode/null/slice edges)."""
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    empty = pa.array([], type=pa.string())
+    n = len(text_col)
+    if not n:
+        return empty, np.empty(0, dtype=np.int64)
+    low = pc.utf8_lower(text_col)
+    if isinstance(low, pa.ChunkedArray):
+        low = low.combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_string(low.type) else np.int32
+    offsets = np.frombuffer(low.buffers()[1], dtype=off_dtype)[
+        low.offset : low.offset + n + 1
+    ].astype(np.int64)
+    lo, hi = int(offsets[0]), int(offsets[-1])
+    if hi == lo:
+        return empty, np.empty(0, dtype=np.int64)
+    seg = np.frombuffer(low.buffers()[2], dtype=np.uint8)[lo:hi]
+    is_tok = _TOKEN_BYTE_LUT[seg]
+    # run starts/ends, with runs force-broken at document boundaries
+    # (a token never spans documents)
+    prev = np.empty_like(is_tok)
+    prev[0] = False
+    prev[1:] = is_tok[:-1]
+    nxt = np.empty_like(is_tok)
+    nxt[-1] = False
+    nxt[:-1] = is_tok[1:]
+    bnd = offsets[1:-1] - lo  # interior document starts
+    inb = bnd[(bnd > 0) & (bnd < len(seg))]
+    prev[inb] = False
+    nxt[inb - 1] = False
+    starts = np.flatnonzero(is_tok & ~prev)
+    if not len(starts):
+        return empty, np.empty(0, dtype=np.int64)
+    ends = np.flatnonzero(is_tok & ~nxt) + 1
+    lens = ends - starts
+    out_off = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    total = int(out_off[-1])
+    # vectorized multi-range gather of the token bytes
+    gather = np.repeat(starts - out_off[:-1], lens) + np.arange(
+        total, dtype=np.int64
+    )
+    tok_bytes = seg[gather]
+    if total <= 0x7FFFFFFF:
+        tok_arr = pa.Array.from_buffers(
+            pa.string(), len(lens),
+            [None, pa.py_buffer(out_off.astype(np.int32)),
+             pa.py_buffer(tok_bytes)],
+        )
+    else:
+        tok_arr = pa.Array.from_buffers(
+            pa.large_string(), len(lens),
+            [None, pa.py_buffer(out_off), pa.py_buffer(tok_bytes)],
+        )
+        tok_arr = pc.cast(tok_arr, pa.string())
+    # doc i owns byte range [offsets[i]-lo, offsets[i+1]-lo)
+    parent = np.searchsorted(offsets[1:] - lo, starts, side="right")
+    return tok_arr, parent.astype(np.int64)
+
+
+def _token_count_table(text_col) -> pa.Table:
+    """Per-batch (token, n) counts — the vectorized form of
+    `Counter(token_re.findall(t.lower()))` summed over the batch:
+    _token_runs tokenization + one Arrow group_by count."""
+    from website_indexer_ray.util import agg_named
+
+    tok_arr, _ = _token_runs(text_col)
+    if not len(tok_arr):
+        return pa.table(
+            {"token": pa.array([], type=pa.string()),
+             "n": pa.array([], type=pa.int64())}
+        )
+    t = pa.table({"token": tok_arr})
+    return agg_named(t, "token", [([], "count_all")], ["token", "n"])
+
+
 def _token_count_mapped(sf_dir: str):
     ds = read_documents(sf_dir)
 
@@ -647,30 +749,30 @@ def length_filter_write(
 
 
 def vocab_top_tokens(sf_dir: str, k: int = 100) -> pa.Table:
-    """Corpus vocabulary top-k: per-batch token Counters (the partial
-    combiner — token counts shrink ~1000x before leaving the task)
-    with an adaptive merge — driver-side while the partial table is
-    small, flipping to a token-hash-keyed actor exchange when the
-    vocabulary explodes (each partition owns its hashes, so its
+    """Corpus vocabulary top-k: per-batch Arrow token counts (the
+    partial combiner — token counts shrink ~1000x before leaving the
+    task; tokenization is all-Arrow via _token_count_table, no per-doc
+    Python) with an adaptive merge — driver-side while the partial
+    table is small, flipping to a token-hash-keyed actor exchange when
+    the vocabulary explodes (each partition owns its hashes, so its
     per-token sums are final). Deterministic (count desc, token asc)
     top-k."""
-    from collections import Counter
-
-    token_re = re.compile(r"[a-z0-9]+")
     ds = read_documents(sf_dir)
 
     def partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            c.update(token_re.findall(t.lower()))
-        toks = list(c.keys())
+        counts = _token_count_table(batch.column("text"))
+        # crc32 routing keys: per-DISTINCT-token only (vocab-sized,
+        # not corpus-sized — the one loop the kernels can't replace)
+        th = np.fromiter(
+            (crc32(t.encode()) for t in counts.column("token").to_pylist()),
+            dtype=np.int64,
+            count=counts.num_rows,
+        )
         return pa.table(
             {
-                "token": pa.array(toks, type=pa.string()),
-                "token_hash": pa.array(
-                    [crc32(t.encode()) for t in toks], type=pa.int64()
-                ),
-                "n": pa.array(list(c.values()), type=pa.int64()),
+                "token": counts.column("token"),
+                "token_hash": pa.array(th, type=pa.int64()),
+                "n": pc.cast(counts.column("n"), pa.int64()),
             }
         )
 
@@ -848,33 +950,32 @@ def similarity_join(
 
 # --- BPE tokenizer training ------------------------------------------
 
-_BPE_TOKEN_RE = re.compile(r"[a-z0-9]+")
 _BPE_EOW = "</w>"
 
 
 def _bpe_word_counts(sf_dir: str) -> pa.Table:
     """Distributed word-frequency table — the corpus-scale half of BPE
     training.  Per-batch Counters shrink the text ~1000x before
-    anything leaves the scan task; the adaptive merge flips to a
-    word-hash-keyed exchange when the vocabulary explodes."""
-    from collections import Counter
-
+    anything leaves the scan task; tokenization is all-Arrow
+    (_token_count_table — no per-doc Python in the scan body); the
+    adaptive merge flips to a word-hash-keyed exchange when the
+    vocabulary explodes."""
     from website_indexer_ray.util import agg_named
 
     ds = read_documents(sf_dir)
 
     def partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            c.update(_BPE_TOKEN_RE.findall(t.lower()))
-        words = list(c.keys())
+        counts = _token_count_table(batch.column("text"))
+        wh = np.fromiter(
+            (crc32(w.encode()) for w in counts.column("token").to_pylist()),
+            dtype=np.int64,
+            count=counts.num_rows,
+        )
         return pa.table(
             {
-                "word": pa.array(words, type=pa.string()),
-                "word_hash": pa.array(
-                    [crc32(w.encode()) for w in words], type=pa.int64()
-                ),
-                "n": pa.array(list(c.values()), type=pa.int64()),
+                "word": counts.column("token"),
+                "word_hash": pa.array(wh, type=pa.int64()),
+                "n": pc.cast(counts.column("n"), pa.int64()),
             }
         )
 
@@ -1012,16 +1113,26 @@ def bpe_token_count(sf_dir: str, n_merges: int = 50) -> pa.Table:
         if cache is None:
             _BPE_LEN_CACHE.clear()  # one live tokenizer per worker
             cache = _BPE_LEN_CACHE[ref_key] = {}
-        out = []
-        for t in batch.column("text").to_pylist():
-            n = 0
-            for w in _BPE_TOKEN_RE.findall(t.lower()):
+        # tokenize the whole batch in one numpy pass, then greedy-
+        # encode each DISTINCT word once (dictionary_encode): the
+        # merge loop runs per distinct word per worker, never per
+        # occurrence, and the per-doc sum is one bincount scatter
+        toks, parent = _token_runs(batch.column("text"))
+        out = np.zeros(batch.num_rows, dtype=np.int64)
+        if len(toks):
+            enc = toks.dictionary_encode()
+            words = enc.dictionary.to_pylist()
+            lens = np.empty(len(words), dtype=np.int64)
+            for i, w in enumerate(words):
                 ln = cache.get(w)
                 if ln is None:
                     ln = _bpe_encode_len(w, ranks)
                     cache[w] = ln
-                n += ln
-            out.append(n)
+                lens[i] = ln
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            out = np.bincount(
+                parent, weights=lens[codes], minlength=batch.num_rows
+            ).astype(np.int64)
         return pa.table(
             {
                 "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
@@ -1429,17 +1540,6 @@ def ngram_jaccard_pairs(
 
 # --- Count-Min heavy hitters ----------------------------------------
 
-def _cms_rows(tokens: dict, width: int, depth: int) -> np.ndarray:
-    """Count-Min sketch (Cormode & Muthukrishnan 2005) of a token
-    count dict — depth×width int64, rows keyed by salted crc32."""
-    sk = np.zeros((depth, width), dtype=np.int64)
-    for tok, n in tokens.items():
-        b = tok.encode()
-        for d in range(depth):
-            sk[d, crc32(b, d * 0x9E3779B1 & 0xFFFFFFFF) % width] += n
-    return sk
-
-
 def approx_top_tokens(
     sf_dir: str, k: int = 20, width: int = 4096, depth: int = 4,
     candidates_per_batch: int = 64,
@@ -1451,22 +1551,39 @@ def approx_top_tokens(
     candidate union by estimated count. CMS never underestimates, so
     true heavy hitters can't be pushed out by sketch error — only
     over-counted. Approximate ⇒ rows-only driver check; top-k overlap
-    + overestimate bound vs the exact vocab asserted in pytest."""
-    from collections import Counter
-
-    token_re = re.compile(r"[a-z0-9]+")
+    + overestimate bound vs the exact vocab asserted in pytest.
+    Tokenization is all-Arrow (_token_count_table); the sketch update
+    and candidate pick run over the batch's DISTINCT tokens (np.add.at
+    scatter), never per occurrence."""
     ds = read_documents(sf_dir)
 
     def partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            c.update(token_re.findall(t.lower()))
-        top = [t for t, _ in c.most_common(candidates_per_batch)]
+        counts = _token_count_table(batch.column("text"))
+        toks = counts.column("token").to_pylist()
+        ns = counts.column("n").to_numpy().astype(np.int64)
+        sk = np.zeros((depth, width), dtype=np.int64)
+        for d in range(depth):
+            salt = d * 0x9E3779B1 & 0xFFFFFFFF
+            idx = np.fromiter(
+                (crc32(t.encode(), salt) % width for t in toks),
+                dtype=np.int64,
+                count=len(toks),
+            )
+            np.add.at(sk[d], idx, ns)
+        # deterministic candidates: count desc, token asc (Counter's
+        # most_common broke ties by first-occurrence order — batch-
+        # layout-dependent; this form is partitioning-independent)
+        order = pc.sort_indices(
+            counts, sort_keys=[("n", "descending"), ("token", "ascending")]
+        )
+        top = (
+            counts.take(order.slice(0, candidates_per_batch))
+            .column("token")
+            .to_pylist()
+        )
         return pa.table(
             {
-                "sketch": pa.array(
-                    [_cms_rows(c, width, depth).tobytes()], type=pa.binary()
-                ),
+                "sketch": pa.array([sk.tobytes()], type=pa.binary()),
                 "candidates": pa.array([top], type=pa.list_(pa.string())),
             }
         )
