@@ -36,6 +36,81 @@ class SeenShard:
         self.filter = CuckooFilter(capacity)
         self.exact: set[str] = set()
         self.hashes: dict[str, int] = {}
+        # sorted seen-hash array for the vectorized offer prefilter;
+        # rebuilt lazily after any exact-set mutation (mutations happen
+        # at generation barriers, offers storm between them, so the
+        # rebuild is once per generation, not per chunk)
+        self._seen_sorted = None
+
+    def _seen_hash_array(self):
+        import numpy as np
+
+        if self._seen_sorted is None:
+            # xxh64 hashes are full unsigned 64-bit values
+            arr = np.fromiter(
+                self.hashes.values(), dtype=np.uint64, count=len(self.hashes)
+            )
+            arr.sort()
+            self._seen_sorted = arr
+        return self._seen_sorted
+
+    @staticmethod
+    def _dedup_min_key(tbl):
+        """Min-(depth, parent_url, method) row per url, Arrow-native:
+        one sort + a keep-first-of-run mask (no pandas round trip)."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            tbl,
+            sort_keys=[
+                ("url", "ascending"),
+                ("depth", "ascending"),
+                ("parent_url", "ascending"),
+                ("method", "ascending"),
+            ],
+        )
+        s = tbl.take(idx)
+        u = s.column("url").combine_chunks()
+        n = len(u)
+        if n <= 1:
+            return s
+        first = np.ones(n, dtype=bool)
+        first[1:] = pc.not_equal(
+            u.slice(1), u.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+        return s.filter(pa.array(first))
+
+    def _filter_unseen(self, tbl):
+        """Drop rows whose url is in the exact seen set — vectorized:
+        np.searchsorted against the cached sorted seen-hash array
+        (O(chunk·log seen), no O(seen) table rebuilt per chunk), with
+        hash hits confirmed against the exact set so a colliding
+        unseen URL is never lost."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        seen = self._seen_hash_array()
+        if not len(seen) or not tbl.num_rows:
+            return tbl
+        h = tbl.column("url_hash").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        pos = np.searchsorted(seen, h)
+        pos_c = np.minimum(pos, len(seen) - 1)
+        hit = seen[pos_c] == h
+        if not hit.any():
+            return tbl
+        # confirm: hash membership is necessary, not sufficient
+        hit_idx = np.flatnonzero(hit)
+        urls = tbl.column("url").take(pa.array(hit_idx)).to_pylist()
+        exact = self.exact
+        confirmed = np.fromiter(
+            (u in exact for u in urls), dtype=bool, count=len(urls)
+        )
+        keep = np.ones(tbl.num_rows, dtype=bool)
+        keep[hit_idx[confirmed]] = False
+        return tbl.filter(pa.array(keep))
 
     def offer(self, tbl) -> int:
         """Accumulate a candidate-row Arrow table for this generation.
@@ -43,40 +118,43 @@ class SeenShard:
         Shards double as hash-partition reducers: concurrent
         ``map_batches`` workers route candidate rows here by
         ``url_hash % n_shards``. The incoming chunk is filtered against
-        the exact seen set and deduped vectorized (pandas isin /
-        drop_duplicates — no per-row Python); per URL the canonical
-        min-(depth, parent_url, method) row wins, finalized across
-        chunks at the resolve barrier, so within-generation duplicate
-        resolution is deterministic WITHOUT a groupby shuffle.
+        the exact seen set (sorted-hash searchsorted prefilter +
+        exact-set confirmation of hits) and min-key-deduped, all on
+        Arrow/numpy — no pandas round trip and no per-row Python on
+        the miss path; per URL the canonical min-(depth, parent_url,
+        method) row wins, finalized across chunks at the resolve
+        barrier, so within-generation duplicate resolution is
+        deterministic WITHOUT a groupby shuffle.
         """
         chunks = getattr(self, "pending_chunks", None)
         if chunks is None:
             chunks = self.pending_chunks = []
-        df = tbl.to_pandas() if not hasattr(tbl, "sort_values") else tbl
-        if "method" not in df.columns:
-            df = df.assign(method="GET")
-        df = df[~df["url"].isin(self.exact)]
-        df = df.sort_values(
-            ["url", "depth", "parent_url", "method"], kind="mergesort"
-        ).drop_duplicates("url", keep="first")
-        if len(df):
-            chunks.append(df)
-        return len(df)
+        if hasattr(tbl, "sort_values"):  # pandas guard (tests)
+            tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+        if "method" not in tbl.schema.names:
+            tbl = tbl.append_column(
+                "method", pa.array(["GET"] * tbl.num_rows, type=pa.string())
+            )
+        tbl = self._filter_unseen(tbl)
+        tbl = self._dedup_min_key(tbl)
+        if tbl.num_rows:
+            chunks.append(tbl)
+        return tbl.num_rows
 
-    def _pending_df(self):
+    def _pending_tbl(self):
         """Merge offer chunks into the final min-key-deduped,
-        unseen-only pending frame (sorted by url)."""
-        import pandas as pd
-
+        unseen-only pending Arrow table (sorted by url)."""
         chunks = getattr(self, "pending_chunks", None) or []
         if not chunks:
             return None
-        df = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        df = df.sort_values(
-            ["url", "depth", "parent_url", "method"], kind="mergesort"
-        ).drop_duplicates("url", keep="first")
-        df = df[~df["url"].isin(self.exact)]
-        return df if len(df) else None
+        tbl = pa.concat_tables(chunks) if len(chunks) > 1 else chunks[0]
+        tbl = self._dedup_min_key(tbl)
+        tbl = self._filter_unseen(tbl)
+        return tbl if tbl.num_rows else None
+
+    def _pending_df(self):
+        tbl = self._pending_tbl()
+        return tbl.to_pandas() if tbl is not None else None
 
     def pending_table(self) -> list[dict]:
         """Driver-side budget path: expose pending candidates."""
@@ -133,20 +211,19 @@ class SeenShard:
         shard; called once per generation at the barrier — the shard's
         return ref feeds ``ray.data.from_arrow_refs`` directly, so
         winner rows never pass through the driver."""
-        import pyarrow as pa
-
-        df = self._pending_df()
+        tbl = self._pending_tbl()
         self.pending_chunks = []
-        if df is None:
+        if tbl is None:
             return schema.empty_table()
-        for u, h in zip(df["url"], df["url_hash"]):
+        for u, h in zip(
+            tbl.column("url").to_pylist(), tbl.column("url_hash").to_pylist()
+        ):
             h = int(h)
             self.filter.insert(h)
             self.exact.add(u)
             self.hashes[u] = h
-        return pa.Table.from_pandas(
-            df[schema.names], schema=schema, preserve_index=False
-        )
+        self._seen_sorted = None
+        return tbl.select(schema.names).cast(schema)
 
     def resolve_chunks(self, schema, n_chunks: int):
         """``resolve`` with the winners pre-split into ``n_chunks``
@@ -172,6 +249,7 @@ class SeenShard:
                 self.exact.add(u)
                 self.hashes[u] = h
                 out.append(True)
+        self._seen_sorted = None
         return out
 
     def contains(self, urls: list[str], hashes: list[int]) -> list[bool]:
@@ -190,6 +268,7 @@ class SeenShard:
                 self.hashes.pop(u, None)
                 self.filter.delete(h)
                 n += 1
+        self._seen_sorted = None
         return n
 
     def count(self) -> int:
@@ -215,6 +294,7 @@ class SeenShard:
                 self.exact.add(u)
                 self.hashes[u] = h
                 self.filter.insert(h)
+        self._seen_sorted = None
         return len(self.exact)
 
     def dump(self) -> list[str]:
