@@ -820,6 +820,35 @@ class TestRelational:
                ORDER BY event_id""",
         )
 
+    def test_match_set_sink_forms_equal_table_forms(self, ray_session, tmp_path):
+        """The streaming _write sinks for the two match-set demo
+        queries (output O(matches) — unbounded for common predicates
+        at scale) must land exactly the table form's rows, and a rerun
+        over the committed dir must be a no-op."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        from website_indexer_ray.pipelines import relational
+
+        for name, table_fn, write_fn in [
+            ("filter", relational.filter_chain_events,
+             relational.filter_chain_events_write),
+            ("search", relational.search_docs_text,
+             relational.search_docs_text_write),
+        ]:
+            expected = table_fn(SF_DIR)
+            out = str(tmp_path / name)
+            write_fn(SF_DIR, out)
+            got = pads.dataset(out, format="parquet").to_table()
+            key = expected.schema.names[0]
+            got = got.select(expected.schema.names).take(
+                pc.sort_indices(got, sort_keys=[(key, "ascending")])
+            )
+            assert got.equals(expected.cast(got.schema)), name
+            write_fn(SF_DIR, out)  # committed dir -> no-op
+            again = pads.dataset(out, format="parquet").to_table()
+            assert again.num_rows == expected.num_rows, name
+
 
 class TestMultimodalStages:
     """Frame-sample and resize stages: real Ray-side plumbing, stubbed

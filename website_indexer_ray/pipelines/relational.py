@@ -78,7 +78,7 @@ def agg_lineitem(sf_dir: str) -> pa.Table:
             Sum("n", alias_name="n_rows"),
         )
     )
-    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    tbl = _to_table(out)
     return tbl.take(
         pc.sort_indices(
             tbl,
@@ -167,7 +167,7 @@ def status_counts(sf_dir: str) -> pa.Table:
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     out = partials.groupby("event_type").aggregate(Sum("n", alias_name="n"))
-    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    tbl = _to_table(out)
     return tbl.take(pc.sort_indices(tbl, sort_keys=[("event_type", "ascending")]))
 
 
@@ -187,13 +187,24 @@ def pagination_orders(sf_dir: str, page: int = 2, page_size: int = 25) -> pa.Tab
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     )
     window = ds.sort("o_orderkey").limit(page * page_size)
-    tbl = pa.Table.from_pandas(window.to_pandas(), preserve_index=False)
+    tbl = _to_table(window)
     return tbl.slice((page - 1) * page_size, page_size)
 
 
 def filter_chain_events(sf_dir: str) -> pa.Table:
     """Multi-predicate vectorized filter chain (F-rule analog over
-    events: type membership + numeric threshold + regex on props)."""
+    events: type membership + numeric threshold + regex on props).
+    Table form for the driver contract; at scale use
+    ``filter_chain_events_ds`` / ``_write`` — match-set output is
+    O(matches), unbounded for a common predicate at 100 TB."""
+    out = _to_table(filter_chain_events_ds(sf_dir))
+    return out.take(pc.sort_indices(out, sort_keys=[("event_id", "ascending")]))
+
+
+def filter_chain_events_ds(sf_dir: str):
+    """Streaming Dataset form of ``filter_chain_events`` — the match
+    set never concatenates on the driver; consume with write_parquet /
+    iter_batches or the ``_write`` sink."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "event_type", "value", "props"],
@@ -212,8 +223,15 @@ def filter_chain_events(sf_dir: str) -> pa.Table:
         )
         return batch.filter(mask).select(["event_id", "user_id"])
 
-    out = _to_table(ds.map_batches(predicate, batch_format="pyarrow"))
-    return out.take(pc.sort_indices(out, sort_keys=[("event_id", "ascending")]))
+    return ds.map_batches(predicate, batch_format="pyarrow")
+
+
+def filter_chain_events_write(sf_dir: str, out_dir: str) -> None:
+    """Sink form: matches stream straight to partitioned parquet under
+    the commit protocol — nothing O(matches) driver-side."""
+    from website_indexer_ray.util import committed_parquet_write
+
+    committed_parquet_write(filter_chain_events_ds(sf_dir), out_dir)
 
 
 def window_counts(sf_dir: str) -> pa.Table:
@@ -254,7 +272,7 @@ def window_counts(sf_dir: str) -> pa.Table:
         Sum("value_c", alias_name="sum_value_c"),
         Sum("n", alias_name="n"),
     )
-    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    tbl = _to_table(out)
     return tbl.take(
         pc.sort_indices(
             tbl,
@@ -1076,7 +1094,17 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
 def search_docs_text(sf_dir: str, q: str = "spark merge") -> pa.Table:
     """C1 analog over documents: case-insensitive substring search
     (the reference's icontains, crawler/search.py:57-58) vectorized
-    with pc.match_substring(ignore_case=True)."""
+    with pc.match_substring(ignore_case=True).  Table form for the
+    driver contract; at scale use ``search_docs_text_ds`` / ``_write``
+    — a common substring's match set is O(corpus)."""
+    out = _to_table(search_docs_text_ds(sf_dir, q))
+    return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))
+
+
+def search_docs_text_ds(sf_dir: str, q: str = "spark merge"):
+    """Streaming Dataset form of ``search_docs_text`` — matches never
+    concatenate on the driver (the crawl-side analog is
+    query.search_pages_ds)."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source", "text"]
     )
@@ -1085,8 +1113,15 @@ def search_docs_text(sf_dir: str, q: str = "spark merge") -> pa.Table:
         mask = pc.match_substring(batch.column("text"), q, ignore_case=True)
         return batch.filter(mask).select(["doc_id", "lang", "source"])
 
-    out = _to_table(ds.map_batches(predicate, batch_format="pyarrow"))
-    return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))
+    return ds.map_batches(predicate, batch_format="pyarrow")
+
+
+def search_docs_text_write(sf_dir: str, out_dir: str, q: str = "spark merge") -> None:
+    """Sink form: matches stream straight to partitioned parquet under
+    the commit protocol — nothing O(matches) driver-side."""
+    from website_indexer_ray.util import committed_parquet_write
+
+    committed_parquet_write(search_docs_text_ds(sf_dir, q), out_dir)
 
 
 def streaming_window_counts(
