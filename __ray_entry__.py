@@ -477,10 +477,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stats": relational.events_stats,
         "status_counts": relational.status_counts,
         "distinct_sources": relational.distinct_sources,
-        "asof_last_order": relational.asof_last_order,
-        "range_join_orders": relational.range_join_orders,
-        "priority_revenue": relational.priority_revenue,
-        "revenue_by_nation": relational.revenue_by_nation,
+        # round-5 rotation INTO the window: the round-4 oracle-backed
+        # tail (VERDICT r4 'Next round' #2) — the co-partitioned
+        # cumsum / rollup / windowed-rank trio plus the four entries
+        # whose code changed this round (match-set sink refactors,
+        # window/session exchanges), displacing seven two-round-stable
+        # untouched entries to the tail.
+        "cumulative_revenue": relational.cumulative_revenue,
+        "revenue_rollup": relational.revenue_rollup,
+        "top_users_per_window": relational.top_users_per_window,
+        "search_docs_text": relational.search_docs_text,
+        "filter_chain_events": relational.filter_chain_events,
+        "window_counts": relational.window_counts,
+        "sessionize": relational.sessionize,
         # streaming operators with an EXACT batch oracle: ordered
         # source + watermarks ⇒ must hash-match the batch SQL
         "streaming_window_counts": relational.streaming_window_counts,
@@ -509,13 +518,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quota_sample": corpusops.group_quota_sample,
         "group_topk": corpusops.group_topk,
         "seq_pack": corpusops.seq_pack,
-        "text_normalize": corpusops.text_normalize,
-        "source_mix_sample": corpusops.source_mix_sample,
-        "shuffle_shards": corpusops.shuffle_shards,
         # --- 50-slot window ends here ---------------------------------
         # oracle-backed but past the driver's 50-row recording window
-        # (rotated out in round 4 after two consecutive driver-green
-        # rounds; scripts/check_oracles.py still hash-verifies them
+        # (rotated out after two consecutive driver-green rounds —
+        # r4 for the media/search entries, r5 for the relational
+        # seven; scripts/check_oracles.py still hash-verifies them
         # every round, and their exact SQL gates also run in pytest)
         "media_features": multimodal.media_features,
         "media_frame_sample": multimodal.media_frame_sample,
@@ -525,13 +532,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_components": _search_components,
         "search_links": _search_links,
         "pagination_orders": relational.pagination_orders,
-        "filter_chain_events": relational.filter_chain_events,
-        "window_counts": relational.window_counts,
-        "sessionize": relational.sessionize,
-        "search_docs_text": relational.search_docs_text,
-        "cumulative_revenue": relational.cumulative_revenue,
-        "revenue_rollup": relational.revenue_rollup,
-        "top_users_per_window": relational.top_users_per_window,
+        "asof_last_order": relational.asof_last_order,
+        "range_join_orders": relational.range_join_orders,
+        "priority_revenue": relational.priority_revenue,
+        "revenue_by_nation": relational.revenue_by_nation,
+        "text_normalize": corpusops.text_normalize,
+        "source_mix_sample": corpusops.source_mix_sample,
+        "shuffle_shards": corpusops.shuffle_shards,
         # rows-only entries last — every op below is approximate or
         # hash-identity BY DESIGN (LSH/IVF/HLL/Count-Min/winnowing),
         # so a driver row would carry only a rows>0 signal; the
