@@ -139,7 +139,27 @@ class SeenShard:
         tbl = self._dedup_min_key(tbl)
         if tbl.num_rows:
             chunks.append(tbl)
+            pending = sum(c.num_rows for c in chunks)
+            if pending > getattr(self, "_pending_peak_rows", 0):
+                self._pending_peak_rows = pending
         return tbl.num_rows
+
+    def state_stats(self) -> dict:
+        """Stress-evidence counters: exact-set size + estimated bytes,
+        peak pending rows held between barriers (bounds the shard's
+        per-generation memory), cuckoo filter bytes."""
+        url_bytes = sum(len(u) for u in self.exact)
+        return {
+            "shard_id": self.shard_id,
+            "seen": len(self.exact),
+            # set/dict entry ≈ url bytes + 64B set slot + 80B dict slot
+            # + 8B hash value (order-of-magnitude, not exact)
+            "exact_mb": round(
+                (url_bytes + len(self.exact) * 152) / 1e6, 2
+            ),
+            "filter_mb": round(self.filter.table.nbytes / 1e6, 2),
+            "pending_peak_rows": getattr(self, "_pending_peak_rows", 0),
+        }
 
     def _pending_tbl(self):
         """Merge offer chunks into the final min-key-deduped,
