@@ -677,22 +677,34 @@ class _HLL:
         self.m = 1 << p
         self.regs = np.zeros(self.m, dtype=np.uint8)
 
-    def add_hashes(self, hashes) -> None:
+    @staticmethod
+    def rank_parts(hashes, p: int):
+        """(register index, rank) arrays for a hash batch — the
+        vectorized rank pass factored out so callers updating MANY
+        sketches from one batch (DistinctShard) can rank once and
+        scatter per sketch, instead of paying the 64-p step loop per
+        tiny group."""
         import numpy as np
 
         h = np.asarray(hashes, dtype=np.uint64)
-        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
-        rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64(1 << (p - 1))
         # rank = leading zeros of the remaining bits + 1
         ranks = np.zeros(len(h), dtype=np.uint8)
         mask = np.uint64(1) << np.uint64(63)
         cur = rest.copy()
         rank = np.ones(len(h), dtype=np.uint8)
-        for _ in range(64 - self.p + 1):
+        for _ in range(64 - p + 1):
             top = (cur & mask) != 0
             ranks = np.where((ranks == 0) & top, rank, ranks)
             cur = cur << np.uint64(1)
             rank = rank + 1
+        return idx, ranks
+
+    def add_hashes(self, hashes) -> None:
+        import numpy as np
+
+        idx, ranks = _HLL.rank_parts(hashes, self.p)
         np.maximum.at(self.regs, idx, ranks)
 
     def merge(self, other: "_HLL") -> None:
