@@ -537,3 +537,30 @@ class TestImportanceSample:
         out = corpusops.importance_sample(SF_DIR, n=20)
         assert out.num_rows == 20
         assert all(d % 101 != 0 for d in out.column("doc_id").to_pylist())
+
+    def test_batch_buckets_match_per_doc_form(self, ray_session):
+        """The vectorized feature pass (_dsir_batch_buckets) must emit
+        EXACTLY the per-doc `_dsir_buckets_of` multiset per document —
+        pinned on the real corpus plus unicode/empty edges."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from website_indexer_ray.pipelines.corpusops import (
+            _dsir_batch_buckets,
+            _dsir_buckets_of,
+        )
+
+        m = 8192
+        texts = pq.read_table(
+            f"{SF_DIR}/documents.parquet", columns=["text"]
+        ).column("text")
+        edge = pa.chunked_array(
+            [pa.array(["", "Héllo 42 Héllo", "one", "a b a b a"])]
+        )
+        for col in (texts, edge):
+            b, par = _dsir_batch_buckets(col, m)
+            for i, t in enumerate(col.to_pylist()):
+                want = np.sort(_dsir_buckets_of(t, m))
+                got = np.sort(b[par == i])
+                assert np.array_equal(got, want), i

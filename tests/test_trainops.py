@@ -340,6 +340,62 @@ class TestTextOps:
         adj = pa.array(["abc", "def", "", "ghi"], type=pa.string())
         assert got(pa.chunked_array([adj])) == {"abc": 1, "def": 1, "ghi": 1}
 
+    def test_lang_id_stage_matches_per_doc_form(self, ray_session):
+        """The vectorized LangIdStage (is_in + bincount over _token_runs
+        with the [a-z'] class) must reproduce the per-doc Python form
+        exactly: same argmax tie-break (lex-smallest language), same
+        'und' rules, same integer confidence."""
+        import re
+
+        import pyarrow as pa
+
+        from website_indexer_ray.pipelines.textops import (
+            _LANG_PROFILES,
+            LangIdStage,
+        )
+
+        word_re = re.compile(r"[a-zA-Z']+")
+
+        def per_doc(t: str) -> tuple[str, int]:
+            words = word_re.findall(t.lower())
+            if not words:
+                return "und", 0
+            profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+            scores = {
+                lang: sum(w in prof for w in words)
+                for lang, prof in profiles.items()
+            }
+            best = max(sorted(scores), key=lambda k: scores[k])
+            return (best if scores[best] else "und",
+                    (1000 * scores[best]) // len(words))
+
+        texts = [
+            "",                                  # no words
+            "zzz qqq xxx",                       # words, all scores 0
+            "the cat and the dog",               # en
+            "el que la y de en un",              # es
+            "der die und das ist",               # de
+            "le la les de et un",                # fr
+            "de la",                             # es/fr tie -> lex-smallest
+            "it's the user's choice",            # apostrophes
+            "LE LA LES DE",                      # case folding
+            "日本語 the of 中文",                 # unicode separators
+        ]
+        batch = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+        out = LangIdStage()(batch)
+        for i, t in enumerate(texts):
+            want = per_doc(t)
+            got = (
+                out.column("lang_pred")[i].as_py(),
+                out.column("conf_permille")[i].as_py(),
+            )
+            assert got == want, (i, t, got, want)
+
     def test_near_dedup_keep_ds_matches_table_form(self, ray_session):
         """The streaming dataset form (broadcast drop-set + map_batches
         filter, nothing O(corpus) on the driver) returns exactly the

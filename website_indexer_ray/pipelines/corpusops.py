@@ -993,14 +993,45 @@ def _dsir_buckets_of(text: str, m: int) -> np.ndarray:
     return uni.astype(np.int64)
 
 
+def _dsir_batch_buckets(text_col, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket, parent_doc_index) feature arrays for a whole text
+    column — the vectorized form of `_dsir_buckets_of` per doc
+    (identical features: hashed unigrams + within-doc bigrams), with
+    no per-document Python: _token_runs tokenization, crc32 only per
+    DISTINCT token via dictionary_encode, one vectorized multiply-add
+    for the bigrams (pairs valid where consecutive tokens share a
+    doc)."""
+    from zlib import crc32 as _crc32
+
+    from website_indexer_ray.pipelines.textops import _token_runs
+
+    toks, parent = _token_runs(text_col)
+    if not len(toks):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    enc = toks.dictionary_encode()
+    words = enc.dictionary.to_pylist()
+    dh = np.fromiter(
+        (_crc32(w.encode()) for w in words), dtype=np.uint64, count=len(words)
+    )
+    th = dh[enc.indices.to_numpy(zero_copy_only=False)]
+    mm = np.uint64(m)
+    uni = (th % mm).astype(np.int64)
+    same = parent[1:] == parent[:-1]
+    bi = ((th[:-1] * _DSIR_BIGRAM_B + th[1:]) % mm).astype(np.int64)[same]
+    return (
+        np.concatenate([uni, bi]),
+        np.concatenate([parent, parent[:-1][same]]),
+    )
+
+
 def _dsir_counts_table(tbl: pa.Table, m: int) -> np.ndarray:
     """Dense m-vector of bucket counts for a driver-resident table."""
-    v = np.zeros(m, dtype=np.int64)
-    for t in tbl.column("text").to_pylist():
-        b = _dsir_buckets_of(t, m)
-        if len(b):
-            v += np.bincount(b, minlength=m)
-    return v
+    b, _ = _dsir_batch_buckets(tbl.column("text"), m)
+    return (
+        np.bincount(b, minlength=m).astype(np.int64)
+        if len(b)
+        else np.zeros(m, dtype=np.int64)
+    )
 
 
 def _dsir_corpus_counts(ds, m: int) -> np.ndarray:
@@ -1012,11 +1043,12 @@ def _dsir_corpus_counts(ds, m: int) -> np.ndarray:
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        v = np.zeros(m, dtype=np.int64)
-        for t in batch.column("text").to_pylist():
-            b = _dsir_buckets_of(t, m)
-            if len(b):
-                v += np.bincount(b, minlength=m)
+        b, _ = _dsir_batch_buckets(batch.column("text"), m)
+        v = (
+            np.bincount(b, minlength=m).astype(np.int64)
+            if len(b)
+            else np.zeros(m, dtype=np.int64)
+        )
         nz = np.flatnonzero(v)
         return pa.table(
             {
@@ -1100,10 +1132,10 @@ def importance_sample(
             keep = ids % _EVAL_MOD != 0
             batch = batch.filter(pa.array(keep))
             ids = ids[keep]
-        w = np.empty(len(ids), dtype=np.float64)
-        for i, t in enumerate(batch.column("text").to_pylist()):
-            b = _dsir_buckets_of(t, m)
-            w[i] = lr[b].sum() if len(b) else 0.0
+        b, par = _dsir_batch_buckets(batch.column("text"), m)
+        w = np.bincount(
+            par, weights=lr[b], minlength=batch.num_rows
+        ) if len(b) else np.zeros(batch.num_rows, dtype=np.float64)
         micro = np.round(w * 1e6).astype(np.int64)
         order = np.lexsort((ids, -micro))[: min(n, len(ids))]
         return pa.table(

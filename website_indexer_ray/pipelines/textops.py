@@ -134,7 +134,7 @@ _TOKEN_BYTE_LUT[np.frombuffer(b"abcdefghijklmnopqrstuvwxyz0123456789",
                               dtype=np.uint8)] = True
 
 
-def _token_runs(text_col) -> tuple[pa.Array, "np.ndarray"]:
+def _token_runs(text_col, lut: "np.ndarray" = None) -> tuple[pa.Array, "np.ndarray"]:
     """(tokens, parent_doc_index) for a text column, with no
     per-document Python — the vectorized form of
     `token_re.findall(t.lower())` per document (scan-task CPU is the
@@ -148,7 +148,12 @@ def _token_runs(text_col) -> tuple[pa.Array, "np.ndarray"]:
     sequences never contain ASCII bytes), so maximal `[a-z0-9]` byte
     runs — broken at document offsets — are EXACTLY the regex
     `[a-z0-9]+` findall tokens.  Equality with the per-doc Python
-    form is pinned in pytest (corpus + unicode/null/slice edges)."""
+    form is pinned in pytest (corpus + unicode/null/slice edges).
+
+    ``lut`` swaps the token byte class (a 256-bool table; must contain
+    only ASCII bytes) — LangIdStage passes the `[a-z']` class."""
+    if lut is None:
+        lut = _TOKEN_BYTE_LUT
     if isinstance(text_col, pa.ChunkedArray):
         text_col = text_col.combine_chunks()
     empty = pa.array([], type=pa.string())
@@ -166,7 +171,7 @@ def _token_runs(text_col) -> tuple[pa.Array, "np.ndarray"]:
     if hi == lo:
         return empty, np.empty(0, dtype=np.int64)
     seg = np.frombuffer(low.buffers()[2], dtype=np.uint8)[lo:hi]
-    is_tok = _TOKEN_BYTE_LUT[seg]
+    is_tok = lut[seg]
     # run starts/ends, with runs force-broken at document boundaries
     # (a token never spans documents)
     prev = np.empty_like(is_tok)
@@ -306,31 +311,58 @@ _LANG_PROFILES = {
 
 class LangIdStage:
     """Stopword-profile n-gram heuristic as an actor-pool stage
-    (profiles built once per actor in __init__)."""
+    (profiles built once per actor in __init__).  Vectorized: one
+    _token_runs pass over the batch's `[a-z']` byte class (EXACTLY
+    the old `re.findall(r"[a-zA-Z']+", t.lower())` tokens — pinned
+    in pytest), then per-language membership via pc.is_in + a
+    bincount scatter per doc; no per-document Python."""
+
+    # byte class for `[a-zA-Z']+` on lowered text: [a-z']
+    _WORD_LUT = np.zeros(256, dtype=bool)
+    _WORD_LUT[np.frombuffer(b"abcdefghijklmnopqrstuvwxyz'",
+                            dtype=np.uint8)] = True
 
     def __init__(self):
         self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
-        self.word_re = re.compile(r"[a-zA-Z']+")
+        # sorted language order = the old max(sorted(scores)) tie-break
+        # (argmax returns the first maximum, i.e. lex-smallest lang)
+        self.langs = sorted(self.profiles)
+        self.profile_arrays = [
+            pa.array(sorted(self.profiles[lang]), type=pa.string())
+            for lang in self.langs
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        langs, confs = [], []
-        for t in batch.column("text").to_pylist():
-            words = self.word_re.findall(t.lower())
-            if not words:
-                langs.append("und")
-                confs.append(0)
-                continue
-            scores = {
-                lang: sum(w in prof for w in words)
-                for lang, prof in self.profiles.items()
-            }
-            best = max(sorted(scores), key=lambda k: scores[k])
-            langs.append(best if scores[best] else "und")
-            confs.append((1000 * scores[best]) // len(words))
+        n = batch.num_rows
+        toks, parent = _token_runs(batch.column("text"), lut=self._WORD_LUT)
+        if len(toks):
+            n_words = np.bincount(parent, minlength=n).astype(np.int64)
+            scores = np.stack(
+                [
+                    np.bincount(
+                        parent,
+                        weights=pc.is_in(toks, value_set=vs)
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64),
+                        minlength=n,
+                    )
+                    for vs in self.profile_arrays
+                ],
+                axis=1,
+            ).astype(np.int64)
+        else:
+            n_words = np.zeros(n, dtype=np.int64)
+            scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        best_i = np.argmax(scores, axis=1)
+        best = scores[np.arange(n), best_i]
+        lang_arr = np.array(self.langs, dtype=object)[best_i]
+        lang_arr[best == 0] = "und"
+        denom = np.maximum(n_words, 1)
+        confs = (1000 * best) // denom
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "lang_pred": pa.array(langs, type=pa.string()),
+                "lang_pred": pa.array(lang_arr, type=pa.string()),
                 "conf_permille": pa.array(confs, type=pa.int64()),
             }
         )
