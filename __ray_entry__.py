@@ -244,7 +244,7 @@ def _distinct_list_column(col: str, out_name: str):
 def _arrow_blocks(ds):
     import ray
 
-    return [t for t in (ray.get(r) for r in ds.to_arrow_refs()) if t.num_rows]
+    return [t for t in ray.get(list(ds.to_arrow_refs())) if t.num_rows]
 
 
 def _crawl_components(sf_dir: str):

@@ -138,7 +138,7 @@ def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5) -> pa.Table:
     partials = ds.map_batches(
         TopKStage(q_ref, k), batch_format="pyarrow", batch_size=1024
     )
-    tables = [t for t in (ray.get(r) for r in partials.to_arrow_refs()) if t.num_rows]
+    tables = [t for t in ray.get(list(partials.to_arrow_refs())) if t.num_rows]
     merged: dict[int, list] = {}
     for t in tables:
         for q, n, s in zip(
@@ -224,7 +224,7 @@ def embedding_dedup_pairs(sf_dir: str, threshold: float = 0.4) -> pa.Table:
     pairs = ds.map_batches(
         CosinePairStage(mat_ref, threshold), batch_format="pyarrow", batch_size=1024
     )
-    tables = [t for t in (ray.get(r) for r in pairs.to_arrow_refs()) if t.num_rows]
+    tables = [t for t in ray.get(list(pairs.to_arrow_refs())) if t.num_rows]
     if not tables:
         return pa.table(
             {
@@ -710,7 +710,7 @@ def text_knn(sf_dir: str, k: int = 10, n_queries: int = 5, dim: int = 64) -> pa.
         TopKStage(q_ref, k), batch_format="pyarrow", batch_size=2048
     )
     merged = pa.concat_tables(
-        [t for t in (ray.get(r) for r in partials.to_arrow_refs()) if t.num_rows]
+        [t for t in ray.get(list(partials.to_arrow_refs())) if t.num_rows]
     )
     return _merge_topk(merged, k)
 
@@ -1029,7 +1029,7 @@ def knn_lsh(
         LshSearchStage(ref, k), batch_format="pyarrow", batch_size=2048
     )
     tables = [
-        t for t in (ray.get(r) for r in partials_ds.to_arrow_refs()) if t.num_rows
+        t for t in ray.get(list(partials_ds.to_arrow_refs())) if t.num_rows
     ]
     partials = pa.concat_tables(tables) if tables else None
     return _merge_topk(partials, k)

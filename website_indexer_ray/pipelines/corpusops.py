@@ -262,7 +262,7 @@ def decontaminate(
         ev = ds.map_batches(
             lambda b: b.filter(pa.array(_is_eval(b))), batch_format="pyarrow"
         )
-        ev_tables = [t for t in (ray.get(r) for r in ev.to_arrow_refs()) if t.num_rows]
+        ev_tables = [t for t in ray.get(list(ev.to_arrow_refs())) if t.num_rows]
         ev_tbl = pa.concat_tables(ev_tables)
     else:
         ev_tbl = eval_documents

@@ -184,7 +184,7 @@ def connected_components(
                 n_reducers=n_reducers,
                 max_rounds=max_rounds,
             )
-            parts = [t for t in (ray.get(r) for r in out_ds.to_arrow_refs())
+            parts = [t for t in ray.get(list(out_ds.to_arrow_refs()))
                      if t.num_rows]
             tbl = pa.concat_tables(parts) if parts else _empty_cc()
         order = pc.sort_indices(tbl, sort_keys=[("node", "ascending")])
@@ -1061,7 +1061,7 @@ def _triangle_stages(records_ds, n_reducers: int, out_dir: str | None = None,
     )
     if deg_tbl is None:
         parts = [
-            x for x in (ray.get(r) for r in deg_ds.to_arrow_refs()) if x.num_rows
+            x for x in ray.get(list(deg_ds.to_arrow_refs())) if x.num_rows
         ]
         deg_tbl = pa.concat_tables(parts) if parts else _DEG_SCHEMA.empty_table()
     if not deg_tbl.num_rows:

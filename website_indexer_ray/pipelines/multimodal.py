@@ -326,7 +326,7 @@ def media_frame_sample(sf_dir: str, stride: int = 512, max_frames: int = 8) -> p
         batch_format="pyarrow",
         batch_size=256,
     )
-    tables = [t for t in (ray.get(r) for r in frames.to_arrow_refs()) if t.num_rows]
+    tables = [t for t in ray.get(list(frames.to_arrow_refs())) if t.num_rows]
     tbl = pa.concat_tables(tables).combine_chunks()
     return tbl.take(
         pc.sort_indices(
@@ -351,7 +351,7 @@ def media_thumbnails(sf_dir: str, max_bytes: int = 256) -> pa.Table:
     )
     tables = [
         t.select(["doc_id", "n_bytes", "thumb_bytes"])
-        for t in (ray.get(r) for r in thumbs.to_arrow_refs())
+        for t in ray.get(list(thumbs.to_arrow_refs()))
         if t.num_rows
     ]
     tbl = pa.concat_tables(tables).combine_chunks()
@@ -418,7 +418,7 @@ def media_features(sf_dir: str) -> pa.Table:
     )
     import pyarrow.compute as pc
 
-    tables = [t for t in (ray.get(r) for r in feats.to_arrow_refs()) if t.num_rows]
+    tables = [t for t in ray.get(list(feats.to_arrow_refs())) if t.num_rows]
     tbl = pa.concat_tables([t.combine_chunks() for t in tables]).select(
         ["doc_id", "n_bytes", "n_frames"]
     )

@@ -903,7 +903,7 @@ def similarity_join(
         return b.filter(pa.array(ids % query_mod == 0))
 
     q_ds = docs.map_batches(_is_query, batch_format="pyarrow")
-    q_tables = [t for t in (ray.get(r) for r in q_ds.to_arrow_refs()) if t.num_rows]
+    q_tables = [t for t in ray.get(list(q_ds.to_arrow_refs())) if t.num_rows]
     if q_tables:
         q_tbl = pa.concat_tables(q_tables).combine_chunks()
         q_tbl = q_tbl.take(
@@ -1671,7 +1671,7 @@ def _merge_partials_adaptive(partials_ds, key: str, reduce_fn) -> pa.Table:
 
 
 def _to_table(ds) -> pa.Table:
-    tables = [t for t in (ray.get(r) for r in ds.to_arrow_refs()) if t.num_rows]
+    tables = [t for t in ray.get(list(ds.to_arrow_refs())) if t.num_rows]
     if not tables:
         schema = ds.schema()
         return pa.schema(
