@@ -1497,35 +1497,70 @@ def near_dedup_keep(
 
 # --- SimHash near-dup -----------------------------------------------
 
-def simhash64(text: str) -> int:
-    """Charikar 2002 similarity hash over unigram token hashes
-    (vectorized: one unpackbits matrix per document)."""
-    toks = normalize_text(text).split()
-    if not toks:
-        return 0
-    hs = np.fromiter(
-        (
-            crc32(b) | (crc32(b + b"\x01") << 32)
-            for b in (t.encode() for t in toks)
-        ),
-        dtype=np.uint64,
-        count=len(toks),
-    )
-    bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-    acc = 2 * bits.sum(axis=0, dtype=np.int64) - len(toks)
-    out = 0
-    for i in np.nonzero(acc > 0)[0]:
-        out |= 1 << int(i)
-    return out
-
-
 class SimHashStage:
+    """Charikar 2002 similarity hash over unigram token hashes —
+    vectorized across the whole batch: Arrow normalization + one
+    whitespace split, `hash_strings64` over every token occurrence in
+    one numpy pass (token-hash identity only needs determinism +
+    uniformity; bit 63 is always 0, leaving an effective 63-bit
+    signature — the 4×16-bit band blocking is unaffected), one
+    unpackbits matrix, and per-doc bit sums via reduceat over the
+    sorted parent spans. No per-document Python."""
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [simhash64(t) for t in batch.column("text").to_pylist()]
+        from website_indexer_ray.util import hash_strings64
+
+        n = batch.num_rows
+        sig = np.zeros(n, dtype=np.uint64)
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if n:
+            norm = pc.utf8_lower(
+                pc.utf8_trim(
+                    pc.replace_substring_regex(text, r"\s+", " "), " "
+                )
+            )
+            toks = pc.split_pattern(norm, " ")
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            flat = toks.values
+            offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            parent = np.repeat(
+                np.arange(n, dtype=np.int64), offsets[1:] - offsets[:-1]
+            )
+            if len(flat):
+                # an empty doc splits to a single "" token — drop it
+                keep = (
+                    pc.utf8_length(flat)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                    > 0
+                )
+                h = hash_strings64(flat).astype(np.uint64)[keep]
+                parent = parent[keep]
+                if len(h):
+                    bits = np.unpackbits(
+                        h.view(np.uint8).reshape(-1, 8),
+                        axis=1,
+                        bitorder="little",
+                    ).astype(np.int64)
+                    docs, starts = np.unique(parent, return_index=True)
+                    cnt = np.add.reduceat(bits, starts, axis=0)
+                    ntok = np.diff(
+                        np.concatenate([starts, [len(parent)]])
+                    )
+                    pos_bits = (2 * cnt - ntok[:, None]) > 0
+                    packed = np.packbits(
+                        pos_bits, axis=1, bitorder="little"
+                    )
+                    sig[docs] = packed.copy().view(np.uint64).reshape(-1)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "simhash": pa.array(sigs, type=pa.uint64()),
+                "simhash": pa.array(sig, type=pa.uint64()),
             }
         )
 
