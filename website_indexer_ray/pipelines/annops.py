@@ -813,13 +813,17 @@ def knn_ivfpq(
     n_clusters: int | None = None,
     n_probe: int = 8,
     m: int = 8,
-    n_codewords: int = 32,
+    n_codewords: int = 256,
     rerank_depth: int | None = None,
     seed: int = 5,
 ) -> pa.Table:
     """IVF-PQ approximate cosine top-k (Jégou et al. 2011, "Product
     Quantization for Nearest Neighbor Search") — the compressed-code
-    scale path beyond ``knn_ivf``:
+    scale path beyond ``knn_ivf``.  Default codebook width is the
+    standard 8-bit 256 codewords: the 1M-vector sweep
+    (scripts/stress_ann.py, BENCH/BASELINE.md) measured 32 codewords
+    0.16-0.20 recall@10 below 256 at IDENTICAL exchange bytes (codes
+    are uint8 either way).
 
       - train: coarse k-means + per-subspace residual codebooks on a
         bounded sample; (centroids, codebooks) broadcast once;
