@@ -411,6 +411,40 @@ class TestTextOps:
         )
         assert got == tbl.column("doc_id").to_pylist()
 
+    def test_signature_stages_batching_independent(self, ray_session):
+        """MinHash band rows and SimHash signatures must not depend on
+        how documents are batched (a partition-dependent signature
+        would make LSH pairs nondeterministic under Ray's block
+        planning): stage(full table) == concat(stage(slices))."""
+        import pyarrow.parquet as pq
+
+        from website_indexer_ray.pipelines.textops import (
+            MinHashStage,
+            SimHashStage,
+        )
+
+        tbl = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text"],
+        )
+        for stage in (MinHashStage(), SimHashStage()):
+            whole = stage(tbl)
+            parts = pa.concat_tables(
+                [stage(tbl.slice(i, 7)) for i in range(0, tbl.num_rows, 7)]
+            )
+            key = whole.schema.names
+            import pyarrow.compute as pc_
+
+            order_w = pc_.sort_indices(
+                whole, sort_keys=[(c, "ascending") for c in key]
+            )
+            order_p = pc_.sort_indices(
+                parts, sort_keys=[(c, "ascending") for c in key]
+            )
+            assert whole.take(order_w).equals(
+                parts.take(order_p).cast(whole.schema)
+            ), type(stage).__name__
+
     def test_simhash_pairs_hamming(self, ray_session):
         from website_indexer_ray.pipelines import textops
 
