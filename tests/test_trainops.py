@@ -411,6 +411,33 @@ class TestTextOps:
         )
         assert got == tbl.column("doc_id").to_pylist()
 
+    def test_per_doc_sink_forms_equal_table_forms(self, ray_session, tmp_path):
+        """Every O(corpus)-output per-doc op gets a committed-parquet
+        sink; the round-5 additions (fingerprint, bpe_token_count,
+        repetition_stats, decontaminate) must land exactly the table
+        form's rows."""
+        import pyarrow.compute as pc_
+        import pyarrow.dataset as pads
+
+        from website_indexer_ray.pipelines import corpusops, textops
+
+        sf = "/root/testdata/sf0.001"
+        for name, table_fn, write_fn in [
+            ("fp", textops.fingerprint, textops.fingerprint_write),
+            ("bpe", textops.bpe_token_count, textops.bpe_token_count_write),
+            ("rep", corpusops.repetition_stats,
+             corpusops.repetition_stats_write),
+            ("dec", corpusops.decontaminate, corpusops.decontaminate_write),
+        ]:
+            expected = table_fn(sf)
+            out = str(tmp_path / name)
+            write_fn(sf, out)
+            got = pads.dataset(out, format="parquet").to_table()
+            got = got.select(expected.schema.names).take(
+                pc_.sort_indices(got, sort_keys=[("doc_id", "ascending")])
+            )
+            assert got.equals(expected.cast(got.schema)), name
+
     def test_signature_stages_batching_independent(self, ray_session):
         """MinHash band rows and SimHash signatures must not depend on
         how documents are batched (a partition-dependent signature

@@ -161,6 +161,16 @@ def repetition_stats(sf_dir: str, documents: pa.Table | None = None) -> pa.Table
     )
 
 
+def repetition_stats_write(sf_dir: str, out_dir: str) -> None:
+    """Sink form of :func:`repetition_stats` (output is O(corpus))."""
+    from website_indexer_ray.util import committed_parquet_write
+
+    ds = _docs_ds(sf_dir, None, ["doc_id", "text"])
+    committed_parquet_write(
+        ds.map_batches(_repetition_batch, batch_format="pyarrow"), out_dir
+    )
+
+
 # --- eval-set decontamination ----------------------------------------
 # Standard pretraining hygiene: count each training doc's distinct
 # word 5-grams that collide with a benchmark ("eval") set. The eval
@@ -252,6 +262,19 @@ def decontaminate(
     against the broadcast eval-gram array (exact strings — no hash
     false positives), and per-doc distinct-hit counts come from
     Arrow ``group_by(count_distinct)`` inside the batch."""
+    from website_indexer_ray.pipelines.textops import _collect_sorted
+
+    return _collect_sorted(
+        _decontaminate_mapped(sf_dir, n, documents, eval_documents), "doc_id"
+    )
+
+
+def _decontaminate_mapped(
+    sf_dir: str,
+    n: int = DECON_N,
+    documents: pa.Table | None = None,
+    eval_documents: pa.Table | None = None,
+):
     ds = _docs_ds(sf_dir, documents, ["doc_id", "text"])
 
     def _is_eval(batch: pa.Table) -> np.ndarray:
@@ -281,11 +304,15 @@ def decontaminate(
             }
         )
 
-    from website_indexer_ray.pipelines.textops import _collect_sorted
+    return ds.map_batches(score, batch_format="pyarrow")
 
-    return _collect_sorted(
-        ds.map_batches(score, batch_format="pyarrow"), "doc_id"
-    )
+
+def decontaminate_write(sf_dir: str, out_dir: str, n: int = DECON_N) -> None:
+    """Sink form: per-doc overlap counts stream to partitioned parquet
+    under the commit protocol — nothing O(corpus) driver-side."""
+    from website_indexer_ray.util import committed_parquet_write
+
+    committed_parquet_write(_decontaminate_mapped(sf_dir, n), out_dir)
 
 
 # --- per-source quota sampling ----------------------------------------

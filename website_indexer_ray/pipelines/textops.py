@@ -395,6 +395,19 @@ def _rolling_hashes(tokens: list[str], k: int = 5) -> list[int]:
 def fingerprint(sf_dir: str, k: int = 5, window: int = 4) -> pa.Table:
     """Winnowing fingerprints (Schleimer, Wilkerson, Aiken — MOSS,
     SIGMOD 2003): min rolling k-gram hash per window."""
+    return _collect_sorted(_fingerprint_mapped(sf_dir, k, window), "doc_id")
+
+
+def fingerprint_write(
+    sf_dir: str, out_dir: str, k: int = 5, window: int = 4
+) -> None:
+    """Sink form of :func:`fingerprint` (output is O(corpus))."""
+    from website_indexer_ray.util import committed_parquet_write
+
+    committed_parquet_write(_fingerprint_mapped(sf_dir, k, window), out_dir)
+
+
+def _fingerprint_mapped(sf_dir: str, k: int = 5, window: int = 4):
     ds = read_documents(sf_dir)
 
     def fp(batch: pa.Table) -> pa.Table:
@@ -420,7 +433,7 @@ def fingerprint(sf_dir: str, k: int = 5, window: int = 4) -> pa.Table:
             }
         )
 
-    return _collect_sorted(ds.map_batches(fp, batch_format="pyarrow"), "doc_id")
+    return ds.map_batches(fp, batch_format="pyarrow")
 
 
 # --- MinHash + LSH near-dup -----------------------------------------
@@ -1211,6 +1224,17 @@ def _bpe_encode_len(word: str, rank_of: dict[tuple[str, str], int]) -> int:
 
 
 def bpe_token_count(sf_dir: str, n_merges: int = 50) -> pa.Table:
+    return _collect_sorted(_bpe_count_mapped(sf_dir, n_merges), "doc_id")
+
+
+def bpe_token_count_write(sf_dir: str, out_dir: str, n_merges: int = 50) -> None:
+    """Sink form of :func:`bpe_token_count` (output is O(corpus))."""
+    from website_indexer_ray.util import committed_parquet_write
+
+    committed_parquet_write(_bpe_count_mapped(sf_dir, n_merges), out_dir)
+
+
+def _bpe_count_mapped(sf_dir: str, n_merges: int = 50):
     """Per-doc BPE token counts under a corpus-trained tokenizer:
     merges learned once (bpe_train), broadcast once via ``ray.put``,
     applied per batch with a per-WORKER word→length cache (a module
@@ -1266,8 +1290,7 @@ def bpe_token_count(sf_dir: str, n_merges: int = 50) -> pa.Table:
             }
         )
 
-    ds = read_documents(sf_dir).map_batches(count_batch, batch_format="pyarrow")
-    return _collect_sorted(ds, "doc_id")
+    return read_documents(sf_dir).map_batches(count_batch, batch_format="pyarrow")
 
 
 def _paragraph_exploded(sf_dir: str):
