@@ -91,6 +91,64 @@ class TestTextOps:
         assert a.equals(b)
         assert all(n >= 0 for n in a.column("n_fingerprints").to_pylist())
 
+    def test_fingerprint_matches_winnowing_loop(self, ray_session, tmp_path):
+        """The vectorized form's algebraic identities (count =
+        ceil(grams/window), min over picks = global min) pinned
+        against the literal strided-window winnowing loop using the
+        SAME gram hash, on whitespace-messy docs."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from website_indexer_ray.pipelines import textops
+        from website_indexer_ray.util import hash_strings64
+
+        texts = [
+            "",
+            "   \t\n ",
+            "one",
+            "one two three four",  # fewer tokens than k
+            "the quick  brown\tfox jumps over the lazy dog again",
+            "  lead and trail  ",
+            ("w" + " w".join(str(i % 7) for i in range(40))),
+            "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        k, window = 5, 4
+        got = textops.fingerprint(str(tmp_path), k=k, window=window)
+
+        for doc_id, t in enumerate(texts):
+            toks = t.split()
+            grams = [
+                " ".join(toks[i : i + k])
+                for i in range(max(0, len(toks) - k + 1))
+            ]
+            if grams:
+                h = hash_strings64(pa.array(grams)).tolist()
+                picks = {
+                    min(
+                        range(i, min(i + window, len(h))),
+                        key=lambda j: h[j],
+                    )
+                    for i in range(0, len(h), window)
+                }
+                fps = sorted(h[j] for j in picks)
+                want_n, want_min = len(fps), fps[0]
+            else:
+                want_n, want_min = 0, 0
+            row = got.filter(
+                pc.equal(got.column("doc_id"), pa.scalar(doc_id, pa.int64()))
+            )
+            assert row.column("n_fingerprints")[0].as_py() == want_n, doc_id
+            assert row.column("min_fingerprint")[0].as_py() == want_min, doc_id
+
     def test_minhash_recall_vs_exact(self, ray_session):
         """Planted near-dups must surface through the LSH bands."""
         from website_indexer_ray.pipelines import textops

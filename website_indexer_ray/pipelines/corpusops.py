@@ -190,7 +190,15 @@ def _word_ngram_rows(
     then join n shifted slices of the flattened token buffer
     element-wise. Returns (parent row of each gram, gram strings,
     per-row gram-slot counts); grams never straddle rows."""
-    toks = pc.split_pattern(text, " ")
+    return _ngram_rows_from_tokens(pc.split_pattern(text, " "), n)
+
+
+def _ngram_rows_from_tokens(
+    toks, n: int
+) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+    """Core of :func:`_word_ngram_rows` over an already-split
+    ``list<string>`` column (callers pick the tokenizer: single-space
+    for pre-normalized text, ``utf8_split_whitespace`` for raw)."""
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     flat = toks.values

@@ -385,13 +385,6 @@ def lang_id_write(sf_dir: str, out_dir: str) -> None:
 
 # --- document fingerprinting (winnowing; no SQL oracle) -------------
 
-def _rolling_hashes(tokens: list[str], k: int = 5) -> list[int]:
-    return [
-        crc32(" ".join(tokens[i : i + k]).encode())
-        for i in range(max(0, len(tokens) - k + 1))
-    ]
-
-
 def fingerprint(sf_dir: str, k: int = 5, window: int = 4) -> pa.Table:
     """Winnowing fingerprints (Schleimer, Wilkerson, Aiken — MOSS,
     SIGMOD 2003): min rolling k-gram hash per window."""
@@ -408,23 +401,44 @@ def fingerprint_write(
 
 
 def _fingerprint_mapped(sf_dir: str, k: int = 5, window: int = 4):
+    """Vectorized winnowing summary per doc.
+
+    The strided-window picks collapse algebraically: windows
+    ``[i, i+window)`` are disjoint, so each contributes exactly one
+    distinct argmin index — ``n_fingerprints = ceil(n_grams/window)``
+    — and the min over picked values equals the GLOBAL min of the
+    gram hashes (min over window-minima).  That turns the per-doc
+    Python winnowing loop into one shifted-slice gram build
+    (corpusops), one `hash_strings64` pass, and one
+    ``minimum.reduceat``.  Gram hashes are internal identity only
+    (rows-only op; determinism pinned by tests, no external hash
+    contract)."""
     ds = read_documents(sf_dir)
 
     def fp(batch: pa.Table) -> pa.Table:
-        out_n, out_min = [], []
-        for t in batch.column("text").to_pylist():
-            hashes = _rolling_hashes(t.split(), k)
-            if not hashes:
-                out_n.append(0)
-                out_min.append(0)
-                continue
-            picks = {
-                min(range(i, min(i + window, len(hashes))), key=lambda j: hashes[j])
-                for i in range(0, len(hashes), window)
-            }
-            fps = sorted(hashes[j] for j in picks)
-            out_n.append(len(fps))
-            out_min.append(fps[0])
+        from website_indexer_ray.pipelines.corpusops import (
+            _ngram_rows_from_tokens,
+        )
+        from website_indexer_ray.util import hash_strings64
+
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        # trim + split_whitespace == str.split() for rows with any
+        # non-ws char; whitespace-only rows yield one empty token —
+        # zero grams for k >= 2 (k == 1 masks empties below).
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(text))
+        row_of, grams, n_slots = _ngram_rows_from_tokens(toks, k)
+        if k == 1 and len(grams):
+            keep = pc.utf8_length(grams).to_numpy(zero_copy_only=False) > 0
+            row_of, grams = row_of[keep], grams.filter(pa.array(keep))
+            n_slots = np.bincount(row_of, minlength=len(n_slots))
+        out_n = -(-n_slots // window)  # ceil; 0 stays 0
+        out_min = np.zeros(len(n_slots), dtype=np.int64)
+        if len(grams):
+            g = hash_strings64(grams)
+            bounds = np.flatnonzero(np.diff(row_of, prepend=-1))
+            out_min[row_of[bounds]] = np.minimum.reduceat(g, bounds)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
