@@ -242,9 +242,9 @@ def _distinct_list_column(col: str, out_name: str):
 
 
 def _arrow_blocks(ds):
-    import ray
+    from website_indexer_ray.util import collect_table_blocks
 
-    return [t for t in ray.get(list(ds.to_arrow_refs())) if t.num_rows]
+    return collect_table_blocks(ds)
 
 
 def _crawl_components(sf_dir: str):

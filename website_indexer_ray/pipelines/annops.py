@@ -23,7 +23,11 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from website_indexer_ray.util import cached_get, read_parquet_parallel
+from website_indexer_ray.util import (
+    cached_get,
+    collect_table_blocks,
+    read_parquet_parallel,
+)
 
 
 def _embed_matrix(source, col: str = "embedding") -> np.ndarray:
@@ -138,7 +142,7 @@ def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5) -> pa.Table:
     partials = ds.map_batches(
         TopKStage(q_ref, k), batch_format="pyarrow", batch_size=1024
     )
-    tables = [t for t in ray.get(list(partials.to_arrow_refs())) if t.num_rows]
+    tables = collect_table_blocks(partials)
     merged: dict[int, list] = {}
     for t in tables:
         for q, n, s in zip(
@@ -224,7 +228,7 @@ def embedding_dedup_pairs(sf_dir: str, threshold: float = 0.4) -> pa.Table:
     pairs = ds.map_batches(
         CosinePairStage(mat_ref, threshold), batch_format="pyarrow", batch_size=1024
     )
-    tables = [t for t in ray.get(list(pairs.to_arrow_refs())) if t.num_rows]
+    tables = collect_table_blocks(pairs)
     if not tables:
         return pa.table(
             {
@@ -637,13 +641,11 @@ def text_embed(sf_dir: str, dim: int = 64) -> pa.Table:
     tbl = pa.concat_tables(
         [
             t.combine_chunks()
-            for t in (
-                ray.get(r)
-                for r in ds.map_batches(
+            for t in collect_table_blocks(
+                ds.map_batches(
                     partial(_embed_text_batch, dim=dim), batch_format="pyarrow"
-                ).to_arrow_refs()
+                )
             )
-            if t.num_rows
         ]
     )
     import pyarrow.compute as pc
@@ -710,7 +712,7 @@ def text_knn(sf_dir: str, k: int = 10, n_queries: int = 5, dim: int = 64) -> pa.
         TopKStage(q_ref, k), batch_format="pyarrow", batch_size=2048
     )
     merged = pa.concat_tables(
-        [t for t in ray.get(list(partials.to_arrow_refs())) if t.num_rows]
+        collect_table_blocks(partials)
     )
     return _merge_topk(merged, k)
 
@@ -1032,9 +1034,7 @@ def knn_lsh(
     partials_ds = ds.map_batches(
         LshSearchStage(ref, k), batch_format="pyarrow", batch_size=2048
     )
-    tables = [
-        t for t in ray.get(list(partials_ds.to_arrow_refs())) if t.num_rows
-    ]
+    tables = collect_table_blocks(partials_ds)
     partials = pa.concat_tables(tables) if tables else None
     return _merge_topk(partials, k)
 
@@ -1191,15 +1191,9 @@ def semantic_dedup(
     use ``semantic_dedup_ds`` and sink it instead."""
     import pyarrow.compute as pc
 
-    tables = [
-        t
-        for t in (
-            ray.get(r)
-            for r in semantic_dedup_ds(sf_dir, threshold, n_clusters, seed)
-            .to_arrow_refs()
-        )
-        if t.num_rows
-    ]
+    tables = collect_table_blocks(
+        semantic_dedup_ds(sf_dir, threshold, n_clusters, seed)
+    )
     if not tables:
         return pa.table({"vec_id": pa.array([], type=pa.int64())})
     tbl = pa.concat_tables(tables)

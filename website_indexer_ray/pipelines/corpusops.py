@@ -30,7 +30,11 @@ from website_indexer_ray.pipelines.textops import (
     _merge_partials_adaptive,
     read_documents,
 )
-from website_indexer_ray.util import agg_named, cached_get
+from website_indexer_ray.util import (
+    agg_named,
+    cached_get,
+    collect_table_blocks,
+)
 
 
 def _docs_ds(sf_dir: str, documents: pa.Table | None, columns: list[str]):
@@ -293,8 +297,7 @@ def _decontaminate_mapped(
         ev = ds.map_batches(
             lambda b: b.filter(pa.array(_is_eval(b))), batch_format="pyarrow"
         )
-        ev_tables = [t for t in ray.get(list(ev.to_arrow_refs())) if t.num_rows]
-        ev_tbl = pa.concat_tables(ev_tables)
+        ev_tbl = pa.concat_tables(collect_table_blocks(ev))
     else:
         ev_tbl = eval_documents
     _, ev_grams, _ = _word_ngram_rows(ev_tbl.column("text"), n)
@@ -1131,16 +1134,9 @@ def importance_sample(
             ids = b.column("doc_id").to_numpy(zero_copy_only=False)
             return b.filter(pa.array(ids % _EVAL_MOD == 0))
 
-        parts = [
-            t
-            for t in (
-                ray.get(r)
-                for r in ds.map_batches(
-                    _tgt_filter, batch_format="pyarrow"
-                ).to_arrow_refs()
-            )
-            if t.num_rows
-        ]
+        parts = collect_table_blocks(
+            ds.map_batches(_tgt_filter, batch_format="pyarrow")
+        )
         target_documents = (
             pa.concat_tables(parts)
             if parts
@@ -1180,16 +1176,9 @@ def importance_sample(
             }
         )
 
-    partials = [
-        t
-        for t in (
-            ray.get(r)
-            for r in ds.map_batches(
-                score_topn, batch_format="pyarrow"
-            ).to_arrow_refs()
-        )
-        if t.num_rows
-    ]
+    partials = collect_table_blocks(
+        ds.map_batches(score_topn, batch_format="pyarrow")
+    )
     empty = pa.table(
         {
             "doc_id": pa.array([], type=pa.int64()),

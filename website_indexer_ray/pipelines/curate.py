@@ -52,7 +52,7 @@ from website_indexer_ray.pipelines.textops import (
     read_documents,
 )
 from website_indexer_ray.state.exchange import hash_exchange
-from website_indexer_ray.util import cached_get
+from website_indexer_ray.util import cached_get, collect_table_blocks
 
 
 def _committed(stage_dir: str) -> bool:
@@ -226,16 +226,11 @@ def _gate_dropped_ids(
             {"doc_id": pa.array(ids[drop], type=pa.int64())}
         )
 
-    parts = [
-        t
-        for t in (
-            ray.get(r)
-            for r in ray.data.read_parquet(filtered_data)
-            .map_batches(gate, batch_format="pyarrow")
-            .to_arrow_refs()
+    parts = collect_table_blocks(
+        ray.data.read_parquet(filtered_data).map_batches(
+            gate, batch_format="pyarrow"
         )
-        if t.num_rows
-    ]
+    )
     if not parts:
         return np.array([], dtype=np.int64)
     return np.sort(
@@ -486,16 +481,9 @@ def curate_corpus(
                         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
                         return b.filter(pa.array(ids % _EVAL_MOD == 0))
 
-                    parts = [
-                        t
-                        for t in (
-                            ray.get(r)
-                            for r in ev.map_batches(
-                                _ev_filter, batch_format="pyarrow"
-                            ).to_arrow_refs()
-                        )
-                        if t.num_rows
-                    ]
+                    parts = collect_table_blocks(
+                        ev.map_batches(_ev_filter, batch_format="pyarrow")
+                    )
                     ev_tbl = (
                         pa.concat_tables(parts)
                         if parts

@@ -47,7 +47,7 @@ import pyarrow.compute as pc
 import ray
 
 from website_indexer_ray.state.exchange import hash_exchange
-from website_indexer_ray.util import agg_named
+from website_indexer_ray.util import agg_named, collect_table_blocks
 
 _I64 = pa.int64()
 
@@ -184,8 +184,7 @@ def connected_components(
                 n_reducers=n_reducers,
                 max_rounds=max_rounds,
             )
-            parts = [t for t in ray.get(list(out_ds.to_arrow_refs()))
-                     if t.num_rows]
+            parts = collect_table_blocks(out_ds)
             tbl = pa.concat_tables(parts) if parts else _empty_cc()
         order = pc.sort_indices(tbl, sort_keys=[("node", "ascending")])
         return tbl.take(order).combine_chunks()
@@ -1060,9 +1059,7 @@ def _triangle_stages(records_ds, n_reducers: int, out_dir: str | None = None,
         _DEG_SCHEMA,
     )
     if deg_tbl is None:
-        parts = [
-            x for x in ray.get(list(deg_ds.to_arrow_refs())) if x.num_rows
-        ]
+        parts = collect_table_blocks(deg_ds)
         deg_tbl = pa.concat_tables(parts) if parts else _DEG_SCHEMA.empty_table()
     if not deg_tbl.num_rows:
         empty = _TRI_SCHEMA.empty_table()

@@ -35,7 +35,10 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from website_indexer_ray.util import read_parquet_parallel
+from website_indexer_ray.util import (
+    collect_table_blocks,
+    read_parquet_parallel,
+)
 
 import hashlib
 
@@ -326,8 +329,7 @@ def media_frame_sample(sf_dir: str, stride: int = 512, max_frames: int = 8) -> p
         batch_format="pyarrow",
         batch_size=256,
     )
-    tables = [t for t in ray.get(list(frames.to_arrow_refs())) if t.num_rows]
-    tbl = pa.concat_tables(tables).combine_chunks()
+    tbl = pa.concat_tables(collect_table_blocks(frames)).combine_chunks()
     return tbl.take(
         pc.sort_indices(
             tbl, sort_keys=[("doc_id", "ascending"), ("frame_idx", "ascending")]
@@ -351,8 +353,7 @@ def media_thumbnails(sf_dir: str, max_bytes: int = 256) -> pa.Table:
     )
     tables = [
         t.select(["doc_id", "n_bytes", "thumb_bytes"])
-        for t in ray.get(list(thumbs.to_arrow_refs()))
-        if t.num_rows
+        for t in collect_table_blocks(thumbs)
     ]
     tbl = pa.concat_tables(tables).combine_chunks()
     return tbl.take(pc.sort_indices(tbl, sort_keys=[("doc_id", "ascending")]))
@@ -418,7 +419,7 @@ def media_features(sf_dir: str) -> pa.Table:
     )
     import pyarrow.compute as pc
 
-    tables = [t for t in ray.get(list(feats.to_arrow_refs())) if t.num_rows]
+    tables = collect_table_blocks(feats)
     tbl = pa.concat_tables([t.combine_chunks() for t in tables]).select(
         ["doc_id", "n_bytes", "n_frames"]
     )

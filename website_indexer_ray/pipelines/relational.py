@@ -20,9 +20,9 @@ from ray.data.aggregate import Sum
 
 
 def _to_table(ds) -> pa.Table:
-    # one ray.get over all block refs — a per-ref get pays one driver
-    # round trip per output partition (a groupby can emit hundreds)
-    tables = [t for t in ray.get(list(ds.to_arrow_refs())) if t.num_rows]
+    from website_indexer_ray.util import collect_table_blocks
+
+    tables = collect_table_blocks(ds)
     return pa.concat_tables([t.combine_chunks() for t in tables]).combine_chunks()
 
 

@@ -1024,7 +1024,9 @@ def similarity_join(
         return b.filter(pa.array(ids % query_mod == 0))
 
     q_ds = docs.map_batches(_is_query, batch_format="pyarrow")
-    q_tables = [t for t in ray.get(list(q_ds.to_arrow_refs())) if t.num_rows]
+    from website_indexer_ray.util import collect_table_blocks
+
+    q_tables = collect_table_blocks(q_ds)
     if q_tables:
         q_tbl = pa.concat_tables(q_tables).combine_chunks()
         q_tbl = q_tbl.take(
@@ -1837,7 +1839,9 @@ def _merge_partials_adaptive(partials_ds, key: str, reduce_fn) -> pa.Table:
 
 
 def _to_table(ds) -> pa.Table:
-    tables = [t for t in ray.get(list(ds.to_arrow_refs())) if t.num_rows]
+    from website_indexer_ray.util import collect_table_blocks
+
+    tables = collect_table_blocks(ds)
     if not tables:
         schema = ds.schema()
         return pa.schema(

@@ -88,6 +88,22 @@ def hash_strings64(arr) -> "np.ndarray":
     return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
 
+def collect_table_blocks(ds) -> list:
+    """A Dataset's blocks as a list of NON-EMPTY Arrow tables via one
+    streamed ``iter_batches`` pass.  The tempting alternative —
+    ``ray.get(list(ds.to_arrow_refs()))`` — re-executes a lazy
+    pipeline end to end: to_arrow_refs drains the ref-bundle iterator,
+    then calls ``schema(fetch_if_missing=True)``, which runs the plan
+    a SECOND time (measured 2x wall on the grouped aggregates).  Only
+    collect small results this way; big outputs take the ``_write``
+    sink forms."""
+    return [
+        t
+        for t in ds.iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+
+
 def committed_parquet_write(ds, out_dir: str) -> bool:
     """Write a Dataset to ``out_dir`` under the engine's commit
     protocol: skip if ``_SUCCESS`` exists (resume), clear stale
