@@ -20,10 +20,9 @@ from ray.data.aggregate import Sum
 
 
 def _to_table(ds) -> pa.Table:
-    from website_indexer_ray.util import collect_table_blocks
+    from website_indexer_ray.util import collect_table
 
-    tables = collect_table_blocks(ds)
-    return pa.concat_tables([t.combine_chunks() for t in tables]).combine_chunks()
+    return collect_table(ds)
 
 
 def agg_lineitem(sf_dir: str) -> pa.Table:

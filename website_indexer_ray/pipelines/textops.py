@@ -1839,15 +1839,9 @@ def _merge_partials_adaptive(partials_ds, key: str, reduce_fn) -> pa.Table:
 
 
 def _to_table(ds) -> pa.Table:
-    from website_indexer_ray.util import collect_table_blocks
+    from website_indexer_ray.util import collect_table
 
-    tables = collect_table_blocks(ds)
-    if not tables:
-        schema = ds.schema()
-        return pa.schema(
-            [(n, t) for n, t in zip(schema.names, schema.types)]
-        ).empty_table()
-    return pa.concat_tables([t.combine_chunks() for t in tables]).combine_chunks()
+    return collect_table(ds)
 
 
 def _collect_sorted(ds, key: str) -> pa.Table:

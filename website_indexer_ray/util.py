@@ -88,20 +88,53 @@ def hash_strings64(arr) -> "np.ndarray":
     return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
 
+def _bundles_to_tables(bundles) -> list:
+    import pyarrow as pa
+    import ray
+
+    refs = [r for b in bundles for r in b.block_refs]
+    out = []
+    for blk in ray.get(refs):  # one parallel zero-copy fetch
+        if not isinstance(blk, pa.Table):  # rare pandas-block tail
+            blk = pa.Table.from_pandas(blk, preserve_index=False)
+        if blk.num_rows:
+            out.append(blk)
+    return out
+
+
 def collect_table_blocks(ds) -> list:
-    """A Dataset's blocks as a list of NON-EMPTY Arrow tables via one
-    streamed ``iter_batches`` pass.  The tempting alternative —
+    """A Dataset's blocks as a list of NON-EMPTY Arrow tables via ONE
+    execution of the plan (``iter_internal_ref_bundles`` + a single
+    parallel ``ray.get``).  The tempting alternative —
     ``ray.get(list(ds.to_arrow_refs()))`` — re-executes a lazy
     pipeline end to end: to_arrow_refs drains the ref-bundle iterator,
-    then calls ``schema(fetch_if_missing=True)``, which runs the plan
-    a SECOND time (measured 2x wall on the grouped aggregates).  Only
-    collect small results this way; big outputs take the ``_write``
-    sink forms."""
-    return [
-        t
-        for t in ds.iter_batches(batch_format="pyarrow", batch_size=None)
-        if t.num_rows
-    ]
+    then calls ``schema(fetch_if_missing=True)``, and a streamed lazy
+    Dataset caches nothing, so the schema fetch runs the plan a
+    SECOND time (measured 2x wall on the grouped aggregates; the same
+    trap applies to any schema()/count()/iter after a consumption).
+    Only collect small results this way; big outputs take the
+    ``_write`` sink forms."""
+    return _bundles_to_tables(ds.iter_internal_ref_bundles())
+
+
+def collect_table(ds) -> "object":
+    """:func:`collect_table_blocks` concatenated into one Arrow table,
+    preserving the schema when every block is empty (the bundles carry
+    it — no extra ``ds.schema()`` pass, which would re-execute)."""
+    import pyarrow as pa
+
+    bundles = list(ds.iter_internal_ref_bundles())
+    tables = _bundles_to_tables(bundles)
+    if tables:
+        return pa.concat_tables(
+            [t.combine_chunks() for t in tables]
+        ).combine_chunks()
+    schema = next(
+        (b.schema for b in bundles if b.schema is not None), None
+    )
+    if not isinstance(schema, pa.Schema):
+        schema = pa.schema([])
+    return schema.empty_table()
 
 
 def committed_parquet_write(ds, out_dir: str) -> bool:
