@@ -1835,7 +1835,9 @@ def _merge_partials_adaptive(partials_ds, key: str, reduce_fn) -> pa.Table:
     from website_indexer_ray.state.exchange import hash_exchange
 
     out = hash_exchange(mat, key, reduce_fn)
-    return out if out is not None else _to_table(partials_ds)
+    # fall back to the MATERIALIZED handle — the lazy `partials_ds`
+    # would re-execute the whole upstream pipeline
+    return out if out is not None else _to_table(mat)
 
 
 def _to_table(ds) -> pa.Table:
