@@ -146,6 +146,74 @@ class TestHTMLRendering:
         assert headers["Content-Type"].startswith("text/css")
         assert b".skip-nav__link" in css
 
+    def test_static_js_bundle(self, base_url):
+        """The served main.js reproduces the reference bundle's two
+        behaviors (viewer/static_src/js/main.js): swap the no-js
+        marker class and initialise every o-expandable. The shell
+        carries class="no-js" on <html> (base.html:5) and loads the
+        script at the end of <body> (base.html:50)."""
+        _s, _h, body = get(f"{base_url}/?format=html")
+        text = body.decode()
+        assert '<html lang="en" class="no-js">' in text
+        assert '<script src="/static/js/main.js"></script></body>' in text
+        status, headers, js = get(f"{base_url}/static/js/main.js")
+        assert status == 200
+        assert headers["Content-Type"].startswith("text/javascript")
+        js = js.decode()
+        assert "no-js" in js  # strips the marker class
+        assert "o-expandable--open" in js  # toggles the open modifier
+        assert "aria-expanded" in js  # keeps the button state accessible
+        assert "o-expandable--onload-open" in js  # sections can start open
+
+    @pytest.mark.skipif(
+        __import__("shutil").which("node") is None,
+        reason="node unavailable for executing the served bundle",
+    )
+    def test_static_js_executes(self, base_url, tmp_path):
+        """Execute the served bundle under a minimal DOM shim (node):
+        the no-js class is swapped for js, --onload-open sections start
+        open with aria-expanded=true, and a header click toggles both
+        the modifier and the aria state — the observable contract of
+        the reference's Expandable.init() (viewer/static_src/js/main.js)."""
+        import subprocess
+
+        _s, _h, js = get(f"{base_url}/static/js/main.js")
+        bundle = tmp_path / "main.js"
+        bundle.write_bytes(js)
+        harness = tmp_path / "check.js"
+        harness.write_text(_JS_DOM_HARNESS.replace("__BUNDLE__", str(bundle)))
+        out = subprocess.run(
+            ["node", str(harness)], capture_output=True, text=True, timeout=30
+        )
+        assert out.returncode == 0, out.stderr
+        first, second, third = (json.loads(l) for l in out.stdout.splitlines())
+        assert first == {
+            "rootClass": "js",
+            "onloadOpen": True,
+            "onloadAria": "true",
+            "closedStart": False,
+            "closedAria": "false",
+        }
+        assert second == {"afterClickOpen": True, "afterClickAria": "true"}
+        assert third == {"afterSecondClick": False}
+
+    def test_page_detail_expandables(self, base_url):
+        """Detail sections are o-expandables; the section matching the
+        incoming search_type starts open (page_detail.html:19,44,69)."""
+        url = "http://localhost:8000/"
+        _s, _h, body = get(f"{base_url}/page/?url={url}&format=html")
+        text = body.decode()
+        assert text.count('class="o-expandable ') == 3
+        assert "o-expandable--onload-open" not in text  # no search_type
+        _s, _h, body = get(
+            f"{base_url}/page/?url={url}&format=html&search_type=links"
+        )
+        text = body.decode()
+        # exactly the Links section carries the onload-open modifier
+        assert text.count("o-expandable--onload-open") == 1
+        open_start = text.index("o-expandable--onload-open")
+        assert "Links" in text[open_start : open_start + 400]
+
     def test_page_detail_breadcrumbs_and_title(self, base_url):
         _s, _h, body = get(
             f"{base_url}/page/?url=http://localhost:8000/&format=html"
@@ -276,3 +344,59 @@ class TestPaginationLinks:
         # plain-text form still served without format=html
         _s, h2, body2 = get(f"{base_url}/help/")
         assert h2["Content-Type"].startswith("text/plain")
+
+
+# DOM shim for test_static_js_executes: just enough of the DOM for the
+# bundle's three calls (documentElement className swap, querySelectorAll
+# over expandables, header button clicks).
+_JS_DOM_HARNESS = """\
+function El(classes) {
+  const self = {
+    classes: new Set(classes),
+    attrs: {},
+    handlers: {},
+    get className() { return [...self.classes].join(' '); },
+    set className(v) { self.classes = new Set(v.split(/\\s+/).filter(Boolean)); },
+    classList: {
+      toggle(c, force) {
+        const want = force === undefined ? !self.classes.has(c) : force;
+        want ? self.classes.add(c) : self.classes.delete(c);
+      },
+      contains(c) { return self.classes.has(c); },
+    },
+    setAttribute(k, v) { self.attrs[k] = v; },
+    getAttribute(k) { return self.attrs[k]; },
+    addEventListener(ev, fn) { self.handlers[ev] = fn; },
+    click() { self.handlers.click && self.handlers.click(); },
+  };
+  return self;
+}
+const open = El(['o-expandable', 'o-expandable--onload-open']);
+const closed = El(['o-expandable']);
+const openBtn = El(['o-expandable__header']);
+const closedBtn = El(['o-expandable__header']);
+open.querySelector = () => openBtn;
+closed.querySelector = () => closedBtn;
+global.document = {
+  documentElement: El(['no-js']),
+  querySelectorAll: (sel) => sel === '.o-expandable' ? [open, closed] : [],
+};
+require('__BUNDLE__');
+const doc = global.document.documentElement;
+console.log(JSON.stringify({
+  rootClass: doc.className,
+  onloadOpen: open.classList.contains('o-expandable--open'),
+  onloadAria: openBtn.getAttribute('aria-expanded'),
+  closedStart: closed.classList.contains('o-expandable--open'),
+  closedAria: closedBtn.getAttribute('aria-expanded'),
+}));
+closedBtn.click();
+console.log(JSON.stringify({
+  afterClickOpen: closed.classList.contains('o-expandable--open'),
+  afterClickAria: closedBtn.getAttribute('aria-expanded'),
+}));
+closedBtn.click();
+console.log(JSON.stringify({
+  afterSecondClick: closed.classList.contains('o-expandable--open'),
+}));
+"""

@@ -122,6 +122,28 @@ def _esc(s) -> str:
     return html.escape(str(s if s is not None else ""))
 
 
+def _expandable(label: str, content_html: str, open_: bool = False) -> str:
+    """One design-system o-expandable section (the markup contract of
+    reference page_detail.html:19-33: header button with label + cues,
+    a content div, and the --onload-open modifier for sections that
+    start open)."""
+    onload = " o-expandable--onload-open" if open_ else ""
+    return (
+        f'<div class="o-expandable o-expandable--background'
+        f' o-expandable--border{onload}">'
+        '<button class="o-expandable__header" title="Expand content">'
+        f'<h3 class="h4 o-expandable__label">{_esc(label)}</h3>'
+        '<span class="o-expandable__cues">'
+        '<span class="o-expandable__cue-open" role="img"'
+        ' aria-label="Show">Show</span>'
+        '<span class="o-expandable__cue-close" role="img"'
+        ' aria-label="Hide">Hide</span>'
+        "</span></button>"
+        f'<div class="o-expandable__content">{content_html}</div>'
+        "</div>"
+    )
+
+
 # Base shell mirroring the reference viewer's template structure
 # (viewer/templates/viewer/base.html): skip-nav link, grid main with a
 # breadcrumbs slot, footer — deliberately the same .skip-nav /
@@ -129,7 +151,7 @@ def _esc(s) -> str:
 # strips before text extraction (crawler/parser.py:133-151), so pages
 # this viewer serves are realistic crawl targets for the engine.
 _HTML_SHELL = (
-    '<!DOCTYPE html><html lang="en"><head>'
+    '<!DOCTYPE html><html lang="en" class="no-js"><head>'
     '<meta charset="utf-8">'
     '<meta name="viewport" content="width=device-width, initial-scale=1">'
     "<title>{title}</title>"
@@ -143,6 +165,7 @@ _HTML_SHELL = (
     "</div></main>"
     '<footer class="o-footer"><div class="wrapper">'
     "Web page index viewer</div></footer>"
+    '<script src="/static/js/main.js"></script>'
     "</body></html>"
 )
 
@@ -182,6 +205,57 @@ td, th { border: 1px solid #e3e4e5; padding: .3rem .6rem;
          text-align: left; }
 footer.o-footer { border-top: 1px solid #e3e4e5; padding: 1rem 1.5rem;
                   color: #5a5d61; font-size: .875rem; }
+/* Expandables (design-system o-expandable contract): content is
+   always visible without JS (progressive enhancement — the `no-js`
+   class stays on <html>); with JS the sections collapse and the
+   header button toggles them. */
+.o-expandable { border: 1px solid #e3e4e5; background: #f7f8f9;
+                margin: 1rem 0; }
+.o-expandable__header { display: block; width: 100%; text-align: left;
+                        background: none; border: 0; padding: .75rem 1rem;
+                        font: inherit; cursor: pointer; }
+.o-expandable__label { margin: 0; display: inline; }
+.o-expandable__cues { float: right; font-size: .875rem; color: #0072ce; }
+.o-expandable__content { padding: 0 1rem .75rem; }
+.no-js .o-expandable__cues { display: none; }
+.js .o-expandable__content { display: none; }
+.js .o-expandable--open .o-expandable__content { display: block; }
+.js .o-expandable__cue-close { display: none; }
+.js .o-expandable--open .o-expandable__cue-open { display: none; }
+.js .o-expandable--open .o-expandable__cue-close { display: inline; }
+"""
+
+# Vanilla-JS equivalent of the reference's entire front-end bundle
+# (viewer/static_src/js/main.js): (1) swap the no-js marker class for
+# js, (2) initialise every design-system Expandable — the reference
+# imports `Expandable` from @cfpb/cfpb-design-system and calls
+# `Expandable.init()`; the observable contract (header button toggles
+# the --open modifier + aria-expanded, --onload-open starts open) is
+# reproduced here without the build step (esbuild/scripts.js is the
+# reference's bundler config; no bundler is needed for ~30 lines).
+_MAIN_JS = """\
+(function () {
+  'use strict';
+  var root = document.documentElement;
+  root.className = root.className.replace(/(^|\\s)no-js(\\s|$)/, '$1$2');
+  root.className += (root.className ? ' ' : '') + 'js';
+
+  function setState(exp, open) {
+    exp.classList.toggle('o-expandable--open', open);
+    var btn = exp.querySelector('.o-expandable__header');
+    if (btn) btn.setAttribute('aria-expanded', open ? 'true' : 'false');
+  }
+
+  var expandables = document.querySelectorAll('.o-expandable');
+  Array.prototype.forEach.call(expandables, function (exp) {
+    setState(exp, exp.classList.contains('o-expandable--onload-open'));
+    var btn = exp.querySelector('.o-expandable__header');
+    if (!btn) return;
+    btn.addEventListener('click', function () {
+      setState(exp, !exp.classList.contains('o-expandable--open'));
+    });
+  });
+})();
 """
 
 
@@ -249,6 +323,12 @@ class ViewerHandler(BaseHTTPRequestHandler):
                 )
             elif route == "/static/css/main.css":
                 self._send(200, _MAIN_CSS.encode(), "text/css; charset=utf-8")
+            elif route == "/static/js/main.js":
+                self._send(
+                    200,
+                    _MAIN_JS.encode(),
+                    "text/javascript; charset=utf-8",
+                )
             elif route == "/help":
                 if self._wants_html(qs):
                     self._html(self._render_help())
@@ -452,13 +532,25 @@ class ViewerHandler(BaseHTTPRequestHandler):
         if self._wants_html(qs):
             comps = "".join(f"<li>{_esc(c)}</li>" for c in row["components"] or [])
             links = "".join(f"<li>{_esc(h)}</li>" for h in row["links"] or [])
-            self._html(
+            search_type = qs.get("search_type", "")
+            # Expandable sections mirror the reference's page detail
+            # (page_detail.html:19-76): each section is a design-system
+            # o-expandable whose --onload-open modifier is applied when
+            # the incoming search_type matches, so the section the user
+            # searched in starts open.
+            body = (
                 f'<h1>{_esc(row["title"])}</h1>'
                 f'<div><a href="{_esc(row["url"])}">{_esc(row["url"])}</a></div>'
                 f'<div>Language: {_esc(row["language"])}</div>'
-                f'<h2>Components</h2><ul>{comps}</ul>'
-                f'<h2>Links</h2><ul>{links}</ul>'
-                f'<h2>Text</h2><p>{_esc(row["text"])}</p>',
+                + _expandable("Links", f"<ul>{links}</ul>",
+                              open_=search_type == "links")
+                + _expandable("Components", f"<ul>{comps}</ul>",
+                              open_=search_type == "components")
+                + _expandable("Text", f'<p>{_esc(row["text"])}</p>',
+                              open_=search_type == "text")
+            )
+            self._html(
+                body,
                 title=row["title"] or _DEFAULT_TITLE,
                 crumbs=True,  # page_detail.html renders breadcrumbs
             )
