@@ -103,7 +103,7 @@ class TopKStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         self._resolve()
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         mat = _embed_matrix(batch)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
@@ -191,7 +191,7 @@ class CosinePairStage:
                 if not isinstance(self.mat_ref, tuple)
                 else self.mat_ref
             )
-        bids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        bids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         mat = _embed_matrix(batch)
         norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
         sims = (mat / norms) @ self.norm.T  # (batch, corpus)
@@ -217,7 +217,7 @@ def embedding_dedup_pairs(sf_dir: str, threshold: float = 0.4) -> pa.Table:
     tbl = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     mat = _embed_matrix(tbl)
     norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
     mat_ref = ray.put((ids, norm))
@@ -287,7 +287,7 @@ def embedding_dedup_lsh(
 
     def index(batch: pa.Table) -> pa.Table:
         pl = cached_get(planes_ref)
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         mat = _embed_matrix(batch)
         keys, docs = [], []
         for ti in range(n_tables):
@@ -971,7 +971,7 @@ class LshSearchStage:
         planes, qids, qnorm, qbuckets = self.state
         n_tables, n_bits, _dim = planes.shape
         powers = 1 << np.arange(n_bits)
-        ids_np = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        ids_np = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         mat = _embed_matrix(batch)
         norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         normed = mat / norms
